@@ -1,0 +1,343 @@
+"""Distributed inverted-index build — the main Ray Data pipeline.
+
+Ray-Data-first re-expression of the reference's batch index build
+(`solr/contrib/map-reduce/.../MapReduceIndexerTool.java:140-177` five-phase MR
+job; `lucene/core/src/java/org/apache/lucene/index/DefaultIndexingChain.java`
+per-segment inversion):
+
+1. **dedup** (optional): keep-most-recent row per url —
+   ``groupby(url).map_groups`` (`RetainMostRecentUpdateConflictResolver`).
+2. **extract + tokenize + norms**: streaming ``map_batches`` (Arrow in/out);
+   the tokenized table is written to ``<index>/tokenized/`` partitioned by
+   ``partition_id`` — a disk checkpoint that both downstream consumers
+   (doc-map and postings) read, so the expensive analysis pass runs ONCE and
+   the build is resumable at stage granularity.
+3. **facet dictionaries**: global sorted distinct-value tables per facet field
+   (the ``OrdinalMap`` analog, `MultiDocValues.java:375-430`).
+4. **doc-map**: per-partition columnar doc values (url, dl, norm byte, facet
+   ordinals) — the norms/doc-values files of a Lucene segment.
+5. **postings**: vectorized explode to per-(term, partition) chunks →
+   ``groupby(["term", "partition_id"])`` shuffle → ``map_groups`` merge +
+   FOR/VByte encode with skip + block-max sidecars → Parquet partitioned by
+   ``partition_id``.  Keying by (term, partition) bounds every reduce group
+   by the partition size — Zipf-head terms cannot straggle (SURVEY.md §4).
+6. **global term stats**: tiny ``groupby(term)`` over per-cell partials
+   (df, ttf) — pre-aggregated, so this shuffle moves O(vocab) rows, not
+   O(postings).
+7. **manifest**: ``manifest.json`` written LAST = the commit point
+   (``segments_N`` analog, `SegmentInfos.java`); per-stage markers carry the
+   input fingerprint for resume + lineage.
+
+docIDs are content-derived (``doc_id`` column of the input), so artifacts are
+deterministic under any batching/parallelism — the two-parallelism-level
+equality test relies on this.  ``partition_id = doc_id // rows_per_partition``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from ..smallfloat import NORM_TABLE
+from ..stages.extract import extract_batch
+from ..stages.tokenize import explode_to_cells, tokenize_batch
+from .postings import encode_cell
+
+DEFAULT_FACET_FIELDS = ("host", "tld", "lang")
+
+
+def _stage_done(index_dir: str, stage: str) -> bool:
+    return os.path.exists(os.path.join(index_dir, f"_stage_{stage}.json"))
+
+
+def _mark_stage(index_dir: str, stage: str, **info) -> None:
+    with open(os.path.join(index_dir, f"_stage_{stage}.json"), "w") as f:
+        json.dump({"stage": stage, "completed_at": time.time(), **info}, f)
+
+
+def _dedup_keep_most_recent(group: pa.Table) -> pa.Table:
+    """Per-url conflict resolution: keep max (warc_ts, doc_id).
+
+    pyarrow (not pandas) so list-typed columns pass through zero-copy.
+    """
+    ts = group["warc_ts"].to_pylist()
+    ids = group["doc_id"].to_pylist()
+    best = max(range(len(ts)), key=lambda i: (ts[i], ids[i]))
+    return group.slice(best, 1)
+
+
+def build_index(
+    input_paths,
+    index_dir: str,
+    *,
+    rows_per_partition: int = 65_536,
+    extract_html: bool = True,
+    dedup_url: bool = True,
+    with_positions: bool = True,
+    facet_fields: tuple = DEFAULT_FACET_FIELDS,
+    multi_facet_fields: tuple = (),
+    numeric_fields: tuple = (),
+    text_field: str = "text",
+    resume: bool = True,
+    tokenize_batch_size: int = 512,
+    input_columns: tuple | None = None,
+    encode_buckets: int = 64,
+) -> dict:
+    """Build all index artifacts under ``index_dir``; returns the manifest."""
+    os.makedirs(index_dir, exist_ok=True)
+    fingerprint = {
+        "input": sorted(input_paths) if isinstance(input_paths, (list, tuple)) else str(input_paths),
+        "rows_per_partition": rows_per_partition,
+        "with_positions": with_positions,
+    }
+
+    tokenized_dir = os.path.join(index_dir, "tokenized")
+    docmap_dir = os.path.join(index_dir, "docmap")
+    postings_dir = os.path.join(index_dir, "postings")
+    dicts_dir = os.path.join(index_dir, "dicts")
+    keep_fields = [f for f in (*facet_fields, *multi_facet_fields, *numeric_fields)]
+
+    # ---- stage 1+2: dedup -> extract -> tokenize -> checkpoint -------------
+    if not (resume and _stage_done(index_dir, "tokenized")):
+        t0 = time.time()
+        if input_columns:
+            ds = rd.read_parquet(input_paths, columns=list(input_columns))
+        else:
+            ds = rd.read_parquet(input_paths)
+        if dedup_url and "url" in ds.schema().names:
+            ds = ds.groupby("url").map_groups(_dedup_keep_most_recent, batch_format="pyarrow")
+        if extract_html:
+            ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=tokenize_batch_size)
+        ds = ds.map_batches(
+            lambda t: t.append_column(
+                "partition_id",
+                pc.cast(pc.floor(pc.divide(pc.cast(t["doc_id"], pa.float64()), rows_per_partition)), pa.int64()),
+            ),
+            batch_format="pyarrow",
+        )
+        ds = ds.map_batches(
+            tokenize_batch,
+            batch_format="pyarrow",
+            batch_size=tokenize_batch_size,
+            fn_kwargs={"with_positions": with_positions},
+        )
+        keep = ["doc_id", "partition_id", "dl", "norm", "terms", "tfs"] + keep_fields
+        if with_positions:
+            keep.append("positions")
+        if "url" in ds.schema().names:
+            keep.append("url")
+        ds = ds.select_columns([c for c in keep if c in ds.schema().names])
+        ds.write_parquet(tokenized_dir, partition_cols=["partition_id"], mode="overwrite")
+        _mark_stage(index_dir, "tokenized", secs=time.time() - t0, fingerprint=fingerprint)
+
+    # ---- stage 3: facet dictionaries (OrdinalMap analog) -------------------
+    if not (resume and _stage_done(index_dir, "dicts")):
+        t0 = time.time()
+        os.makedirs(dicts_dir, exist_ok=True)
+        for f in facet_fields:
+            vals = rd.read_parquet(tokenized_dir, columns=[f]).unique(f)
+            vals = sorted((v for v in vals if v is not None), key=lambda s: str(s).encode())
+            pq.write_table(
+                pa.table({"value": pa.array(vals, type=pa.string())}),
+                os.path.join(dicts_dir, f"{f}.parquet"),
+            )
+        for f in multi_facet_fields:
+            flat = (
+                rd.read_parquet(tokenized_dir, columns=[f])
+                .map_batches(
+                    lambda t, f=f: pa.table({f: pc.list_flatten(t[f]).unique()}),
+                    batch_format="pyarrow",
+                )
+                .unique(f)
+            )
+            vals = sorted((v for v in flat if v is not None), key=lambda s: str(s).encode())
+            pq.write_table(
+                pa.table({"value": pa.array(vals, type=pa.string())}),
+                os.path.join(dicts_dir, f"{f}.parquet"),
+            )
+        _mark_stage(index_dir, "dicts", secs=time.time() - t0)
+
+    # ---- stage 4: doc-map (norms + doc values) -----------------------------
+    if not (resume and _stage_done(index_dir, "docmap")):
+        t0 = time.time()
+        dicts = {
+            f: {v: i for i, v in enumerate(pq.read_table(os.path.join(dicts_dir, f"{f}.parquet"))["value"].to_pylist())}
+            for f in (*facet_fields, *multi_facet_fields)
+        }
+        dicts_ref = ray.put(dicts)
+
+        def to_ords(batch: pa.Table) -> pa.Table:
+            d = ray.get(dicts_ref)
+            cols = {c: batch[c] for c in batch.column_names if c not in (*facet_fields, *multi_facet_fields)}
+            for f in facet_fields:
+                m = d[f]
+                cols[f + "_ord"] = pa.array(
+                    [m.get(v, -1) if v is not None else -1 for v in batch[f].to_pylist()],
+                    type=pa.int32(),
+                )
+                cols[f] = batch[f]
+            for f in multi_facet_fields:
+                m = d[f]
+                cols[f + "_ords"] = pa.array(
+                    [[m[v] for v in lst] if lst is not None else [] for lst in batch[f].to_pylist()],
+                    type=pa.list_(pa.int32()),
+                )
+            return pa.table(cols)
+
+        cols = ["doc_id", "partition_id", "dl", "norm"] + keep_fields
+        ds = rd.read_parquet(tokenized_dir, columns=[c for c in cols])
+        ds = ds.map_batches(to_ords, batch_format="pyarrow")
+        ds.write_parquet(docmap_dir, partition_cols=["partition_id"], mode="overwrite")
+        _mark_stage(index_dir, "docmap", secs=time.time() - t0)
+
+    # ---- stage 5: postings shuffle + encode --------------------------------
+    if not (resume and _stage_done(index_dir, "postings")):
+        t0 = time.time()
+        cols = ["doc_id", "partition_id", "norm", "terms", "tfs"]
+        if with_positions:
+            cols.append("positions")
+        ds = rd.read_parquet(tokenized_dir, columns=cols)
+        cells = ds.map_batches(
+            explode_to_cells,
+            batch_format="pyarrow",
+            fn_kwargs={"with_positions": with_positions},
+        )
+
+        # Hash-bucket exchange instead of per-(term,partition) groups: one
+        # Python call per BUCKET (not per cell) keeps map_groups overhead off
+        # the hot path; within a bucket, cells are merged/encoded vectorized.
+        # Bucket count scales with cluster size; cell size stays bounded by
+        # rows_per_partition regardless (skew-proof).
+        import zlib
+
+        num_buckets = encode_buckets
+
+        def add_bucket(t: pa.Table) -> pa.Table:
+            terms = t["term"].to_pylist()
+            pids = np.asarray(t["partition_id"].to_pylist(), dtype=np.int64)
+            h = np.fromiter(
+                (zlib.crc32(s.encode("utf-8")) for s in terms),
+                dtype=np.int64,
+                count=len(terms),
+            )
+            b = (h ^ (pids * np.int64(0x9E3779B1))) % num_buckets
+            return t.append_column("bucket", pa.array(b, type=pa.int64()))
+
+        def encode_bucket(group: pa.Table) -> pa.Table:
+            terms = np.asarray(group["term"].to_pylist(), dtype=object)
+            pids = np.asarray(group["partition_id"].to_pylist(), dtype=np.int64)
+            docs_l = group["docs"].to_pylist()
+            tfs_l = group["tfs"].to_pylist()
+            norms_l = group["norms"].to_pylist()
+            poss_l = group["positions"].to_pylist() if with_positions else None
+            order = np.lexsort((pids, terms))
+            change = np.empty(len(order), dtype=bool)
+            if len(order) == 0:
+                change = change
+            else:
+                change[0] = True
+                change[1:] = (terms[order][1:] != terms[order][:-1]) | (
+                    pids[order][1:] != pids[order][:-1]
+                )
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], len(order))
+            rows: list[dict] = []
+            for st, en in zip(starts.tolist(), ends.tolist()):
+                sel = order[st:en]
+                docs = np.concatenate([np.asarray(docs_l[i], dtype=np.int64) for i in sel])
+                tfs = np.concatenate([np.asarray(tfs_l[i], dtype=np.int64) for i in sel])
+                norms = np.concatenate([np.asarray(norms_l[i], dtype=np.uint8) for i in sel])
+                poss = None
+                if with_positions:
+                    poss = []
+                    for i in sel:
+                        poss.extend(poss_l[i])
+                o2 = np.argsort(docs, kind="stable")
+                docs, tfs, norms = docs[o2], tfs[o2], norms[o2]
+                if poss is not None:
+                    poss = [np.asarray(poss[i], dtype=np.int64) for i in o2.tolist()]
+                row = encode_cell(docs, tfs, NORM_TABLE[norms], poss)
+                row["term"] = terms[sel[0]]
+                row["partition_id"] = int(pids[sel[0]])
+                rows.append(row)
+            names = [
+                "term", "partition_id", "df", "ttf", "docs", "freqs",
+                "skip_first_doc", "skip_last_doc", "skip_docs_off",
+                "skip_freqs_off", "bm_max_tf", "bm_min_dl",
+            ] + (["positions"] if with_positions else [])
+            return pa.table({k: [r[k] for r in rows] for k in names})
+
+        encoded = cells.map_batches(add_bucket, batch_format="pyarrow").groupby(
+            "bucket"
+        ).map_groups(encode_bucket, batch_format="pyarrow")
+        encoded.write_parquet(postings_dir, partition_cols=["partition_id"], mode="overwrite")
+        _mark_stage(index_dir, "postings", secs=time.time() - t0)
+
+    # ---- stage 6: global term stats + collection stats ---------------------
+    if not (resume and _stage_done(index_dir, "stats")):
+        t0 = time.time()
+        stats = (
+            rd.read_parquet(postings_dir, columns=["term", "df", "ttf"])
+            .groupby("term")
+            .aggregate(Sum("df", alias_name="df"), Sum("ttf", alias_name="ttf"))
+        )
+        stats.write_parquet(os.path.join(index_dir, "terms_global"), mode="overwrite")
+        agg = (
+            rd.read_parquet(docmap_dir, columns=["dl", "partition_id"])
+            .groupby("partition_id")
+            .aggregate(Count(alias_name="rows"), Sum("dl", alias_name="sum_dl"))
+            .to_pandas()
+        )
+        coll = {
+            "max_doc": int(agg["rows"].sum()),
+            "sum_dl": int(agg["sum_dl"].sum()),
+            "partitions": sorted(
+                [
+                    {"partition_id": int(r.partition_id), "rows": int(r.rows), "sum_dl": int(r.sum_dl)}
+                    for r in agg.itertuples()
+                ],
+                key=lambda p: p["partition_id"],
+            ),
+        }
+        with open(os.path.join(index_dir, "stats.json"), "w") as f:
+            json.dump(coll, f)
+        _mark_stage(index_dir, "stats", secs=time.time() - t0)
+
+    # ---- stage 7: commit manifest ------------------------------------------
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        coll = json.load(f)
+    manifest = {
+        "version": 1,
+        "fingerprint": fingerprint,
+        "rows_per_partition": rows_per_partition,
+        "with_positions": with_positions,
+        "facet_fields": list(facet_fields),
+        "multi_facet_fields": list(multi_facet_fields),
+        "numeric_fields": list(numeric_fields),
+        "max_doc": coll["max_doc"],
+        "sum_dl": coll["sum_dl"],
+        "partitions": coll["partitions"],
+        "lineage": {
+            s: json.load(open(os.path.join(index_dir, f"_stage_{s}.json")))
+            for s in ("tokenized", "dicts", "docmap", "postings", "stats")
+            if _stage_done(index_dir, s)
+        },
+    }
+    with open(os.path.join(index_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+def load_manifest(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        return json.load(f)

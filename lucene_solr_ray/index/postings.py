@@ -57,30 +57,50 @@ def _unpack_for(buf: memoryview, off: int) -> tuple[np.ndarray, int]:
 # ---- vbyte ------------------------------------------------------------------
 
 def _vbyte_encode(vals: np.ndarray) -> bytes:
-    out = bytearray()
-    for v in vals.tolist():
-        v = int(v)
-        while v >= 0x80:
-            out.append((v & 0x7F) | 0x80)
-            v >>= 7
-        out.append(v)
-    return bytes(out)
+    """Vectorized little-endian-7-bit VByte encode (values < 2^35)."""
+    v = np.asarray(vals, dtype=np.uint64)
+    if len(v) == 0:
+        return b""
+    nbytes = np.ones(len(v), dtype=np.int64)
+    for k in range(1, 5):
+        nbytes += v >= (np.uint64(1) << np.uint64(7 * k))
+    ends = np.cumsum(nbytes)
+    total = int(ends[-1])
+    out = np.zeros(total, dtype=np.uint8)
+    starts = ends - nbytes
+    rem = v.copy()
+    idx = starts.copy()
+    live = np.ones(len(v), dtype=bool)
+    while live.any():
+        byte = (rem[live] & np.uint64(0x7F)).astype(np.uint8)
+        more = rem[live] >= np.uint64(0x80)
+        out[idx[live]] = byte | (more.astype(np.uint8) << 7)
+        rem[live] = rem[live] >> np.uint64(7)
+        idx[live] += 1
+        nxt = live.copy()
+        nxt[live] = more
+        live = nxt
+    return out.tobytes()
 
 
 def _vbyte_decode(buf, off: int, n: int) -> tuple[np.ndarray, int]:
-    out = np.empty(n, dtype=np.uint64)
-    for i in range(n):
-        v = 0
-        shift = 0
-        while True:
-            b = buf[off]
-            off += 1
-            v |= (b & 0x7F) << shift
-            if b < 0x80:
-                break
-            shift += 7
-        out[i] = v
-    return out, off
+    """Vectorized VByte decode of *n* values starting at *off*."""
+    if n == 0:
+        return np.empty(0, dtype=np.uint64), off
+    raw = np.frombuffer(buf, dtype=np.uint8, offset=off)
+    # value ends where the continuation bit is clear
+    ends = np.flatnonzero(raw < 0x80)
+    last = ends[n - 1]
+    raw = raw[: last + 1]
+    ends = ends[:n]
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    out = np.zeros(n, dtype=np.uint64)
+    width = ends - starts + 1
+    payload = (raw & 0x7F).astype(np.uint64)
+    for k in range(int(width.max())):
+        sel = width > k
+        out[sel] |= payload[starts[sel] + k] << np.uint64(7 * k)
+    return out, off + int(last) + 1
 
 
 def _encode_stream(vals: np.ndarray) -> bytes:
@@ -129,28 +149,44 @@ def encode_cell(
 
     nblocks = (n + BLOCK - 1) // BLOCK
     skip_last, bm_tf, bm_dl = [], [], []
+    first_doc, docs_off, freqs_off = [], [], []
     dls = np.asarray(dls, dtype=np.float32)
+    do = fo = 0
     for bi in range(nblocks):
         s = slice(bi * BLOCK, min(n, (bi + 1) * BLOCK))
+        first_doc.append(int(doc_ids[s][0]))
         skip_last.append(int(doc_ids[s][-1]))
         bm_tf.append(int(tfs[s].max()))
         bm_dl.append(float(dls[s].min()))
+        docs_off.append(do)
+        freqs_off.append(fo)
+        if (bi + 1) * BLOCK <= n:  # full FOR block: 1 width byte + payload
+            do += 1 + (BLOCK * max(1, int(deltas[s].max(initial=0)).bit_length()) + 7) // 8
+            fo += 1 + (BLOCK * max(1, int(tfs[s].max(initial=0)).bit_length()) + 7) // 8
 
     row = {
         "df": n,
         "ttf": int(tfs.sum()),
         "docs": docs_blob,
         "freqs": freqs_blob,
+        "skip_first_doc": first_doc,
         "skip_last_doc": skip_last,
+        "skip_docs_off": docs_off,
+        "skip_freqs_off": freqs_off,
         "bm_max_tf": bm_tf,
         "bm_min_dl": bm_dl,
     }
     if positions is not None:
-        pos_parts = []
-        for p in positions:
-            p = np.asarray(p, dtype=np.uint64)
-            pos_parts.append(_vbyte_encode(np.diff(p, prepend=np.uint64(0))))
-        row["positions"] = b"".join(pos_parts)
+        if positions:
+            deltas_all = np.concatenate(
+                [
+                    np.diff(np.asarray(p, dtype=np.uint64), prepend=np.uint64(0))
+                    for p in positions
+                ]
+            )
+        else:
+            deltas_all = np.empty(0, dtype=np.uint64)
+        row["positions"] = _vbyte_encode(deltas_all)
     return row
 
 
@@ -162,12 +198,36 @@ def decode_docs_freqs(docs_blob: bytes, freqs_blob: bytes, n: int) -> tuple[np.n
     return doc_ids.astype(np.int64), tfs.astype(np.int64)
 
 
+def decode_block(cell_row: dict, bi: int) -> tuple[np.ndarray, np.ndarray]:
+    """Decode only block *bi* of a cell (for block-max WAND skipping).
+
+    ``cell_row`` needs keys df/docs/freqs/skip_first_doc/skip_docs_off/
+    skip_freqs_off.  Returns (doc_ids int64 asc, tfs int64) for that block.
+    """
+    n = cell_row["df"]
+    nblocks = (n + BLOCK - 1) // BLOCK
+    start = bi * BLOCK
+    cnt = min(n, start + BLOCK) - start
+    if cnt == BLOCK and start + BLOCK <= (n // BLOCK) * BLOCK:
+        deltas, _ = _unpack_for(memoryview(cell_row["docs"]), cell_row["skip_docs_off"][bi])
+        tfs, _ = _unpack_for(memoryview(cell_row["freqs"]), cell_row["skip_freqs_off"][bi])
+    else:  # vbyte tail
+        deltas, _ = _vbyte_decode(memoryview(cell_row["docs"]), cell_row["skip_docs_off"][bi], cnt)
+        tfs, _ = _vbyte_decode(memoryview(cell_row["freqs"]), cell_row["skip_freqs_off"][bi], cnt)
+    docs = np.cumsum(deltas, dtype=np.uint64)
+    docs += np.uint64(cell_row["skip_first_doc"][bi]) - docs[0]
+    assert bi < nblocks
+    return docs.astype(np.int64), tfs.astype(np.int64)
+
+
 def decode_positions(pos_blob: bytes, tfs: np.ndarray) -> list[np.ndarray]:
     """-> per-doc position arrays (absolute positions)."""
-    buf = memoryview(pos_blob)
-    off = 0
+    tfs = np.asarray(tfs, dtype=np.int64)
+    total = int(tfs.sum())
+    vals, _ = _vbyte_decode(memoryview(pos_blob), 0, total)
     out = []
-    for tf in np.asarray(tfs).tolist():
-        deltas, off = _vbyte_decode(buf, off, int(tf))
-        out.append(np.cumsum(deltas).astype(np.int64))
+    o = 0
+    for tf in tfs.tolist():
+        out.append(np.cumsum(vals[o : o + tf]).astype(np.int64))
+        o += tf
     return out

@@ -1,0 +1,286 @@
+"""Query AST + evaluation engine (single-sourced scoring semantics).
+
+The same evaluator runs inside the pure-Python oracle (whole index) and inside
+each SegmentSearcher actor (one partition): a :class:`TermSource` supplies
+postings/norms/stats, the evaluator reproduces the reference's boolean
+composition and float behavior:
+
+* top-k total order ``(score desc, doc_id asc)`` — ``HitQueue.java:76-78``;
+* conjunctions accumulate float32 in cost-ascending (df asc, stable) clause
+  order — ``ConjunctionScorer.java:104-111`` + its cost sort;
+* disjunctions accumulate double then cast to float —
+  ``DisjunctionSumScorer.java:26,46-51``;
+* required+optional = float add of the two sums — ``ReqOptSumScorer``;
+* coord is 1 (BM25Similarity does not override ``Similarity.coord``);
+* phrase weight idf = float32 sum of per-term idfs in phrase order —
+  ``BM25Similarity.idfExplain(CollectionStatistics, TermStatistics[])``
+  (:185-198); phrase freq = number of exact-phrase matches
+  (``ExactPhraseScorer``).
+
+Filters (:class:`FilterQ`, :class:`RangeQ`) follow Solr ``fq`` semantics: they
+restrict the matched set and contribute no score.  A pure-filter query scores
+a constant 1.0 per doc (ConstantScoreQuery with boost 1).
+
+Distributed-vs-single-node statistics: scoring always uses GLOBAL df / maxdoc
+/ avgdl from the build-time term-stats table, so a partitioned search is
+score-identical to one big index (the reference's single-index semantics; Solr
+4.x per-shard IDF drift is deliberately NOT reproduced).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Protocol
+
+import numpy as np
+
+from ..index import bm25
+
+DEFAULT_FIELD = "text"
+
+
+# ---- nodes ------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class TermQ:
+    term: str
+    field: str = DEFAULT_FIELD
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class PhraseQ:
+    terms: tuple
+    field: str = DEFAULT_FIELD
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class BoolQ:
+    must: tuple = ()
+    should: tuple = ()
+    must_not: tuple = ()
+    minimum_should_match: int = 0
+
+
+@dataclass(frozen=True)
+class FilterQ:
+    """Keyword-field equality filter (Solr fq / StringField term filter)."""
+
+    field: str
+    value: str
+
+
+@dataclass(frozen=True)
+class RangeQ:
+    """Range filter over a doc-values column ([lo TO hi], inclusive ends)."""
+
+    field: str
+    lo: object = None
+    hi: object = None
+    include_lo: bool = True
+    include_hi: bool = True
+
+
+@dataclass(frozen=True)
+class MatchAllQ:
+    pass
+
+
+# ---- data source protocol ---------------------------------------------------
+
+
+class TermSource(Protocol):
+    """Supplies one scope's (whole index, or one partition's) postings."""
+
+    def postings(self, field: str, term: str) -> tuple[np.ndarray, np.ndarray]:
+        """-> (doc_ids asc int64, tfs int64); empty arrays if absent."""
+
+    def positions(self, field: str, term: str) -> tuple[np.ndarray, np.ndarray, list]:
+        """-> (doc_ids, tfs, per-doc position arrays)."""
+
+    def norm_bytes(self, field: str, doc_ids: np.ndarray) -> np.ndarray:
+        """-> uint8 norm byte per doc."""
+
+    def filter_docs(self, q) -> np.ndarray:
+        """doc_ids (asc) matching a FilterQ / RangeQ within this scope."""
+
+    def all_docs(self) -> np.ndarray:
+        """all doc_ids (asc) in this scope."""
+
+    # global (index-wide) statistics — identical on every partition
+    def global_df(self, field: str, term: str) -> int: ...
+    def global_stats(self, field: str) -> tuple[int, int]:
+        """-> (max_doc, sum_total_term_freq)."""
+
+
+# ---- evaluation -------------------------------------------------------------
+
+
+_EMPTY_I = np.empty(0, dtype=np.int64)
+_EMPTY_F = np.empty(0, dtype=np.float32)
+
+
+def _align(scores_docs: np.ndarray, scores: np.ndarray, subset: np.ndarray) -> np.ndarray:
+    """scores for `subset` (subset ⊆ scores_docs, both sorted asc)."""
+    idx = np.searchsorted(scores_docs, subset)
+    return scores[idx]
+
+
+class Evaluator:
+    """Evaluates a query AST against one TermSource scope."""
+
+    def __init__(self, source: TermSource, field_stats_field: str = DEFAULT_FIELD):
+        self.src = source
+
+    def _weight_value(self, field: str, terms: list[str], boost: float) -> np.float32:
+        """weight*(k1+1): idf summed f32 over terms (1 term = plain idf)."""
+        n, _ = self.src.global_stats(field)
+        acc = np.float32(0.0)
+        for t in terms:
+            acc = np.float32(acc + bm25.idf(self.src.global_df(field, t), n))
+        w = np.float32(acc * np.float32(boost))
+        return np.float32(w * np.float32(bm25.K1 + np.float32(1.0)))
+
+    def _cache(self, field: str) -> np.ndarray:
+        n, sttf = self.src.global_stats(field)
+        return bm25.norm_cache(bm25.avg_dl(sttf, n))
+
+    # returns (docs asc, float32 scores) of the scoring subtree
+    def scored(self, q) -> tuple[np.ndarray, np.ndarray]:
+        if isinstance(q, TermQ):
+            docs, tfs = self.src.postings(q.field, q.term)
+            if len(docs) == 0:
+                return _EMPTY_I, _EMPTY_F
+            wv = self._weight_value(q.field, [q.term], q.boost)
+            nb = self.src.norm_bytes(q.field, docs)
+            return docs, bm25.term_scores(tfs, nb, self._cache(q.field), wv)
+
+        if isinstance(q, PhraseQ):
+            return self._phrase(q)
+
+        if isinstance(q, (FilterQ, RangeQ)):
+            docs = self.src.filter_docs(q)
+            return docs, np.full(len(docs), np.float32(1.0), dtype=np.float32)
+
+        if isinstance(q, MatchAllQ):
+            docs = self.src.all_docs()
+            return docs, np.full(len(docs), np.float32(1.0), dtype=np.float32)
+
+        if isinstance(q, BoolQ):
+            return self._bool(q)
+
+        raise TypeError(f"unknown query node {type(q)}")
+
+    # -- boolean composition --------------------------------------------------
+
+    def _bool(self, q: BoolQ) -> tuple[np.ndarray, np.ndarray]:
+        must_scoring = [c for c in q.must if not isinstance(c, (FilterQ, RangeQ))]
+        must_filters = [c for c in q.must if isinstance(c, (FilterQ, RangeQ))]
+
+        req_docs = None
+        req_scores = None
+        if must_scoring:
+            # ConjunctionScorer: clauses sorted by cost (df) ascending, stable
+            evaled = [self.scored(c) for c in must_scoring]
+            order = sorted(range(len(evaled)), key=lambda i: len(evaled[i][0]))
+            docs = evaled[order[0]][0]
+            for i in order[1:]:
+                docs = np.intersect1d(docs, evaled[i][0], assume_unique=True)
+            acc = np.zeros(len(docs), dtype=np.float32)
+            for i in order:  # float32 accumulation in cost order
+                acc = (acc + _align(*evaled[i], docs)).astype(np.float32)
+            req_docs, req_scores = docs, acc
+
+        for f in must_filters:
+            fd = self.src.filter_docs(f)
+            if req_docs is None:
+                req_docs = fd
+                req_scores = np.full(len(fd), np.float32(1.0), dtype=np.float32)
+            else:
+                keep = np.isin(req_docs, fd, assume_unique=True)
+                req_docs, req_scores = req_docs[keep], req_scores[keep]
+        if must_filters and not must_scoring and q.should:
+            # filter-only required part scores 0 (Solr fq semantics)
+            req_scores = np.zeros(len(req_docs), dtype=np.float32)
+
+        opt_docs, opt_scores, opt_count = self._disjunction(q.should)
+
+        if req_docs is not None:
+            docs, scores = req_docs, req_scores
+            if q.should:
+                msm = q.minimum_should_match
+                if msm > 0:
+                    ok = opt_docs[opt_count >= msm]
+                    keep = np.isin(docs, ok, assume_unique=True)
+                    docs, scores = docs[keep], scores[keep]
+                # ReqOptSumScorer: float add where optional matches
+                hit = np.isin(docs, opt_docs, assume_unique=True)
+                add = np.zeros(len(docs), dtype=np.float32)
+                add[hit] = _align(opt_docs, opt_scores, docs[hit])
+                scores = (scores + add).astype(np.float32)
+        else:
+            msm = max(1, q.minimum_should_match)
+            keep = opt_count >= msm
+            docs, scores = opt_docs[keep], opt_scores[keep]
+
+        for c in q.must_not:
+            ex_docs, _ = self.scored(c)
+            keep = ~np.isin(docs, ex_docs, assume_unique=True)
+            docs, scores = docs[keep], scores[keep]
+        return docs, scores
+
+    def _disjunction(self, clauses) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """-> (docs asc, float32 scores, match counts). Double accumulation."""
+        if not clauses:
+            return _EMPTY_I, _EMPTY_F, np.empty(0, dtype=np.int64)
+        evaled = [self.scored(c) for c in clauses]
+        all_docs = np.unique(np.concatenate([d for d, _ in evaled]))
+        acc = np.zeros(len(all_docs), dtype=np.float64)
+        cnt = np.zeros(len(all_docs), dtype=np.int64)
+        for d, s in evaled:
+            if len(d) == 0:
+                continue
+            idx = np.searchsorted(all_docs, d)
+            acc[idx] += s.astype(np.float64)
+            cnt[idx] += 1
+        return all_docs, acc.astype(np.float32), cnt
+
+    # -- phrase ---------------------------------------------------------------
+
+    def _phrase(self, q: PhraseQ) -> tuple[np.ndarray, np.ndarray]:
+        per_term = [self.src.positions(q.field, t) for t in q.terms]
+        if any(len(d) == 0 for d, _, _ in per_term):
+            return _EMPTY_I, _EMPTY_F
+        docs = per_term[0][0]
+        for d, _, _ in per_term[1:]:
+            docs = np.intersect1d(docs, d, assume_unique=True)
+        if len(docs) == 0:
+            return _EMPTY_I, _EMPTY_F
+        freqs = np.zeros(len(docs), dtype=np.int64)
+        # exact phrase: positions of term i, shifted by -i, intersected
+        for j, doc in enumerate(docs.tolist()):
+            base = None
+            for i, (d, _, plists) in enumerate(per_term):
+                pi = np.searchsorted(d, doc)
+                p = np.asarray(plists[pi], dtype=np.int64) - i
+                base = p if base is None else np.intersect1d(base, p, assume_unique=True)
+                if len(base) == 0:
+                    break
+            freqs[j] = len(base)
+        hit = freqs > 0
+        docs, freqs = docs[hit], freqs[hit]
+        if len(docs) == 0:
+            return _EMPTY_I, _EMPTY_F
+        wv = self._weight_value(q.field, list(q.terms), q.boost)
+        nb = self.src.norm_bytes(q.field, docs)
+        return docs, bm25.term_scores(freqs, nb, self._cache(q.field), wv)
+
+
+def top_k(docs: np.ndarray, scores: np.ndarray, k: int) -> list[tuple[float, int]]:
+    """Total order (score desc, doc_id asc) — HitQueue.java:76-78."""
+    if len(docs) == 0:
+        return []
+    order = np.lexsort((docs, -scores.astype(np.float64)))[:k]
+    return [(float(scores[i]), int(docs[i])) for i in order]
