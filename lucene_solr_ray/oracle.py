@@ -120,6 +120,8 @@ class OracleIndex(TermSource):
         vocab = set()
         for r in self.rows:
             v = r.get(field)
+            if isinstance(v, np.ndarray):
+                v = v.tolist()
             vals = v if isinstance(v, list) else ([] if v is None else [v])
             for val in vals:
                 vocab.add(val)

@@ -27,7 +27,7 @@ def float_to_byte315(f) -> np.ndarray:
 
     Returns uint8 array (Java's byte reinterpreted unsigned: Java -1 == 255).
     """
-    f32 = np.asarray(f, dtype=np.float32)
+    f32 = np.atleast_1d(np.asarray(f, dtype=np.float32))
     bits = f32.view(np.int32)
     smallfloat = bits >> (24 - 3)
     lo = (63 - 15) << 3
@@ -42,7 +42,7 @@ def float_to_byte315(f) -> np.ndarray:
 
 def byte315_to_float(b) -> np.ndarray:
     """Vectorized ``SmallFloat.byte315ToFloat`` (input uint8)."""
-    b = np.asarray(b, dtype=np.uint8)
+    b = np.atleast_1d(np.asarray(b, dtype=np.uint8))
     bits = (b.astype(np.int32) << (24 - 3)) + ((63 - 15) << 24)
     out = bits.view(np.float32).copy()
     out[b == 0] = 0.0
