@@ -1,16 +1,14 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke, queries() pipelines, oracle_sql() checks.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver before import — nothing here calls
+ray.init()/ray.shutdown().  Each ``queries()`` entry is an implemented
+operator/pipeline from SURVEY.md §2 (+ the training-data extensions); every
+SQL-expressible one has a matching DuckDB oracle with IDENTICAL column names
+and tokenization (the engine's "simple" analyzer == the oracle's
+``regexp_split_to_array(lower(text),'[^a-z0-9]+')``).  Non-SQL-expressible
+entries (BM25 float32 ranking, MinHash/SimHash, ANN, language-ID,
+fingerprints, multimodal decode) are rows-only here and verified against the
+pure-Python oracle in pytest instead.
 """
 
 from __future__ import annotations
@@ -18,27 +16,187 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+_TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
+_HAS = "list_contains(" + _TOK + ", '{t}')"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: build the inverted index over
+    ``documents`` (StandardAnalyzer chain, positions, facets), run BM25
+    queries with facet counting through the segment-actor pool."""
+    import pandas as pd
+
+    from lucene_solr_ray.index.searcher import RayIndexSearcher
+    from lucene_solr_ray.pipelines.fulltext import SEARCH_TERMS, documents_index
+    from lucene_solr_ray.query.ast import TermQ
+
+    ix = documents_index("/root/testdata/sf0.001", analyzer="standard")
+    s = RayIndexSearcher(ix, num_actors=2)
+    try:
+        rows = []
+        for term in SEARCH_TERMS:
+            res = s.search(TermQ(term), k=5, facet_fields=("lang",), facet_limit=3, facet_mincount=1)
+            for rank, (score, doc) in enumerate(res["topk"]):
+                rows.append(
+                    {
+                        "term": term,
+                        "rank": rank,
+                        "doc_id": doc,
+                        "score": float(score),
+                        "total_hits": res["total_hits"],
+                        "top_lang": res["facets"]["lang"][0][0] if res["facets"]["lang"] else None,
+                    }
+                )
+        return pd.DataFrame(rows)
+    finally:
+        s.shutdown()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from lucene_solr_ray.pipelines import fulltext as ft
+    from lucene_solr_ray.pipelines import relational as rl
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # -- term dictionary / stats (groupby-term shuffle) --
+        "term_df_top100": ft.term_df_top100,
+        "term_ttf_top100": ft.term_ttf_top100,
+        "terms_component_prefix": ft.terms_component_prefix,
+        # -- boolean / phrase search --
+        "search_and": ft.search_and,
+        "search_or": ft.search_or,
+        "search_must_not": ft.search_must_not,
+        "search_phrase": ft.search_phrase,
+        "search_msm": ft.search_msm,
+        # -- BM25 ranking (rows-only; rank-identity tested vs Python oracle) --
+        "bm25_topk": ft.bm25_topk,
+        "bm25_and_topk": ft.bm25_and_topk,
+        # -- faceting --
+        "facet_lang_for_term": ft.facet_lang_for_term,
+        "facet_source_all": ft.facet_source_all,
+        "facet_range_nchars": ft.facet_range_nchars,
+        "pivot_lang_source": ft.pivot_lang_source,
+        "stats_nchars_by_lang": ft.stats_nchars_by_lang,
+        # -- dedup / signatures --
+        "dedup_exact_docs": rl.dedup_exact_docs,
+        "signature_md5_docs": rl.signature_md5_docs,
+        "minhash_clusters_docs": rl.minhash_clusters_docs,
+        "simhash_pairs_docs": rl.simhash_pairs_docs,
+        "ngram_jaccard_dups_docs": rl.ngram_jaccard_dups_docs,
+        # -- text stats --
+        "token_counts_docs": rl.token_counts_docs,
+        "quality_docs": rl.quality_docs,
+        "langid_docs": rl.langid_docs,
+        "fingerprint_docs": rl.fingerprint_docs,
+        # -- ANN --
+        "ann_brute_topk": rl.ann_brute_topk,
+        "ann_ivf_topk": rl.ann_ivf_topk,
+        # -- events / relational --
+        "events_hourly_counts": rl.events_hourly_counts,
+        "group_top1_orders": rl.group_top1_orders,
+        "semi_join_customers": rl.semi_join_customers,
+        "block_join_orders": rl.block_join_orders,
+        "function_query_part": rl.function_query_part,
+        # -- multimodal plumbing --
+        "multimodal_decode": rl.multimodal_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tok_terms = (
+        "SELECT doc_id, unnest(" + _TOK + ") AS term FROM documents"
+    )
+    return {
+        "term_df_top100": f"""
+            SELECT CAST(row_number() OVER (ORDER BY df DESC, term) - 1 AS BIGINT) AS rank, term, df
+            FROM (SELECT term, CAST(count(*) AS BIGINT) AS df
+                  FROM (SELECT DISTINCT doc_id, term FROM ({tok_terms}) WHERE term != '')
+                  GROUP BY term)
+            ORDER BY df DESC, term LIMIT 100""",
+        "term_ttf_top100": f"""
+            SELECT CAST(row_number() OVER (ORDER BY ttf DESC, term) - 1 AS BIGINT) AS rank, term, ttf
+            FROM (SELECT term, CAST(count(*) AS BIGINT) AS ttf
+                  FROM ({tok_terms}) WHERE term != '' GROUP BY term)
+            ORDER BY ttf DESC, term LIMIT 100""",
+        "terms_component_prefix": f"""
+            SELECT term, CAST(count(*) AS BIGINT) AS df
+            FROM (SELECT DISTINCT doc_id, term FROM ({tok_terms}) WHERE term != '')
+            WHERE term LIKE 'c%' GROUP BY term ORDER BY term LIMIT 50""",
+        "search_and": f"""
+            SELECT doc_id FROM documents
+            WHERE {_HAS.format(t='join')} AND {_HAS.format(t='vector')}
+            ORDER BY doc_id""",
+        "search_or": f"""
+            SELECT doc_id FROM documents
+            WHERE {_HAS.format(t='window')} OR {_HAS.format(t='stream')}
+            ORDER BY doc_id""",
+        "search_must_not": f"""
+            SELECT doc_id FROM documents
+            WHERE {_HAS.format(t='join')} AND NOT {_HAS.format(t='hash')}
+            ORDER BY doc_id""",
+        "search_phrase": """
+            SELECT doc_id FROM documents
+            WHERE regexp_matches(lower(text), '(^|[^a-z0-9])join[^a-z0-9]+hash([^a-z0-9]|$)')
+            ORDER BY doc_id""",
+        "search_msm": f"""
+            SELECT doc_id FROM documents
+            WHERE CAST({_HAS.format(t='join')} AS INT) + CAST({_HAS.format(t='vector')} AS INT)
+                + CAST({_HAS.format(t='stream')} AS INT) >= 2
+            ORDER BY doc_id""",
+        "facet_lang_for_term": f"""
+            SELECT CAST(row_number() OVER (ORDER BY n DESC, lang) - 1 AS BIGINT) AS rank, lang, n
+            FROM (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents
+                  WHERE {_HAS.format(t='join')} GROUP BY lang)
+            ORDER BY n DESC, lang""",
+        "facet_source_all": """
+            SELECT CAST(row_number() OVER (ORDER BY n DESC, source) - 1 AS BIGINT) AS rank, source, n
+            FROM (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source)
+            ORDER BY n DESC, source""",
+        "facet_range_nchars": """
+            SELECT CAST(floor(n_chars / 100.0) AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY bucket ORDER BY bucket""",
+        "pivot_lang_source": """
+            SELECT CAST(row_number() OVER (ORDER BY n DESC, lang, source) - 1 AS BIGINT) AS rank, lang, source, n
+            FROM (SELECT lang, source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang, source)
+            ORDER BY n DESC, lang, source""",
+        "stats_nchars_by_lang": """
+            SELECT lang, CAST(min(n_chars) AS BIGINT) AS min_c, CAST(max(n_chars) AS BIGINT) AS max_c,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_c, CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_c
+            FROM documents GROUP BY lang ORDER BY lang""",
+        "dedup_exact_docs": """
+            SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY text ORDER BY doc_id""",
+        "signature_md5_docs": """
+            SELECT doc_id, md5(text) AS signature FROM documents ORDER BY doc_id""",
+        "token_counts_docs": f"""
+            SELECT doc_id, CAST(len(list_filter({_TOK}, t -> t != '')) AS BIGINT) AS n_tokens
+            FROM documents ORDER BY doc_id""",
+        "quality_docs": f"""
+            SELECT doc_id,
+                   CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+                   CAST(len(list_filter({_TOK}, t -> t != '')) AS BIGINT) AS n_tokens,
+                   CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                     / CAST(greatest(length(text), 1) AS DOUBLE) AS alpha_ratio
+            FROM documents ORDER BY doc_id""",
+        "events_hourly_counts": """
+            SELECT event_type, date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type, hour ORDER BY event_type, hour""",
+        "group_top1_orders": """
+            SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+            QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) = 1
+            ORDER BY o_custkey""",
+        "semi_join_customers": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+            ORDER BY c_custkey""",
+        "block_join_orders": """
+            SELECT l_orderkey AS o_orderkey, CAST(count(*) AS BIGINT) AS n_items,
+                   max(l_extendedprice) AS max_price
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+            GROUP BY l_orderkey ORDER BY o_orderkey""",
+        "function_query_part": """
+            SELECT p_partkey, sqrt(p_retailprice) AS sqrt_price,
+                   abs(p_retailprice - 1000.0) AS abs_shift,
+                   floor(p_retailprice / 100.0) AS floor_div
+            FROM part ORDER BY p_partkey""",
+    }

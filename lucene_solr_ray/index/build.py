@@ -84,6 +84,7 @@ def build_index(
     extract_html: bool = True,
     dedup_url: bool = True,
     with_positions: bool = True,
+    analyzer: str = "standard",
     facet_fields: tuple = DEFAULT_FACET_FIELDS,
     multi_facet_fields: tuple = (),
     numeric_fields: tuple = (),
@@ -99,6 +100,7 @@ def build_index(
         "input": sorted(input_paths) if isinstance(input_paths, (list, tuple)) else str(input_paths),
         "rows_per_partition": rows_per_partition,
         "with_positions": with_positions,
+        "analyzer": analyzer,
     }
 
     tokenized_dir = os.path.join(index_dir, "tokenized")
@@ -129,7 +131,7 @@ def build_index(
             tokenize_batch,
             batch_format="pyarrow",
             batch_size=tokenize_batch_size,
-            fn_kwargs={"with_positions": with_positions},
+            fn_kwargs={"with_positions": with_positions, "analyzer": analyzer},
         )
         keep = ["doc_id", "partition_id", "dl", "norm", "terms", "tfs"] + keep_fields
         if with_positions:
@@ -321,6 +323,7 @@ def build_index(
         "fingerprint": fingerprint,
         "rows_per_partition": rows_per_partition,
         "with_positions": with_positions,
+        "analyzer": analyzer,
         "facet_fields": list(facet_fields),
         "multi_facet_fields": list(multi_facet_fields),
         "numeric_fields": list(numeric_fields),

@@ -1,0 +1,257 @@
+"""Index-backed pipelines over the ``documents`` table (driver contract).
+
+Each function takes ``sf_dir`` and returns a ``pyarrow.Table``; the matching
+DuckDB oracle SQL lives in ``__ray_entry__.oracle_sql``.  SQL-checked entries
+use the "simple" analyzer (lowercase + ``[a-z0-9]+`` — bit-identical to the
+DuckDB regexp used in the oracle), so the *distributed index build machinery*
+(explode → (term, partition) shuffle → encode → global stats) is what the
+correctness gate actually exercises.  BM25 entries use the full
+StandardAnalyzer-equivalent chain and are verified rank-identical against the
+pure-Python oracle in pytest instead (non-SQL-expressible: float32 BM25 with
+byte315 norm quantization).
+
+Index builds are cached under /tmp keyed by (input file stats, analyzer);
+``resume=True`` makes repeat calls skip all stages.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from ..index.build import build_index
+from ..index.reader import LocalIndex
+from ..index.searcher import RayIndexSearcher
+from ..query.ast import BoolQ, Evaluator, PhraseQ, TermQ, top_k
+
+CACHE_ROOT = os.environ.get("LSR_CACHE", "/tmp/lsr_index_cache")
+
+# fixed query terms drawn from the documents vocabulary (TESTDATA corpus)
+SEARCH_TERMS = ["join", "hash", "window", "vector", "stream", "customer", "merge"]
+
+
+def documents_index(sf_dir: str, analyzer: str = "simple") -> str:
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{src}:{st.st_size}:{st.st_mtime_ns}:{analyzer}:v3".encode()
+    ).hexdigest()[:16]
+    index_dir = os.path.join(CACHE_ROOT, key)
+    build_index(
+        [src],
+        index_dir,
+        rows_per_partition=128,
+        extract_html=False,
+        dedup_url=False,
+        analyzer=analyzer,
+        facet_fields=("lang", "source"),
+        numeric_fields=("n_chars",),
+        resume=True,
+        encode_buckets=32,
+    )
+    return index_dir
+
+
+def _rank_table(cols: dict) -> pa.Table:
+    n = len(next(iter(cols.values())))
+    return pa.table({"rank": pa.array(range(n), type=pa.int64()), **{
+        k: pa.array(v) for k, v in cols.items()
+    }})
+
+
+# ---- term statistics (exercises the groupby-term shuffle) -------------------
+
+
+def term_df_top100(sf_dir: str) -> pa.Table:
+    """Top 100 terms by document frequency (df desc, term asc)."""
+    ix = documents_index(sf_dir)
+    t = rd.read_parquet(os.path.join(ix, "terms_global")).to_pandas()
+    t = t.sort_values(["df", "term"], ascending=[False, True]).head(100)
+    return _rank_table({"term": t["term"].tolist(), "df": t["df"].astype("int64").tolist()})
+
+
+def term_ttf_top100(sf_dir: str) -> pa.Table:
+    """Top 100 terms by total term frequency (ttf desc, term asc)."""
+    ix = documents_index(sf_dir)
+    t = rd.read_parquet(os.path.join(ix, "terms_global")).to_pandas()
+    t = t.sort_values(["ttf", "term"], ascending=[False, True]).head(100)
+    return _rank_table({"term": t["term"].tolist(), "ttf": t["ttf"].astype("int64").tolist()})
+
+
+def terms_component_prefix(sf_dir: str) -> pa.Table:
+    """TermsComponent analog: dictionary scan, prefix 'c', index order, df."""
+    ix = documents_index(sf_dir)
+    t = rd.read_parquet(os.path.join(ix, "terms_global")).to_pandas()
+    t = t[t["term"].str.startswith("c")].sort_values("term").head(50)
+    return pa.table({"term": t["term"].tolist(), "df": t["df"].astype("int64").tolist()})
+
+
+# ---- boolean / phrase search (doc-set semantics, SQL-checkable) -------------
+
+
+def _search_docs(sf_dir: str, query) -> pa.Table:
+    ix = documents_index(sf_dir)
+    docs, _ = Evaluator(LocalIndex(ix)).scored(query)
+    return pa.table({"doc_id": pa.array(np.sort(docs), type=pa.int64())})
+
+
+def search_and(sf_dir: str) -> pa.Table:
+    return _search_docs(sf_dir, BoolQ(must=(TermQ("join"), TermQ("vector"))))
+
+
+def search_or(sf_dir: str) -> pa.Table:
+    return _search_docs(sf_dir, BoolQ(should=(TermQ("window"), TermQ("stream"))))
+
+
+def search_must_not(sf_dir: str) -> pa.Table:
+    return _search_docs(sf_dir, BoolQ(must=(TermQ("join"),), must_not=(TermQ("hash"),)))
+
+
+def search_phrase(sf_dir: str) -> pa.Table:
+    return _search_docs(sf_dir, PhraseQ(("join", "hash")))
+
+
+def search_msm(sf_dir: str) -> pa.Table:
+    """minimumShouldMatch=2 of three optional terms."""
+    return _search_docs(
+        sf_dir,
+        BoolQ(should=(TermQ("join"), TermQ("vector"), TermQ("stream")), minimum_should_match=2),
+    )
+
+
+# ---- BM25 ranking (oracle: pytest vs pure-Python; driver: rows-only) --------
+
+
+def bm25_topk(sf_dir: str) -> pa.Table:
+    """Distributed BM25 top-10 for a fixed query set (StandardAnalyzer chain,
+    float32 scores, (score desc, doc_id asc) order)."""
+    ix = documents_index(sf_dir, analyzer="standard")
+    s = RayIndexSearcher(ix, num_actors=2)
+    try:
+        qids, ranks, dids, scores = [], [], [], []
+        for qid, term in enumerate(SEARCH_TERMS):
+            res = s.search(TermQ(term), k=10)
+            for rank, (score, doc) in enumerate(res["topk"]):
+                qids.append(qid)
+                ranks.append(rank)
+                dids.append(doc)
+                scores.append(float(score))
+        return pa.table(
+            {
+                "qid": pa.array(qids, type=pa.int64()),
+                "rank": pa.array(ranks, type=pa.int64()),
+                "doc_id": pa.array(dids, type=pa.int64()),
+                "score": pa.array(scores, type=pa.float64()),
+            }
+        )
+    finally:
+        s.shutdown()
+
+
+def bm25_and_topk(sf_dir: str) -> pa.Table:
+    ix = documents_index(sf_dir, analyzer="standard")
+    loc = LocalIndex(ix)
+    ev = Evaluator(loc)
+    out = {"qid": [], "rank": [], "doc_id": [], "score": []}
+    pairs = [("join", "hash"), ("window", "stream"), ("vector", "customer")]
+    for qid, (a, b) in enumerate(pairs):
+        docs, scores = ev.scored(BoolQ(must=(TermQ(a), TermQ(b))))
+        for rank, (score, doc) in enumerate(top_k(docs, scores, 10)):
+            out["qid"].append(qid)
+            out["rank"].append(rank)
+            out["doc_id"].append(doc)
+            out["score"].append(float(score))
+    return pa.table(out)
+
+
+# ---- faceting ---------------------------------------------------------------
+
+
+def facet_lang_for_term(sf_dir: str) -> pa.Table:
+    """Counts by lang over hits of term 'join' (count desc, value asc)."""
+    ix = documents_index(sf_dir)
+    s = RayIndexSearcher(ix, num_actors=2)
+    try:
+        res = s.search(TermQ("join"), k=1, facet_fields=("lang",), facet_limit=100, facet_mincount=1)
+        vals = [v for v, _ in res["facets"]["lang"]]
+        cnts = [c for _, c in res["facets"]["lang"]]
+        return _rank_table({"lang": vals, "n": cnts})
+    finally:
+        s.shutdown()
+
+
+def facet_source_all(sf_dir: str) -> pa.Table:
+    """Match-all facet on source with mincount=1."""
+    ix = documents_index(sf_dir)
+    s = RayIndexSearcher(ix, num_actors=2)
+    try:
+        from ..query.ast import MatchAllQ
+
+        res = s.search(MatchAllQ(), k=1, facet_fields=("source",), facet_limit=1000, facet_mincount=1)
+        vals = [v for v, _ in res["facets"]["source"]]
+        cnts = [c for _, c in res["facets"]["source"]]
+        return _rank_table({"source": vals, "n": cnts})
+    finally:
+        s.shutdown()
+
+
+def facet_range_nchars(sf_dir: str) -> pa.Table:
+    """Range facet on n_chars: gap 100 buckets (IntervalFacets analog)."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["n_chars"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.floor(pc.divide(pc.cast(t["n_chars"], pa.float64()), 100.0)), pa.int64())
+        return pa.table({"bucket": b})
+
+    from ray.data.aggregate import Count
+
+    out = ds.map_batches(bucket, batch_format="pyarrow").groupby("bucket").aggregate(Count(alias_name="n")).to_pandas()
+    out = out.sort_values("bucket")
+    return pa.table({"bucket": out["bucket"].astype("int64").tolist(), "n": out["n"].astype("int64").tolist()})
+
+
+def pivot_lang_source(sf_dir: str) -> pa.Table:
+    """Pivot facet: nested lang x source counts (count desc, lang, source)."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["lang", "source"])
+    from ray.data.aggregate import Count
+
+    out = ds.groupby(["lang", "source"]).aggregate(Count(alias_name="n")).to_pandas()
+    out = out.sort_values(["n", "lang", "source"], ascending=[False, True, True])
+    return _rank_table(
+        {"lang": out["lang"].tolist(), "source": out["source"].tolist(), "n": out["n"].astype("int64").tolist()}
+    )
+
+
+def stats_nchars_by_lang(sf_dir: str) -> pa.Table:
+    """StatsComponent analog: min/max/sum/count/mean of n_chars per lang."""
+    from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["lang", "n_chars"])
+    out = (
+        ds.groupby("lang")
+        .aggregate(
+            Min("n_chars", alias_name="min_c"),
+            Max("n_chars", alias_name="max_c"),
+            Sum("n_chars", alias_name="sum_c"),
+            Count(alias_name="cnt"),
+            Mean("n_chars", alias_name="mean_c"),
+        )
+        .to_pandas()
+        .sort_values("lang")
+    )
+    return pa.table(
+        {
+            "lang": out["lang"].tolist(),
+            "min_c": out["min_c"].astype("int64").tolist(),
+            "max_c": out["max_c"].astype("int64").tolist(),
+            "sum_c": out["sum_c"].astype("int64").tolist(),
+            "cnt": out["cnt"].astype("int64").tolist(),
+            "mean_c": out["mean_c"].astype("float64").tolist(),
+        }
+    )

@@ -1,0 +1,358 @@
+"""Relational / training-data pipelines over the sf tables (driver contract).
+
+Covers the reference's aggregation/join/grouping operator family (SURVEY.md
+§2.4-2.5, §2.8-2.9) on the TPC-H-ish tables, plus the large-scale
+training-data operations (dedup, signatures, text stats, windowed events,
+ANN) over ``documents`` / ``embeddings`` / ``events``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def _docs(sf_dir, columns=None):
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+# ---- dedup / signatures -----------------------------------------------------
+
+
+def dedup_exact_docs(sf_dir: str) -> pa.Table:
+    """Exact dedup by content hash; survivor = min doc_id per text."""
+    from ..stages.dedup import exact_dedup
+
+    out = exact_dedup(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
+    return pa.table({"doc_id": sorted(out["doc_id"].astype("int64").tolist())})
+
+
+def signature_md5_docs(sf_dir: str) -> pa.Table:
+    """SignatureUpdateProcessor(MD5Signature) analog."""
+    from ..stages.signatures import md5_signature_batch
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(md5_signature_batch, batch_format="pyarrow", fn_kwargs={"fields": ["text"]})
+        .select_columns(["doc_id", "signature"])
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    return pa.table({"doc_id": out["doc_id"].astype("int64").tolist(), "signature": out["signature"].tolist()})
+
+
+def minhash_clusters_docs(sf_dir: str) -> pa.Table:
+    """MinHash+LSH near-dup clusters (rows-only oracle: non-SQL)."""
+    from ..stages.dedup import minhash_clusters
+
+    out = minhash_clusters(_docs(sf_dir, ["doc_id", "text"]), rounds=2).to_pandas().sort_values("doc_id")
+    return pa.table(
+        {"doc_id": out["doc_id"].astype("int64").tolist(), "cluster_id": out["cluster_id"].astype("int64").tolist()}
+    )
+
+
+def simhash_pairs_docs(sf_dir: str) -> pa.Table:
+    """SimHash near-dup candidate pairs, Hamming <= 3 (rows-only oracle)."""
+    from ..stages.dedup import simhash_near_dup_pairs
+
+    out = simhash_near_dup_pairs(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
+    out = out.sort_values(["a", "b"]) if len(out) else out
+    return pa.table(
+        {
+            "a": out["a"].astype("int64").tolist() if len(out) else [],
+            "b": out["b"].astype("int64").tolist() if len(out) else [],
+            "hamming": out["hamming"].astype("int64").tolist() if len(out) else [],
+        }
+    )
+
+
+def ngram_jaccard_dups_docs(sf_dir: str) -> pa.Table:
+    """LSH candidates verified by exact 3-gram Jaccard >= 0.5 (rows-only)."""
+    from ..stages.dedup import simhash_near_dup_pairs, verify_pairs_jaccard
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    pairs = simhash_near_dup_pairs(ds)
+    verified = verify_pairs_jaccard(ds, pairs, threshold=0.5)
+    verified.sort(key=lambda r: (r["a"], r["b"]))
+    return pa.table(
+        {
+            "a": pa.array([r["a"] for r in verified], type=pa.int64()),
+            "b": pa.array([r["b"] for r in verified], type=pa.int64()),
+        }
+    )
+
+
+# ---- text stats -------------------------------------------------------------
+
+
+def token_counts_docs(sf_dir: str) -> pa.Table:
+    from ..stages.textstats import token_count_batch
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(token_count_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_tokens"])
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    return pa.table({"doc_id": out["doc_id"].astype("int64").tolist(), "n_tokens": out["n_tokens"].astype("int64").tolist()})
+
+
+def quality_docs(sf_dir: str) -> pa.Table:
+    """Quality scoring: ASCII-letter count, token count, alpha ratio."""
+    from ..stages.textstats import quality_score_batch
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(quality_score_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_alpha", "n_tokens", "alpha_ratio"])
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    return pa.table(
+        {
+            "doc_id": out["doc_id"].astype("int64").tolist(),
+            "n_alpha": out["n_alpha"].astype("int64").tolist(),
+            "n_tokens": out["n_tokens"].astype("int64").tolist(),
+            "alpha_ratio": out["alpha_ratio"].astype("float64").tolist(),
+        }
+    )
+
+
+def langid_docs(sf_dir: str) -> pa.Table:
+    """LanguageIdentifierUpdateProcessor analog (rows-only oracle)."""
+    from ..stages.textstats import LanguageId
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(LanguageId, batch_format="pyarrow", concurrency=2)
+        .select_columns(["doc_id", "lang_pred"])
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    return pa.table({"doc_id": out["doc_id"].astype("int64").tolist(), "lang_pred": out["lang_pred"].tolist()})
+
+
+def fingerprint_docs(sf_dir: str) -> pa.Table:
+    """Rolling-hash fingerprints (rows-only oracle)."""
+    from ..stages.textstats import fingerprint_batch
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(fingerprint_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "fingerprint"])
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    return pa.table(
+        {
+            "doc_id": out["doc_id"].astype("int64").tolist(),
+            "fingerprint": pa.array((out["fingerprint"].astype("uint64") % np.uint64(2**63)).astype("int64").tolist(), type=pa.int64()),
+        }
+    )
+
+
+# ---- ANN --------------------------------------------------------------------
+
+
+def _query_vectors(sf_dir: str, n: int = 5) -> np.ndarray:
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet")).take(n)
+    return np.asarray([r["embedding"] for r in emb], dtype=np.float32)
+
+
+def ann_brute_topk(sf_dir: str) -> pa.Table:
+    """Exact cosine top-10 for 5 query vectors (rows-only oracle)."""
+    from ..stages.ann import brute_force_topk
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    rows = brute_force_topk(emb, _query_vectors(sf_dir), k=10)
+    return pa.table(
+        {
+            "query_id": pa.array([r["query_id"] for r in rows], type=pa.int64()),
+            "rank": pa.array([r["rank"] for r in rows], type=pa.int64()),
+            "vec_id": pa.array([r["vec_id"] for r in rows], type=pa.int64()),
+        }
+    )
+
+
+def ann_ivf_topk(sf_dir: str) -> pa.Table:
+    """IVF (nprobe=4/16) approximate cosine top-10 (rows-only oracle)."""
+    from ..stages.ann import ivf_topk
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    rows = ivf_topk(emb, _query_vectors(sf_dir), k=10, n_clusters=16, nprobe=4)
+    return pa.table(
+        {
+            "query_id": pa.array([r["query_id"] for r in rows], type=pa.int64()),
+            "rank": pa.array([r["rank"] for r in rows], type=pa.int64()),
+            "vec_id": pa.array([r["vec_id"] for r in rows], type=pa.int64()),
+        }
+    )
+
+
+# ---- events (windowed aggregate) --------------------------------------------
+
+
+def events_hourly_counts(sf_dir: str) -> pa.Table:
+    """Tumbling 1-hour window: events per (event_type, hour)."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts"])
+
+    def to_hour(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"], "hour": pc.floor_temporal(t["ts"], unit="hour")})
+
+    out = (
+        ds.map_batches(to_hour, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values(["event_type", "hour"])
+    )
+    return pa.table(
+        {
+            "event_type": out["event_type"].tolist(),
+            "hour": pa.array(out["hour"].tolist(), type=pa.timestamp("us")),
+            "n": out["n"].astype("int64").tolist(),
+        }
+    )
+
+
+# ---- grouping / joins (TPC-H-ish) -------------------------------------------
+
+
+def group_top1_orders(sf_dir: str) -> pa.Table:
+    """Grouping/collapse analog: best order per customer
+    (o_totalprice desc, o_orderkey asc tie-break)."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def top1(group: pa.Table) -> pa.Table:
+        tp = group["o_totalprice"].to_pylist()
+        ok = group["o_orderkey"].to_pylist()
+        best = min(range(len(tp)), key=lambda i: (-tp[i], ok[i]))
+        return group.slice(best, 1)
+
+    out = ds.groupby("o_custkey").map_groups(top1, batch_format="pyarrow").to_pandas().sort_values("o_custkey")
+    return pa.table(
+        {
+            "o_custkey": out["o_custkey"].astype("int64").tolist(),
+            "o_orderkey": out["o_orderkey"].astype("int64").tolist(),
+            "o_totalprice": out["o_totalprice"].astype("float64").tolist(),
+        }
+    )
+
+
+def semi_join_customers(sf_dir: str) -> pa.Table:
+    """JoinQParserPlugin analog: customers having an order > 150000
+    (broadcast semi-join: key set via ray.put, filter in map_batches)."""
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"])
+    keys = set(
+        r["o_custkey"]
+        for r in orders.map_batches(
+            lambda t: t.filter(pc.greater(t["o_totalprice"], 150000.0)).select(["o_custkey"]),
+            batch_format="pyarrow",
+        ).take_all()
+    )
+    ref = ray.put(keys)
+
+    def filt(t: pa.Table) -> pa.Table:
+        s = ray.get(ref)
+        mask = pa.array([k in s for k in t["c_custkey"].to_pylist()], type=pa.bool_())
+        return t.filter(mask)
+
+    out = (
+        rd.read_parquet(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"])
+        .map_batches(filt, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("c_custkey")
+    )
+    return pa.table({"c_custkey": out["c_custkey"].astype("int64").tolist(), "c_name": out["c_name"].tolist()})
+
+
+def block_join_orders(sf_dir: str) -> pa.Table:
+    """Block-join analog (ToParentBlockJoinQuery max/count): per URGENT order,
+    child lineitem count and max extended price."""
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey", "l_extendedprice"])
+    child = li.groupby("l_orderkey").aggregate(
+        Count(alias_name="n_items"), Max("l_extendedprice", alias_name="max_price")
+    )
+    urgent = set(
+        r["o_orderkey"]
+        for r in rd.read_parquet(os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_orderpriority"])
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")).select(["o_orderkey"]),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    ref = ray.put(urgent)
+
+    def filt(t: pa.Table) -> pa.Table:
+        s = ray.get(ref)
+        mask = pa.array([k in s for k in t["l_orderkey"].to_pylist()], type=pa.bool_())
+        return t.filter(mask)
+
+    out = child.map_batches(filt, batch_format="pyarrow").to_pandas().sort_values("l_orderkey")
+    return pa.table(
+        {
+            "o_orderkey": out["l_orderkey"].astype("int64").tolist(),
+            "n_items": out["n_items"].astype("int64").tolist(),
+            "max_price": out["max_price"].astype("float64").tolist(),
+        }
+    )
+
+
+def function_query_part(sf_dir: str) -> pa.Table:
+    """ValueSource scalar-function surface: sqrt/abs/floor over part prices."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_retailprice"])
+
+    def fns(t: pa.Table) -> pa.Table:
+        price = pc.cast(t["p_retailprice"], pa.float64())
+        return pa.table(
+            {
+                "p_partkey": t["p_partkey"],
+                "sqrt_price": pc.sqrt(price),
+                "abs_shift": pc.abs(pc.subtract(price, 1000.0)),
+                "floor_div": pc.floor(pc.divide(price, 100.0)),
+            }
+        )
+
+    out = ds.map_batches(fns, batch_format="pyarrow").to_pandas().sort_values("p_partkey")
+    return pa.table(
+        {
+            "p_partkey": out["p_partkey"].astype("int64").tolist(),
+            "sqrt_price": out["sqrt_price"].astype("float64").tolist(),
+            "abs_shift": out["abs_shift"].astype("float64").tolist(),
+            "floor_div": out["floor_div"].astype("float64").tolist(),
+        }
+    )
+
+
+def multimodal_decode(sf_dir: str) -> pa.Table:
+    """Actor-pool binary-decode plumbing over synthetic payloads derived
+    deterministically from documents (fake codec; rows-only oracle)."""
+    from ..stages.multimodal import ImageDecoder
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        payloads = [
+            hashlib.blake2b((x or "").encode(), digest_size=32).digest() * 8
+            for x in t["text"].to_pylist()
+        ]
+        return pa.table({"item_id": t["doc_id"], "payload": pa.array(payloads, type=pa.binary())})
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(to_payload, batch_format="pyarrow")
+    out = ds.map_batches(
+        ImageDecoder,
+        fn_constructor_kwargs={"fake": True},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+    ).to_pandas().sort_values("item_id")
+    feat_dim = pa.array([len(f) for f in out["features"]], type=pa.int64())
+    return pa.table({"item_id": out["item_id"].astype("int64").tolist(), "feat_dim": feat_dim})

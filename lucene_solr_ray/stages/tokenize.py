@@ -18,16 +18,29 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..analysis.tokenizer import analyze
+from ..analysis.tokenizer import analyze, simple_tokenize
 from ..smallfloat import encode_norm
 
 
-def tokenize_batch(batch: pa.Table, *, with_positions: bool = True) -> pa.Table:
+def tokenize_batch(
+    batch: pa.Table, *, with_positions: bool = True, analyzer: str = "standard"
+) -> pa.Table:
     """Per-doc analysis: adds terms/tfs[/positions] lists + dl + norm.
+
+    ``analyzer``: "standard" = the StandardAnalyzer-equivalent chain;
+    "simple" = lowercase + ``[a-z0-9]+`` runs (exactly DuckDB's
+    ``regexp_split_to_array(lower(text),'[^a-z0-9]+')`` — used by the
+    SQL-oracle-checked pipelines so tokenization matches on both sides).
 
     Null/missing text → empty token list, dl=0 (norm byte 255 = inf norm,
     matching Java boost/sqrt(0)=inf — such docs match nothing).
     """
+    if analyzer == "simple":
+        tok_iter = lambda text: ((t, p) for p, t in enumerate(simple_tokenize(text)))  # noqa: E731
+    elif analyzer == "standard":
+        tok_iter = analyze
+    else:
+        raise ValueError(analyzer)
     texts = batch.column("text").to_pylist()
     terms_col: list[list[str]] = []
     tfs_col: list[list[int]] = []
@@ -37,7 +50,7 @@ def tokenize_batch(batch: pa.Table, *, with_positions: bool = True) -> pa.Table:
         per: dict[str, list[int]] = {}
         n = 0
         if text:
-            for term, pos in analyze(text):
+            for term, pos in tok_iter(text):
                 per.setdefault(term, []).append(pos)
                 n += 1
         dls[i] = n
