@@ -1,0 +1,213 @@
+"""Benchmark harness (driver contract).
+
+Headline pipelines over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) plus
+the generated Common-Crawl-style pages corpus (the flagship indexing
+workload, FIXTURES.md T1 — generation is cached and excluded from timing):
+
+* ``build_pages``   — full index build (dedup -> extract -> tokenize ->
+  postings shuffle -> encode -> stats) over N pages, >= 64 input files.
+* ``query_p50``     — BM25 top-10 p50 latency over the fixture query set
+  through the segment-actor pool (index loaded once).
+* ``facet_all``     — match-all facet counting (host + links_sim) across actors.
+* ``build_docs``    — index build over the sf documents table.
+* ``dedup_minhash`` — MinHash+LSH clustering over sf documents.
+* ``ann_brute``     — brute-force cosine top-k over sf embeddings.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+   "sf": ..., "num_cpus": N, "docs_per_sec": ...}
+
+``--scaling``: runs the SAME job in two fresh processes at num_cpus=8 and 32
+(the sandbox substitute for N vs 4N cluster nodes — BASELINE.md protocol) and
+prints both throughputs + scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+PAGES_N = int(os.environ.get("BENCH_PAGES_N", "60000"))
+PAGES_FILES = 64
+PAGES_CACHE = f"/tmp/lsr_bench_pages_{PAGES_N}"
+
+
+def _ensure_pages(ray):
+    from lucene_solr_ray.fixtures import write_pages_parquet
+
+    marker = os.path.join(PAGES_CACHE, "_DONE")
+    if os.path.exists(marker):
+        import glob
+
+        return sorted(glob.glob(os.path.join(PAGES_CACHE, "*.parquet")))
+    shutil.rmtree(PAGES_CACHE, ignore_errors=True)
+    files = write_pages_parquet(PAGES_CACHE, PAGES_N, n_files=PAGES_FILES)
+    open(marker, "w").write("ok")
+    return files
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import numpy as np
+
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.index.searcher import RayIndexSearcher
+    from lucene_solr_ray.fixtures import make_query_set, query_to_ast
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    # ---------- pages corpus: build ----------
+    files = _ensure_pages(ray)
+    # warm page cache (measure compute+shuffle, not first disk read)
+    import pyarrow.parquet as pq
+
+    for f in files:
+        pq.read_metadata(f)
+        with open(f, "rb") as fh:
+            while fh.read(1 << 22):
+                pass
+
+    ix_pages = f"/tmp/lsr_bench_ixpages_{NUM_CPUS}"
+    shutil.rmtree(ix_pages, ignore_errors=True)
+    t0 = time.time()
+    man = build_index(
+        files,
+        ix_pages,
+        rows_per_partition=4096,
+        multi_facet_fields=("links_sim",),
+        tokenize_batch_size=512,
+        encode_buckets=max(64, NUM_CPUS * 4),
+    )
+    timings["build_pages"] = time.time() - t0
+    extra["docs_per_sec"] = round(man["max_doc"] / timings["build_pages"], 1)
+
+    # ---------- query latency over the built index ----------
+    s = RayIndexSearcher(ix_pages, num_actors=max(2, NUM_CPUS // 4))
+    try:
+        qs = [query_to_ast(q) for q in make_query_set(60)]
+        s.search(qs[0], k=10)  # actor warmup (loads partitions)
+        lat = []
+        t0 = time.time()
+        for ast in qs:
+            t1 = time.time()
+            s.search(ast, k=10)
+            lat.append(time.time() - t1)
+        timings["query_total"] = time.time() - t0
+        extra["query_p50_ms"] = round(statistics.median(lat) * 1000, 2)
+        extra["query_p95_ms"] = round(sorted(lat)[int(len(lat) * 0.95)] * 1000, 2)
+
+        from lucene_solr_ray.query.ast import MatchAllQ
+
+        t0 = time.time()
+        s.search(MatchAllQ(), k=10, facet_fields=("host", "links_sim"), facet_limit=100, facet_mincount=1)
+        timings["facet_all"] = time.time() - t0
+    finally:
+        s.shutdown()
+
+    # ---------- sf-table pipelines ----------
+    import ray.data as rd
+
+    docs_path = os.path.join(SF_DIR, "documents.parquet")
+    ix_docs = f"/tmp/lsr_bench_ixdocs_{NUM_CPUS}"
+    shutil.rmtree(ix_docs, ignore_errors=True)
+    t0 = time.time()
+    build_index(
+        [docs_path],
+        ix_docs,
+        rows_per_partition=512,
+        extract_html=False,
+        dedup_url=False,
+        analyzer="standard",
+        facet_fields=("lang", "source"),
+    )
+    timings["build_docs"] = time.time() - t0
+
+    from lucene_solr_ray.stages.dedup import minhash_clusters
+
+    t0 = time.time()
+    minhash_clusters(rd.read_parquet(docs_path, columns=["doc_id", "text"]), rounds=2).count()
+    timings["dedup_minhash"] = time.time() - t0
+
+    from lucene_solr_ray.stages.ann import brute_force_topk
+
+    emb = rd.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    qv = np.asarray([r["embedding"] for r in emb.take(8)], dtype=np.float32)
+    t0 = time.time()
+    brute_force_topk(emb, qv, k=10)
+    timings["ann_brute"] = time.time() - t0
+
+    result = {
+        "metric": "lucene_solr_ray headline pipelines (index build + BM25 query + facets + dedup + ANN)",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "pages_n": PAGES_N,
+        **extra,
+    }
+    shutil.rmtree(ix_pages, ignore_errors=True)
+    shutil.rmtree(ix_docs, ignore_errors=True)
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Two fresh processes (num_cpus=8, 32) on the same input; efficiency =
+    (T32/T8)/(32/8) measured on build_pages docs/s."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    t_lo = r_lo["docs_per_sec"]
+    t_hi = r_hi["docs_per_sec"]
+    eff = (t_hi / t_lo) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (build_pages docs/s, 8 vs 32 CPUs, fresh processes)",
+        "docs_per_sec_8": t_lo,
+        "docs_per_sec_32": t_hi,
+        "build_sec_8": r_lo["queries"]["build_pages"],
+        "build_sec_32": r_hi["queries"]["build_pages"],
+        "scaling_efficiency": round(eff, 3),
+        "pages_n": r_lo["pages_n"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

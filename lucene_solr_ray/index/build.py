@@ -51,7 +51,7 @@ from ray.data.aggregate import Count, Sum
 from ..smallfloat import NORM_TABLE
 from ..stages.extract import extract_batch
 from ..stages.tokenize import explode_to_cells, tokenize_batch
-from .postings import encode_cell
+from .postings import encode_cell, encode_cells_flat
 
 DEFAULT_FACET_FIELDS = ("host", "tld", "lang")
 
@@ -65,15 +65,30 @@ def _mark_stage(index_dir: str, stage: str, **info) -> None:
         json.dump({"stage": stage, "completed_at": time.time(), **info}, f)
 
 
-def _dedup_keep_most_recent(group: pa.Table) -> pa.Table:
-    """Per-url conflict resolution: keep max (warc_ts, doc_id).
+def _dedup_losers(input_paths, input_columns) -> set:
+    """doc_ids of rows SUPERSEDED by a newer row for the same url.
 
-    pyarrow (not pandas) so list-typed columns pass through zero-copy.
+    Keep-most-recent-per-url (`RetainMostRecentUpdateConflictResolver`
+    analog) without shuffling full rows: only (url, warc_ts, doc_id) go
+    through the groupby; the loser set (duplicate rate x corpus, ~0.5% here)
+    is broadcast back as a filter.  At 10^12-doc scale the broadcast becomes
+    a Bloom filter / partitioned anti-join over the same skinny table — the
+    shuffle payload is unchanged.
     """
-    ts = group["warc_ts"].to_pylist()
-    ids = group["doc_id"].to_pylist()
-    best = max(range(len(ts)), key=lambda i: (ts[i], ids[i]))
-    return group.slice(best, 1)
+
+    def losers(group: pa.Table) -> pa.Table:
+        if group.num_rows <= 1:
+            return pa.table({"doc_id": pa.array([], type=pa.int64())})
+        ts = group["warc_ts"].to_pylist()
+        ids = group["doc_id"].to_pylist()
+        best = max(range(len(ts)), key=lambda i: (ts[i], ids[i]))
+        return pa.table(
+            {"doc_id": pa.array([d for i, d in enumerate(ids) if i != best], type=pa.int64())}
+        )
+
+    meta = rd.read_parquet(input_paths, columns=["url", "warc_ts", "doc_id"])
+    out = meta.groupby("url").map_groups(losers, batch_format="pyarrow")
+    return {r["doc_id"] for r in out.take_all()}
 
 
 def build_index(
@@ -117,7 +132,18 @@ def build_index(
         else:
             ds = rd.read_parquet(input_paths)
         if dedup_url and "url" in ds.schema().names:
-            ds = ds.groupby("url").map_groups(_dedup_keep_most_recent, batch_format="pyarrow")
+            loser_ids = _dedup_losers(input_paths, input_columns)
+            if loser_ids:
+                loser_ref = ray.put(loser_ids)
+
+                def drop_losers(t: pa.Table) -> pa.Table:
+                    s = ray.get(loser_ref)
+                    mask = pa.array(
+                        [d not in s for d in t["doc_id"].to_pylist()], type=pa.bool_()
+                    )
+                    return t.filter(mask)
+
+                ds = ds.map_batches(drop_losers, batch_format="pyarrow")
         if extract_html:
             ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=tokenize_batch_size)
         ds = ds.map_batches(
@@ -236,48 +262,72 @@ def build_index(
             return t.append_column("bucket", pa.array(b, type=pa.int64()))
 
         def encode_bucket(group: pa.Table) -> pa.Table:
-            terms = np.asarray(group["term"].to_pylist(), dtype=object)
-            pids = np.asarray(group["partition_id"].to_pylist(), dtype=np.int64)
-            docs_l = group["docs"].to_pylist()
-            tfs_l = group["tfs"].to_pylist()
-            norms_l = group["norms"].to_pylist()
-            poss_l = group["positions"].to_pylist() if with_positions else None
-            order = np.lexsort((pids, terms))
+            """Merge + encode every cell in one bucket, vectorized end-to-end:
+            pyarrow list-flatten -> one global lexsort by (term, partition,
+            doc) -> encode_cells_flat (two vbyte passes for the entire
+            bucket).  Per-cell Python is limited to assembling output rows."""
+            group = group.combine_chunks()
+            nrows = group.num_rows
+            if nrows == 0:
+                return group.select(["term", "partition_id"])
+            import pyarrow.compute as pc_
+
+            term_enc = pc_.dictionary_encode(group["term"].combine_chunks())
+            term_codes = np.asarray(term_enc.indices, dtype=np.int64)
+            pids = np.asarray(group["partition_id"], dtype=np.int64)
+            docs_list = group["docs"].combine_chunks()
+            chunk_lens = np.asarray(docs_list.value_lengths(), dtype=np.int64)
+            docs_flat = np.asarray(docs_list.flatten(), dtype=np.int64)
+            tfs_flat = np.asarray(group["tfs"].combine_chunks().flatten(), dtype=np.int64)
+            norms_flat = np.asarray(group["norms"].combine_chunks().flatten(), dtype=np.uint8)
+            parent = np.repeat(np.arange(nrows), chunk_lens)
+
+            order = np.lexsort((docs_flat, pids[parent], term_codes[parent]))
+            s_code = term_codes[parent][order]
+            s_pid = pids[parent][order]
             change = np.empty(len(order), dtype=bool)
-            if len(order) == 0:
-                change = change
-            else:
-                change[0] = True
-                change[1:] = (terms[order][1:] != terms[order][:-1]) | (
-                    pids[order][1:] != pids[order][:-1]
-                )
+            change[0] = True
+            change[1:] = (s_code[1:] != s_code[:-1]) | (s_pid[1:] != s_pid[:-1])
             starts = np.flatnonzero(change)
-            ends = np.append(starts[1:], len(order))
-            rows: list[dict] = []
-            for st, en in zip(starts.tolist(), ends.tolist()):
-                sel = order[st:en]
-                docs = np.concatenate([np.asarray(docs_l[i], dtype=np.int64) for i in sel])
-                tfs = np.concatenate([np.asarray(tfs_l[i], dtype=np.int64) for i in sel])
-                norms = np.concatenate([np.asarray(norms_l[i], dtype=np.uint8) for i in sel])
-                poss = None
-                if with_positions:
-                    poss = []
-                    for i in sel:
-                        poss.extend(poss_l[i])
-                o2 = np.argsort(docs, kind="stable")
-                docs, tfs, norms = docs[o2], tfs[o2], norms[o2]
-                if poss is not None:
-                    poss = [np.asarray(poss[i], dtype=np.int64) for i in o2.tolist()]
-                row = encode_cell(docs, tfs, NORM_TABLE[norms], poss)
-                row["term"] = terms[sel[0]]
-                row["partition_id"] = int(pids[sel[0]])
-                rows.append(row)
-            names = [
-                "term", "partition_id", "df", "ttf", "docs", "freqs",
-                "skip_first_doc", "skip_last_doc", "skip_docs_off",
-                "skip_freqs_off", "bm_max_tf", "bm_min_dl",
-            ] + (["positions"] if with_positions else [])
-            return pa.table({k: [r[k] for r in rows] for k in names})
+
+            pos_vals = None
+            if with_positions:
+                pos_outer = group["positions"].combine_chunks().flatten()  # list<int32> per doc-entry
+                pos_lens = np.asarray(pos_outer.value_lengths(), dtype=np.int64)
+                pos_all = np.asarray(pos_outer.flatten(), dtype=np.int64)
+                old_starts = np.concatenate(([0], np.cumsum(pos_lens)[:-1]))
+                lens_o = pos_lens[order]
+                new_offsets = np.concatenate(([0], np.cumsum(lens_o)[:-1]))
+                gather = (
+                    np.repeat(old_starts[order] - new_offsets, lens_o)
+                    + np.arange(int(lens_o.sum()), dtype=np.int64)
+                )
+                pos_vals = pos_all[gather]
+
+            rows = encode_cells_flat(
+                starts,
+                docs_flat[order],
+                tfs_flat[order],
+                NORM_TABLE[norms_flat[order]],
+                pos_vals,
+            )
+            out = {
+                "term": term_enc.dictionary.take(pa.array(s_code[starts])),
+                "partition_id": pa.array(s_pid[starts], type=pa.int64()),
+                "df": pa.array([r["df"] for r in rows], type=pa.int64()),
+                "ttf": pa.array([r["ttf"] for r in rows], type=pa.int64()),
+                "docs": pa.array([r["docs"] for r in rows], type=pa.binary()),
+                "freqs": pa.array([r["freqs"] for r in rows], type=pa.binary()),
+                "skip_first_doc": pa.array([r["skip_first_doc"] for r in rows], type=pa.list_(pa.int64())),
+                "skip_last_doc": pa.array([r["skip_last_doc"] for r in rows], type=pa.list_(pa.int64())),
+                "skip_docs_off": pa.array([r["skip_docs_off"] for r in rows], type=pa.list_(pa.int64())),
+                "skip_freqs_off": pa.array([r["skip_freqs_off"] for r in rows], type=pa.list_(pa.int64())),
+                "bm_max_tf": pa.array([r["bm_max_tf"] for r in rows], type=pa.list_(pa.int64())),
+                "bm_min_dl": pa.array([r["bm_min_dl"] for r in rows], type=pa.list_(pa.float32())),
+            }
+            if with_positions:
+                out["positions"] = pa.array([r["positions"] for r in rows], type=pa.binary())
+            return pa.table(out)
 
         encoded = cells.map_batches(add_bucket, batch_format="pyarrow").groupby(
             "bucket"

@@ -190,6 +190,115 @@ def encode_cell(
     return row
 
 
+def _vbyte_lengths(v: np.ndarray) -> np.ndarray:
+    nb = np.ones(len(v), dtype=np.int64)
+    for k in range(1, 5):
+        nb += v >= (np.uint64(1) << np.uint64(7 * k))
+    return nb
+
+
+def encode_cells_flat(
+    starts: np.ndarray,
+    docs: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    pos_vals: np.ndarray | None = None,
+) -> list[dict]:
+    """Vectorized encoding of MANY posting cells at once.
+
+    ``starts``: cell boundaries into the flat arrays (``docs`` sorted asc
+    within each cell); ``pos_vals``: all positions concatenated in (cell, doc)
+    order — per-doc counts are the tfs.  Cells with >= BLOCK docs fall back to
+    :func:`encode_cell` (FOR blocks); the long tail of small cells (the vast
+    majority under a Zipf vocabulary) is encoded with TWO vbyte passes total
+    instead of per-cell Python, which is what makes the encode stage scale.
+    Returns one dict per cell in input order (same keys as encode_cell).
+    """
+    if len(starts) == 0:
+        return []
+    n = len(docs)
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.append(starts[1:], n)
+    lengths = ends - starts
+    docs = np.asarray(docs, dtype=np.uint64)
+    tfs_u = np.asarray(tfs, dtype=np.uint64)
+    dls = np.asarray(dls, dtype=np.float32)
+
+    # per-cell prepend-0 delta in one pass
+    deltas = docs.copy()
+    deltas[1:] -= docs[:-1]
+    deltas[starts] = docs[starts]
+
+    doc_bytes = _vbyte_lengths(deltas)
+    tf_bytes = _vbyte_lengths(tfs_u)
+    docs_buf = np.frombuffer(_vbyte_encode(deltas), dtype=np.uint8)
+    tfs_buf = np.frombuffer(_vbyte_encode(tfs_u), dtype=np.uint8)
+    doc_b_end = np.cumsum(doc_bytes)
+    tf_b_end = np.cumsum(tf_bytes)
+
+    # per-cell aggregates (empty-safe: starts always < n per construction)
+    ttfs = np.add.reduceat(np.asarray(tfs, dtype=np.int64), starts)
+    max_tfs = np.maximum.reduceat(np.asarray(tfs, dtype=np.int64), starts)
+    min_dls = np.minimum.reduceat(dls, starts)
+    first_docs = docs[starts].astype(np.int64)
+    last_docs = docs[ends - 1].astype(np.int64)
+
+    if pos_vals is not None:
+        pos_vals = np.asarray(pos_vals, dtype=np.uint64)
+        # per-doc prepend-0 delta: doc position-group boundaries = cumsum(tfs)
+        pstart = np.concatenate(([0], np.cumsum(np.asarray(tfs, dtype=np.int64))[:-1]))
+        pdeltas = pos_vals.copy()
+        pdeltas[1:] -= pos_vals[:-1]
+        pdeltas[pstart] = pos_vals[pstart]
+        pos_buf = np.frombuffer(_vbyte_encode(pdeltas), dtype=np.uint8)
+        pos_b_end = np.cumsum(_vbyte_lengths(pdeltas))
+        # cell's position range = positions of its docs
+        cell_p_start = pstart[starts]
+        cell_p_end = np.append(cell_p_start[1:], len(pos_vals))
+
+    out: list[dict] = []
+    docs_mv = docs_buf.tobytes()
+    tfs_mv = tfs_buf.tobytes()
+    pos_mv = pos_buf.tobytes() if pos_vals is not None else None
+    for ci in range(len(starts)):
+        s, e = int(starts[ci]), int(ends[ci])
+        cnt = e - s
+        if cnt >= BLOCK:
+            # head cell: full FOR-block codec (rare)
+            poss = None
+            if pos_vals is not None:
+                poss = []
+                for di in range(s, e):
+                    poss.append(pos_vals[pstart[di] : pstart[di] + int(tfs[di])].astype(np.int64))
+            out.append(
+                encode_cell(
+                    docs[s:e].astype(np.int64), np.asarray(tfs[s:e], dtype=np.int64), dls[s:e], poss
+                )
+            )
+            continue
+        db0 = int(doc_b_end[s - 1]) if s else 0
+        tb0 = int(tf_b_end[s - 1]) if s else 0
+        row = {
+            "df": cnt,
+            "ttf": int(ttfs[ci]),
+            "docs": docs_mv[db0 : int(doc_b_end[e - 1])],
+            "freqs": tfs_mv[tb0 : int(tf_b_end[e - 1])],
+            "skip_first_doc": [int(first_docs[ci])],
+            "skip_last_doc": [int(last_docs[ci])],
+            "skip_docs_off": [0],
+            "skip_freqs_off": [0],
+            "bm_max_tf": [int(max_tfs[ci])],
+            "bm_min_dl": [float(min_dls[ci])],
+        }
+        if pos_vals is not None:
+            ps, pe = int(cell_p_start[ci]), int(cell_p_end[ci])
+            pb0 = int(pos_b_end[ps - 1]) if ps else 0
+            pb1 = int(pos_b_end[pe - 1]) if pe else pb0
+            row["positions"] = pos_mv[pb0:pb1]
+        out.append(row)
+    return out
+
+
 def decode_docs_freqs(docs_blob: bytes, freqs_blob: bytes, n: int) -> tuple[np.ndarray, np.ndarray]:
     """-> (doc_ids int64 asc, tfs int64)."""
     deltas = _decode_stream(docs_blob, n)

@@ -79,70 +79,61 @@ def explode_to_cells(batch: pa.Table, *, with_positions: bool = True) -> pa.Tabl
     This is the combiner that keeps the groupby shuffle payload small
     (SURVEY.md §4; `FreqProxTermsWriterPerField.java` in-RAM hash analog).
     """
-    terms_list = batch.column("terms")
-    flat_terms = terms_list.combine_chunks().flatten() if isinstance(terms_list, pa.ChunkedArray) else terms_list.flatten()
-    n_per_doc = np.asarray(
-        [len(x) for x in batch.column("terms").to_pylist()], dtype=np.int64
-    )
-    doc_ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
-    parts = np.asarray(batch.column("partition_id").to_pylist(), dtype=np.int64)
-    norms = np.asarray(batch.column("norm").to_pylist(), dtype=np.uint8)
+    import pyarrow.compute as pc
+
+    terms_col = batch.column("terms")
+    if isinstance(terms_col, pa.ChunkedArray):
+        terms_col = terms_col.combine_chunks()
+    flat_terms = terms_col.flatten()
+    n_per_doc = np.asarray(terms_col.value_lengths(), dtype=np.int64)
+    doc_ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+    parts = np.asarray(batch.column("partition_id"), dtype=np.int64)
+    norms = np.asarray(batch.column("norm"), dtype=np.uint8)
     parent = np.repeat(np.arange(len(doc_ids)), n_per_doc)
 
-    flat_term_arr = np.asarray(flat_terms.to_pylist(), dtype=object)
-    flat_tfs = np.concatenate(
-        [np.asarray(x, dtype=np.int64) for x in batch.column("tfs").to_pylist()]
-    ) if len(flat_term_arr) else np.empty(0, dtype=np.int64)
-    if with_positions:
-        flat_pos: list = []
-        for pl in batch.column("positions").to_pylist():
-            flat_pos.extend(pl)
-
-    # sort flat postings by (term, partition, doc) — docs within a batch are
-    # already unique, so the chunk's doc list is strictly ascending
-    order = np.lexsort((doc_ids[parent], parts[parent], flat_term_arr))
-    if len(order) == 0:
-        empty: dict = {
-            "term": pa.array([], type=pa.string()),
-            "partition_id": pa.array([], type=pa.int64()),
-            "docs": pa.array([], type=pa.list_(pa.int64())),
-            "tfs": pa.array([], type=pa.list_(pa.int32())),
-            "norms": pa.array([], type=pa.list_(pa.uint8())),
-        }
-        if with_positions:
-            empty["positions"] = pa.array([], type=pa.list_(pa.list_(pa.int32())))
-        return pa.table(empty)
-
-    s_term = flat_term_arr[order]
-    s_part = parts[parent][order]
-    s_doc = doc_ids[parent][order]
-    s_tf = flat_tfs[order]
-    s_norm = norms[parent][order]
-
-    # group boundaries where (term, partition) changes
-    change = np.empty(len(order), dtype=bool)
-    change[0] = True
-    change[1:] = (s_term[1:] != s_term[:-1]) | (s_part[1:] != s_part[:-1])
-    starts = np.flatnonzero(change)
-    ends = np.append(starts[1:], len(order))
-
-    out_term, out_part, out_docs, out_tfs, out_norms, out_pos = [], [], [], [], [], []
-    for st, en in zip(starts.tolist(), ends.tolist()):
-        out_term.append(s_term[st])
-        out_part.append(int(s_part[st]))
-        out_docs.append(s_doc[st:en].tolist())
-        out_tfs.append(s_tf[st:en].tolist())
-        out_norms.append(s_norm[st:en].tolist())
-        if with_positions:
-            out_pos.append([flat_pos[order[i]] for i in range(st, en)])
-
-    cols = {
-        "term": pa.array(out_term, type=pa.string()),
-        "partition_id": pa.array(out_part, type=pa.int64()),
-        "docs": pa.array(out_docs, type=pa.list_(pa.int64())),
-        "tfs": pa.array(out_tfs, type=pa.list_(pa.int32())),
-        "norms": pa.array(out_norms, type=pa.list_(pa.uint8())),
+    empty: dict = {
+        "term": pa.array([], type=pa.string()),
+        "partition_id": pa.array([], type=pa.int64()),
+        "docs": pa.array([], type=pa.list_(pa.int64())),
+        "tfs": pa.array([], type=pa.list_(pa.int32())),
+        "norms": pa.array([], type=pa.list_(pa.uint8())),
     }
     if with_positions:
-        cols["positions"] = pa.array(out_pos, type=pa.list_(pa.list_(pa.int32())))
+        empty["positions"] = pa.array([], type=pa.list_(pa.list_(pa.int32())))
+    if len(flat_terms) == 0:
+        return pa.table(empty)
+
+    # integer term codes: grouping only needs equal terms adjacent, so the
+    # (arbitrary but consistent) dictionary order is fine and ints sort fast
+    dict_enc = pc.dictionary_encode(flat_terms)
+    term_codes = np.asarray(dict_enc.indices, dtype=np.int64)
+    tfs_col = batch.column("tfs")
+    if isinstance(tfs_col, pa.ChunkedArray):
+        tfs_col = tfs_col.combine_chunks()
+    flat_tfs = np.asarray(tfs_col.flatten(), dtype=np.int64)
+
+    order = np.lexsort((doc_ids[parent], parts[parent], term_codes))
+    s_code = term_codes[order]
+    s_part = parts[parent][order]
+
+    change = np.empty(len(order), dtype=bool)
+    change[0] = True
+    change[1:] = (s_code[1:] != s_code[:-1]) | (s_part[1:] != s_part[:-1])
+    starts = np.flatnonzero(change)
+    offsets = pa.array(np.append(starts, len(order)).astype(np.int32))
+
+    order_pa = pa.array(order)
+    cols = {
+        "term": dict_enc.dictionary.take(pa.array(s_code[starts])),
+        "partition_id": pa.array(s_part[starts], type=pa.int64()),
+        "docs": pa.ListArray.from_arrays(offsets, pa.array(doc_ids[parent][order], type=pa.int64())),
+        "tfs": pa.ListArray.from_arrays(offsets, pa.array(flat_tfs[order], type=pa.int32())),
+        "norms": pa.ListArray.from_arrays(offsets, pa.array(norms[parent][order], type=pa.uint8())),
+    }
+    if with_positions:
+        pos_col = batch.column("positions")
+        if isinstance(pos_col, pa.ChunkedArray):
+            pos_col = pos_col.combine_chunks()
+        pos_outer = pos_col.flatten()  # list<int32> per (doc, term) entry
+        cols["positions"] = pa.ListArray.from_arrays(offsets, pos_outer.take(order_pa))
     return pa.table(cols)
