@@ -97,7 +97,6 @@ def run_bench() -> dict:
         rows_per_partition=4096,
         multi_facet_fields=("links_sim",),
         tokenize_batch_size=512,
-        encode_buckets=max(64, NUM_CPUS * 4),
     )
     timings["build_pages"] = time.time() - t0
     extra["docs_per_sec"] = round(man["max_doc"] / timings["build_pages"], 1)

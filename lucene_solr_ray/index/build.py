@@ -51,7 +51,7 @@ from ray.data.aggregate import Count, Sum
 from ..smallfloat import NORM_TABLE
 from ..stages.extract import extract_batch
 from ..stages.tokenize import explode_to_cells, tokenize_batch
-from .postings import encode_cell, encode_cells_flat
+from .postings import encode_cells_flat
 
 DEFAULT_FACET_FIELDS = ("host", "tld", "lang")
 
@@ -76,18 +76,27 @@ def _dedup_losers(input_paths, input_columns) -> set:
     shuffle payload is unchanged.
     """
 
-    def losers(group: pa.Table) -> pa.Table:
-        if group.num_rows <= 1:
-            return pa.table({"doc_id": pa.array([], type=pa.int64())})
-        ts = group["warc_ts"].to_pylist()
-        ids = group["doc_id"].to_pylist()
-        best = max(range(len(ts)), key=lambda i: (ts[i], ids[i]))
-        return pa.table(
-            {"doc_id": pa.array([d for i, d in enumerate(ids) if i != best], type=pa.int64())}
+    import zlib
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = np.fromiter(
+            (zlib.crc32(u.encode("utf-8")) % 512 for u in t["url"].to_pylist()),
+            dtype=np.int64,
+            count=t.num_rows,
         )
+        return t.append_column("ub", pa.array(h, type=pa.int64()))
+
+    def losers(group: pa.Table) -> pa.Table:
+        # all rows whose url has a newer (warc_ts, doc_id) — vectorized pandas
+        df = group.select(["url", "warc_ts", "doc_id"]).to_pandas()
+        df = df.sort_values(["url", "warc_ts", "doc_id"])
+        lose = df.loc[df["url"].duplicated(keep="last"), "doc_id"]
+        return pa.table({"doc_id": pa.array(lose.tolist(), type=pa.int64())})
 
     meta = rd.read_parquet(input_paths, columns=["url", "warc_ts", "doc_id"])
-    out = meta.groupby("url").map_groups(losers, batch_format="pyarrow")
+    out = meta.map_batches(add_bucket, batch_format="pyarrow").groupby("ub").map_groups(
+        losers, batch_format="pyarrow"
+    )
     return {r["doc_id"] for r in out.take_all()}
 
 
@@ -107,7 +116,6 @@ def build_index(
     resume: bool = True,
     tokenize_batch_size: int = 512,
     input_columns: tuple | None = None,
-    encode_buckets: int = 64,
 ) -> dict:
     """Build all index artifacts under ``index_dir``; returns the manifest."""
     os.makedirs(index_dir, exist_ok=True)
@@ -172,27 +180,45 @@ def build_index(
     if not (resume and _stage_done(index_dir, "dicts")):
         t0 = time.time()
         os.makedirs(dicts_dir, exist_ok=True)
-        for f in facet_fields:
-            vals = rd.read_parquet(tokenized_dir, columns=[f]).unique(f)
-            vals = sorted((v for v in vals if v is not None), key=lambda s: str(s).encode())
+        # per-block unique (Arrow C++), then a driver-side set union: the
+        # dictionary is bounded by field cardinality, which is what also makes
+        # it loadable at query time.  (The 640M-value `links` histogram of the
+        # reference would instead use a distributed sorted-dict build; the
+        # per-block-unique stage is the same, only the union shards.)
+        def _write_dict(f: str, blocks) -> None:
+            seen: set = set()
+            for b in blocks:
+                seen.update(v for v in b if v is not None)
+            vals = sorted(seen, key=lambda s: str(s).encode())
             pq.write_table(
                 pa.table({"value": pa.array(vals, type=pa.string())}),
                 os.path.join(dicts_dir, f"{f}.parquet"),
             )
-        for f in multi_facet_fields:
-            flat = (
-                rd.read_parquet(tokenized_dir, columns=[f])
+
+        for f in facet_fields:
+            blocks = [
+                r["v"]
+                for r in rd.read_parquet(tokenized_dir, columns=[f])
                 .map_batches(
-                    lambda t, f=f: pa.table({f: pc.list_flatten(t[f]).unique()}),
+                    lambda t, f=f: pa.table({"v": [pc.unique(t[f].combine_chunks()).to_pylist()]}),
                     batch_format="pyarrow",
                 )
-                .unique(f)
-            )
-            vals = sorted((v for v in flat if v is not None), key=lambda s: str(s).encode())
-            pq.write_table(
-                pa.table({"value": pa.array(vals, type=pa.string())}),
-                os.path.join(dicts_dir, f"{f}.parquet"),
-            )
+                .take_all()
+            ]
+            _write_dict(f, blocks)
+        for f in multi_facet_fields:
+            blocks = [
+                r["v"]
+                for r in rd.read_parquet(tokenized_dir, columns=[f])
+                .map_batches(
+                    lambda t, f=f: pa.table(
+                        {"v": [pc.unique(pc.list_flatten(t[f].combine_chunks())).to_pylist()]}
+                    ),
+                    batch_format="pyarrow",
+                )
+                .take_all()
+            ]
+            _write_dict(f, blocks)
         _mark_stage(index_dir, "dicts", secs=time.time() - t0)
 
     # ---- stage 4: doc-map (norms + doc values) -----------------------------
@@ -228,48 +254,52 @@ def build_index(
         ds.write_parquet(docmap_dir, partition_cols=["partition_id"], mode="overwrite")
         _mark_stage(index_dir, "docmap", secs=time.time() - t0)
 
-    # ---- stage 5: postings shuffle + encode --------------------------------
+    # ---- stage 5: per-partition inversion + encode -------------------------
+    # The term exchange ALREADY happened when the tokenized checkpoint was
+    # written hive-partitioned by partition_id; inverting a partition needs
+    # only that partition's rows, so this stage is embarrassingly parallel:
+    # one task per partition dir, no sort/groupby of posting payloads at all
+    # (the MR reducer of MapReduceIndexerTool, re-expressed).  Output is
+    # written atomically per partition (tmp+rename) -> PER-PARTITION RESUME:
+    # on rerun, finished partitions are skipped.
     if not (resume and _stage_done(index_dir, "postings")):
         t0 = time.time()
         cols = ["doc_id", "partition_id", "norm", "terms", "tfs"]
         if with_positions:
             cols.append("positions")
-        ds = rd.read_parquet(tokenized_dir, columns=cols)
-        cells = ds.map_batches(
-            explode_to_cells,
-            batch_format="pyarrow",
-            fn_kwargs={"with_positions": with_positions},
-        )
 
-        # Hash-bucket exchange instead of per-(term,partition) groups: one
-        # Python call per BUCKET (not per cell) keeps map_groups overhead off
-        # the hot path; within a bucket, cells are merged/encoded vectorized.
-        # Bucket count scales with cluster size; cell size stays bounded by
-        # rows_per_partition regardless (skew-proof).
-        import zlib
-
-        num_buckets = encode_buckets
-
-        def add_bucket(t: pa.Table) -> pa.Table:
-            terms = t["term"].to_pylist()
-            pids = np.asarray(t["partition_id"].to_pylist(), dtype=np.int64)
-            h = np.fromiter(
-                (zlib.crc32(s.encode("utf-8")) for s in terms),
-                dtype=np.int64,
-                count=len(terms),
-            )
-            b = (h ^ (pids * np.int64(0x9E3779B1))) % num_buckets
-            return t.append_column("bucket", pa.array(b, type=pa.int64()))
-
+        # The reduce group of the exchange is ONE INDEX PARTITION: every cell
+        # chunk for partition P meets in one map_groups call, which merges and
+        # encodes the partition's ENTIRE postings vectorized and emits one
+        # output block -> exactly one Parquet file per partition dir.  Group
+        # size is bounded by rows_per_partition (memory: ~tokens(partition) *
+        # 24B flat arrays), parallelism = partition count, and Zipf-head terms
+        # cannot straggle because no group ever exceeds a partition.
         def encode_bucket(group: pa.Table) -> pa.Table:
-            """Merge + encode every cell in one bucket, vectorized end-to-end:
-            pyarrow list-flatten -> one global lexsort by (term, partition,
-            doc) -> encode_cells_flat (two vbyte passes for the entire
-            bucket).  Per-cell Python is limited to assembling output rows."""
+            """Merge + encode every cell in one partition, vectorized
+            end-to-end: pyarrow list-flatten -> one global lexsort by (term,
+            doc) -> encode_cells_flat (two vbyte passes for the whole group).
+            Per-cell Python is limited to assembling output rows."""
             group = group.combine_chunks()
             nrows = group.num_rows
             if nrows == 0:
-                return group.select(["term", "partition_id"])
+                schema: dict = {
+                    "term": pa.array([], type=pa.string()),
+                    "partition_id": pa.array([], type=pa.int64()),
+                    "df": pa.array([], type=pa.int64()),
+                    "ttf": pa.array([], type=pa.int64()),
+                    "docs": pa.array([], type=pa.binary()),
+                    "freqs": pa.array([], type=pa.binary()),
+                    "skip_first_doc": pa.array([], type=pa.list_(pa.int64())),
+                    "skip_last_doc": pa.array([], type=pa.list_(pa.int64())),
+                    "skip_docs_off": pa.array([], type=pa.list_(pa.int64())),
+                    "skip_freqs_off": pa.array([], type=pa.list_(pa.int64())),
+                    "bm_max_tf": pa.array([], type=pa.list_(pa.int64())),
+                    "bm_min_dl": pa.array([], type=pa.list_(pa.float32())),
+                }
+                if with_positions:
+                    schema["positions"] = pa.array([], type=pa.binary())
+                return pa.table(schema)
             import pyarrow.compute as pc_
 
             term_enc = pc_.dictionary_encode(group["term"].combine_chunks())
@@ -329,19 +359,68 @@ def build_index(
                 out["positions"] = pa.array([r["positions"] for r in rows], type=pa.binary())
             return pa.table(out)
 
-        encoded = cells.map_batches(add_bucket, batch_format="pyarrow").groupby(
-            "bucket"
-        ).map_groups(encode_bucket, batch_format="pyarrow")
-        encoded.write_parquet(postings_dir, partition_cols=["partition_id"], mode="overwrite")
-        _mark_stage(index_dir, "postings", secs=time.time() - t0)
+        import glob as _glob
+
+        part_dirs = sorted(_glob.glob(os.path.join(tokenized_dir, "partition_id=*")))
+        todo = []
+        for d in part_dirs:
+            pid = int(d.rsplit("=", 1)[1])
+            out_file = os.path.join(postings_dir, f"partition_id={pid}", "postings.parquet")
+            if not os.path.exists(out_file):  # per-partition resume
+                todo.append({"pid": pid, "dir": d})
+
+        def encode_partition(batch: pa.Table) -> pa.Table:
+            pids_done, n_cells = [], []
+            for pid, d in zip(batch["pid"].to_pylist(), batch["dir"].to_pylist()):
+                files = sorted(_glob.glob(os.path.join(d, "*.parquet")))
+                tbl = pq.read_table(files, columns=[c for c in cols if c != "partition_id"])
+                tbl = tbl.append_column(
+                    "partition_id", pa.array([pid] * tbl.num_rows, type=pa.int64())
+                )
+                cells = explode_to_cells(tbl, with_positions=with_positions)
+                out = encode_bucket(cells)
+                out_dir = os.path.join(postings_dir, f"partition_id={pid}")
+                os.makedirs(out_dir, exist_ok=True)
+                tmp = os.path.join(out_dir, ".postings.parquet.tmp")
+                pq.write_table(out.drop_columns(["partition_id"]), tmp)
+                os.replace(tmp, os.path.join(out_dir, "postings.parquet"))
+                pids_done.append(pid)
+                n_cells.append(out.num_rows)
+            return pa.table({"pid": pa.array(pids_done, type=pa.int64()),
+                             "n_cells": pa.array(n_cells, type=pa.int64())})
+
+        if todo:
+            rd.from_items(todo).map_batches(
+                encode_partition, batch_format="pyarrow", batch_size=1
+            ).materialize()
+        _mark_stage(index_dir, "postings", secs=time.time() - t0,
+                    partitions_encoded=len(todo), partitions_skipped=len(part_dirs) - len(todo))
 
     # ---- stage 6: global term stats + collection stats ---------------------
     if not (resume and _stage_done(index_dir, "stats")):
         t0 = time.time()
+        # groupby on a string key is a slow sort exchange; hash the term to an
+        # int bucket (cheap int sort) and run Arrow's C++ hash-aggregation
+        # within each bucket — same result, ~10x faster.
+        import zlib
+
+        def add_term_bucket(t: pa.Table) -> pa.Table:
+            h = np.fromiter(
+                (zlib.crc32(s.encode("utf-8")) % 256 for s in t["term"].to_pylist()),
+                dtype=np.int64,
+                count=t.num_rows,
+            )
+            return t.append_column("tb", pa.array(h, type=pa.int64()))
+
+        def agg_bucket(g: pa.Table) -> pa.Table:
+            out = g.group_by("term").aggregate([("df", "sum"), ("ttf", "sum")])
+            return out.rename_columns(["term", "df", "ttf"])
+
         stats = (
             rd.read_parquet(postings_dir, columns=["term", "df", "ttf"])
-            .groupby("term")
-            .aggregate(Sum("df", alias_name="df"), Sum("ttf", alias_name="ttf"))
+            .map_batches(add_term_bucket, batch_format="pyarrow")
+            .groupby("tb")
+            .map_groups(agg_bucket, batch_format="pyarrow")
         )
         stats.write_parquet(os.path.join(index_dir, "terms_global"), mode="overwrite")
         agg = (

@@ -53,7 +53,6 @@ def documents_index(sf_dir: str, analyzer: str = "simple") -> str:
         facet_fields=("lang", "source"),
         numeric_fields=("n_chars",),
         resume=True,
-        encode_buckets=32,
     )
     return index_dir
 

@@ -62,8 +62,8 @@ def test_identical_artifacts_across_build_configs(ray_session, tmp_path):
     root = str(tmp_path)
     files = write_pages_parquet(os.path.join(root, "pages"), 300, n_files=3)
     ixa, ixb = os.path.join(root, "a"), os.path.join(root, "b")
-    build_index(files, ixa, rows_per_partition=64, tokenize_batch_size=32, encode_buckets=7)
-    build_index(files, ixb, rows_per_partition=64, tokenize_batch_size=512, encode_buckets=64)
+    build_index(files, ixa, rows_per_partition=64, tokenize_batch_size=32)
+    build_index(files, ixb, rows_per_partition=64, tokenize_batch_size=512)
     assert _postings_fingerprint(ixa) == _postings_fingerprint(ixb)
 
     # and identical query results
