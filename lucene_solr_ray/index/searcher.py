@@ -29,16 +29,30 @@ import numpy as np
 import ray
 
 from ..query.ast import Evaluator, top_k
+from ..state.sparse_counter import CounterPool, SparseCounter
 from .reader import GlobalStats, IndexPartition
 
 
-def _facet_counts_for_hits(part: IndexPartition, field: str, hits: np.ndarray):
-    ords = part.facet_ords(field, hits)
-    if len(ords) == 0:
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-    counts = np.bincount(ords)
-    nz = np.flatnonzero(counts)
-    return nz.astype(np.int64), counts[nz].astype(np.int64)
+def _wand_eligible(query):
+    """-> list of terms when the query is a pure text-term disjunction
+    (TermQ, or BoolQ with only SHOULD TermQs, msm<=1, no boosts); else None."""
+    from ..query.ast import BoolQ, TermQ
+
+    if isinstance(query, TermQ) and query.field == "text" and query.boost == 1.0:
+        return [query.term]
+    if (
+        isinstance(query, BoolQ)
+        and not query.must
+        and not query.must_not
+        and query.minimum_should_match <= 1
+        and query.should
+        and all(
+            isinstance(c, TermQ) and c.field == "text" and c.boost == 1.0
+            for c in query.should
+        )
+    ):
+        return [c.term for c in query.should]
+    return None
 
 
 class SegmentSearcher:
@@ -51,6 +65,27 @@ class SegmentSearcher:
     def __init__(self, index_dir: str, partition_ids: list[int]):
         self.stats = GlobalStats(index_dir)
         self.parts = [IndexPartition(index_dir, pid, self.stats) for pid in partition_ids]
+        self.counter_pool = CounterPool()
+
+    def _facet_counts_for_hits(self, part: IndexPartition, field: str, hits: np.ndarray):
+        """Count facet ordinals for a hit set using the sparse counter when
+        the hit/ordinal ratio predicts few touched ordinals (SOLR-5894 path);
+        dense bincount otherwise.  Results are identical either way."""
+        ords = part.facet_ords(field, hits)
+        if len(ords) == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        n_ords = len(self.stats.dicts.get(field, ())) or int(ords.max()) + 1
+        if SparseCounter.use_sparse(len(hits), len(ords) / max(len(hits), 1), n_ords):
+            c = self.counter_pool.acquire((field, "sparse"), lambda: SparseCounter(n_ords))
+            try:
+                c.inc(ords)
+                o, v = c.nonzero()
+                return o.copy(), v.copy()
+            finally:
+                self.counter_pool.release((field, "sparse"), c)
+        counts = np.bincount(ords)
+        nz = np.flatnonzero(counts)
+        return nz.astype(np.int64), counts[nz].astype(np.int64)
 
     def search(
         self,
@@ -63,7 +98,27 @@ class SegmentSearcher:
 
         ``facet_ord_limit`` truncates the per-actor facet list to the
         over-request limit (None = exact/complete counts).
+
+        Pure term disjunctions with no facets run through block-max WAND
+        (rank-identical, skips non-competitive blocks); faceting needs the
+        complete hit set, so it forces the exhaustive path — same constraint
+        as the reference's facet collection.
         """
+        wand_terms = _wand_eligible(query)
+        if wand_terms is not None and not facet_fields:
+            from .wand import wand_topk
+
+            topk = wand_topk(self.parts, self.stats, wand_terms, k)
+            if len(wand_terms) == 1:  # exact hit count is free: sum of cell dfs
+                total = sum(
+                    p._cells[wand_terms[0]]["df"]
+                    for p in self.parts
+                    if wand_terms[0] in p._cells
+                )
+            else:
+                total = -1  # unknown without full evaluation (WAND skipped docs)
+            return {"topk": topk, "total_hits": total, "facets": {}}
+
         all_hits: list[np.ndarray] = []
         per_part_hits: list[np.ndarray] = []
         scores_all: list[np.ndarray] = []
@@ -80,7 +135,7 @@ class SegmentSearcher:
         for f in facet_fields:
             acc: dict[int, int] = {}
             for part, hits in zip(self.parts, per_part_hits):
-                o, c = _facet_counts_for_hits(part, f, hits)
+                o, c = self._facet_counts_for_hits(part, f, hits)
                 for oo, cc in zip(o.tolist(), c.tolist()):
                     acc[oo] = acc.get(oo, 0) + cc
             ords = np.array(sorted(acc), dtype=np.int64)
@@ -100,7 +155,7 @@ class SegmentSearcher:
         out = np.zeros(len(targets), dtype=np.int64)
         for part in self.parts:
             docs, _ = Evaluator(part).scored(query)
-            o, c = _facet_counts_for_hits(part, field, docs)
+            o, c = self._facet_counts_for_hits(part, field, docs)
             idx = np.searchsorted(o, targets)
             ok = (idx < len(o)) & (o[np.minimum(idx, len(o) - 1)] == targets) if len(o) else np.zeros(len(targets), bool)
             out[ok] += c[idx[ok]]

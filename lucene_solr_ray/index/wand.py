@@ -1,0 +1,141 @@
+"""Block-max WAND top-k for term disjunctions.
+
+Our addition on top of the reference (which scores exhaustively — Lucene 4.10
+has skip lists per 128-doc block, `Lucene41SkipWriter.java`, but no WAND; see
+SURVEY.md §2.10): the build stores per-block ``(max_tf, min_dl)`` block-max
+metadata, and this module skips every doc range whose score upper bound
+cannot beat the current k-th score.  Results remain RANK-IDENTICAL to
+exhaustive scoring by construction:
+
+* the bound ``weight * max_tf / (max_tf + k1*((1-b) + b*min_dl/avgdl))`` is
+  an upper bound of any in-block score in real arithmetic (monotone in tf,
+  anti-monotone in dl); a 1e-6 relative inflation absorbs float rounding, so
+  a skip is always sound;
+* a skipped doc with score EQUAL to the threshold cannot enter the top-k
+  anyway (`HitQueue.java:76-78`: equal score -> lower docID wins, and the
+  heap is already full of lower-or-better entries);
+* decoded segments are scored with the exact evaluator float semantics
+  (float32 per-term scores, float64 disjunction accumulation).
+
+Strategy: per partition, split the doc space into elementary segments at
+block boundaries, process segments in DESCENDING bound order, and stop as
+soon as the next bound cannot beat the threshold (block-max maxscore order);
+each processed segment is scored fully vectorized.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import bm25
+from .postings import BLOCK, decode_block
+from .reader import IndexPartition
+
+
+def _term_weights(stats, terms: list[str], field: str = "text"):
+    n, sttf = stats.max_doc, stats.sum_dl
+    avgdl = bm25.avg_dl(sttf, n)
+    cache = bm25.norm_cache(avgdl)
+    wvs = []
+    for t in terms:
+        idf = bm25.idf(stats.df.get(t, 0), n)
+        wvs.append(np.float32(np.float32(idf) * np.float32(bm25.K1 + np.float32(1.0))))
+    return wvs, cache, float(avgdl)
+
+
+def wand_topk(
+    parts: list[IndexPartition],
+    stats,
+    terms: list[str],
+    k: int,
+    field: str = "text",
+) -> list[tuple[float, int]]:
+    """Exact top-k for OR(terms) over the given partitions with block-max
+    skipping.  Returns [(float32 score, doc_id)] in (score desc, doc asc)."""
+    wvs, cache, avgdl = _term_weights(stats, terms, field)
+    k1, b = float(bm25.K1), float(bm25.B)
+
+    cand_docs: list[np.ndarray] = []
+    cand_scores: list[np.ndarray] = []
+    threshold = -np.inf
+    n_in_heap = 0
+
+    def current_threshold():
+        nonlocal threshold, n_in_heap
+        if not cand_docs:
+            return
+        s = np.concatenate(cand_scores)
+        n_in_heap = len(s)
+        if n_in_heap >= k:
+            threshold = float(np.partition(s, -k)[-k])
+
+    for part in parts:
+        cells = []
+        for ti, t in enumerate(terms):
+            cell = part._cells.get(t)
+            if cell is None:
+                continue
+            first = np.asarray(cell["skip_first_doc"], dtype=np.int64)
+            last = np.asarray(cell["skip_last_doc"], dtype=np.int64)
+            mtf = np.asarray(cell["bm_max_tf"], dtype=np.float64)
+            mdl = np.asarray(cell["bm_min_dl"], dtype=np.float64)
+            min_cache = k1 * ((1.0 - b) + b * mdl / avgdl)
+            bounds = float(wvs[ti]) * mtf / (mtf + min_cache) * (1.0 + 1e-6)
+            cells.append((ti, cell, first, last, bounds))
+        if not cells:
+            continue
+
+        # elementary segments at block boundaries
+        points = np.unique(
+            np.concatenate(
+                [f for _, _, f, _, _ in cells] + [l + 1 for _, _, _, l, _ in cells]
+            )
+        )
+        seg_lo = points[:-1]
+        seg_hi = points[1:]  # segment = [lo, hi)
+        seg_bound = np.zeros(len(seg_lo), dtype=np.float64)
+        seg_blocks: list[list[tuple[int, int]]] = [[] for _ in range(len(seg_lo))]
+        for ci, (ti, cell, first, last, bounds) in enumerate(cells):
+            # block j overlaps segment i iff first[j] < seg_hi[i] and last[j] >= seg_lo[i]
+            j = np.searchsorted(last, seg_lo, side="left")
+            ok = (j < len(first)) & (first[np.minimum(j, len(first) - 1)] < seg_hi)
+            for i in np.flatnonzero(ok):
+                seg_bound[i] += bounds[j[i]]
+                seg_blocks[i].append((ci, int(j[i])))
+
+        order = np.argsort(-seg_bound, kind="stable")
+        decoded: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+        for si in order.tolist():
+            if n_in_heap >= k and seg_bound[si] <= threshold:
+                break  # all remaining segments bounded below the k-th score
+            lo, hi = int(seg_lo[si]), int(seg_hi[si])
+            per_term: list[tuple[np.ndarray, np.ndarray, int]] = []
+            for ci, bi in seg_blocks[si]:
+                ti, cell = cells[ci][0], cells[ci][1]
+                key = (ci, bi)
+                if key not in decoded:
+                    decoded[key] = decode_block(cell, bi)
+                d, f = decoded[key]
+                sel = (d >= lo) & (d < hi)
+                if sel.any():
+                    per_term.append((d[sel], f[sel], ti))
+            if not per_term:
+                continue
+            all_docs = np.unique(np.concatenate([d for d, _, _ in per_term]))
+            acc = np.zeros(len(all_docs), dtype=np.float64)
+            nb = part.norm_bytes(field, all_docs)
+            for d, f, ti in per_term:
+                idx = np.searchsorted(all_docs, d)
+                nb_t = nb[idx]
+                s = bm25.term_scores(f, nb_t, cache, wvs[ti])
+                acc[idx] += s.astype(np.float64)
+            cand_docs.append(all_docs)
+            cand_scores.append(acc.astype(np.float32))
+            current_threshold()
+
+    if not cand_docs:
+        return []
+    docs = np.concatenate(cand_docs)
+    scores = np.concatenate(cand_scores)
+    order = np.lexsort((docs, -scores.astype(np.float64)))[:k]
+    return [(float(scores[i]), int(docs[i])) for i in order]

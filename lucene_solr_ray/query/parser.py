@@ -1,0 +1,234 @@
+"""Classic Lucene query-syntax parser (subset) -> query AST.
+
+Recursive-descent re-specification of the classic JavaCC grammar
+(`lucene/queryparser/src/java/org/apache/lucene/queryparser/classic/QueryParserBase.java:486-799`
++ ``QueryParser.jj``) covering the surface the fixtures/tests exercise:
+
+* bare terms (analyzed through the same chain as indexing);
+* ``field:term`` (keyword fields -> FilterQ, the default text field -> TermQ);
+* ``"quoted phrase"`` -> PhraseQ (terms analyzed; stopwords removed);
+* ``+required -prohibited`` prefixes and ``AND / OR / NOT`` operators;
+* parenthesized groups;
+* ``term^2.5`` boosts;
+* ``field:[a TO b]`` / ``{a TO b}`` ranges -> RangeQ.
+
+Default operator is OR (``QueryParserBase.operators`` default), matching the
+reference's default ``q.op``.
+"""
+
+from __future__ import annotations
+
+import re
+
+from ..analysis.tokenizer import analyze
+from .ast import BoolQ, FilterQ, MatchAllQ, PhraseQ, RangeQ, TermQ
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<lparen>\() | (?P<rparen>\)) |
+    (?P<and>AND\b) | (?P<or>OR\b) | (?P<not>NOT\b) |
+    (?P<plus>\+) | (?P<minus>-) |
+    (?P<phrase>"(?P<phrase_body>[^"]*)") |
+    (?P<range>(?P<rfield>[A-Za-z_][\w.]*):(?P<lb>[\[{])(?P<lo>[^\s\]}]+)\s+TO\s+(?P<hi>[^\s\]}]+)(?P<rb>[\]}])) |
+    (?P<fphrase>(?P<pfield>[A-Za-z_][\w.]*):"(?P<pbody>[^"]*)") |
+    (?P<fielded>(?P<field>[A-Za-z_][\w.]*):(?P<fvalue>[^\s()^"]+)) |
+    (?P<term>[^\s()^"+-][^\s()^"]*) |
+    (?P<boost>\^(?P<bval>\d+(?:\.\d+)?))
+    """,
+    re.VERBOSE,
+)
+
+
+class QueryParseError(ValueError):
+    pass
+
+
+def _num(v: str):
+    try:
+        return int(v)
+    except ValueError:
+        try:
+            return float(v)
+        except ValueError:
+            return v
+
+
+class QueryParser:
+    """``parse(q)`` with a set of keyword (untokenized, StringField-like)
+    fields; everything else is analyzed full-text against ``default_field``."""
+
+    def __init__(self, default_field: str = "text", keyword_fields: tuple = ("host", "tld", "lang", "source")):
+        self.default_field = default_field
+        self.keyword_fields = set(keyword_fields)
+
+    def parse(self, q: str):
+        self._toks = self._lex(q)
+        self._i = 0
+        node = self._parse_or()
+        if self._i != len(self._toks):
+            raise QueryParseError(f"trailing input at token {self._i}: {self._toks[self._i:]}")
+        if node is None:
+            return MatchAllQ()
+        return node
+
+    # -- lexer ----------------------------------------------------------------
+
+    def _lex(self, q: str):
+        out = []
+        pos = 0
+        if q.strip() in ("", "*", "*:*"):
+            return [("matchall", None)]
+        while pos < len(q):
+            if q[pos].isspace():
+                pos += 1
+                continue
+            m = _TOKEN_RE.match(q, pos)
+            if not m:
+                raise QueryParseError(f"cannot lex at {pos}: {q[pos:pos+10]!r}")
+            kind = m.lastgroup if m.lastgroup in (
+                "lparen", "rparen", "and", "or", "not", "plus", "minus") else None
+            if kind:
+                out.append((kind, None))
+            elif m.group("phrase") is not None:
+                out.append(("phrase", m.group("phrase_body")))
+            elif m.group("range") is not None:
+                out.append(
+                    (
+                        "range",
+                        (
+                            m.group("rfield"),
+                            _num(m.group("lo")),
+                            _num(m.group("hi")),
+                            m.group("lb") == "[",
+                            m.group("rb") == "]",
+                        ),
+                    )
+                )
+            elif m.group("fphrase") is not None:
+                out.append(("phrase", m.group("pbody")))  # field-scoped phrase -> default text field
+            elif m.group("fielded") is not None:
+                out.append(("fielded", (m.group("field"), m.group("fvalue"))))
+            elif m.group("boost") is not None:
+                out.append(("boost", float(m.group("bval"))))
+            else:
+                out.append(("term", m.group("term")))
+            pos = m.end()
+        return out
+
+    # -- parser ---------------------------------------------------------------
+
+    def _peek(self):
+        return self._toks[self._i] if self._i < len(self._toks) else (None, None)
+
+    def _parse_or(self):
+        clauses = [self._parse_and()]
+        while self._peek()[0] == "or":
+            self._i += 1
+            clauses.append(self._parse_and())
+        clauses = [c for c in clauses if c is not None]
+        if not clauses:
+            return None
+        if len(clauses) == 1:
+            return clauses[0]
+        return BoolQ(should=tuple(clauses))
+
+    def _parse_and(self):
+        must: list = []
+        must_not: list = []
+        should: list = []
+        explicit_and = False
+
+        def take_clause():
+            kind, _ = self._peek()
+            if kind == "plus":
+                self._i += 1
+                c = self._parse_atom()
+                if c is not None:
+                    must.append(c)
+            elif kind in ("minus", "not"):
+                self._i += 1
+                c = self._parse_atom()
+                if c is not None:
+                    must_not.append(c)
+            else:
+                c = self._parse_atom()
+                if c is not None:
+                    should.append(c)
+
+        take_clause()
+        while True:
+            kind, _ = self._peek()
+            if kind == "and":
+                self._i += 1
+                explicit_and = True
+                take_clause()
+            elif kind in ("plus", "minus", "not", "term", "fielded", "phrase", "range", "lparen", "matchall"):
+                take_clause()
+            else:
+                break
+
+        if explicit_and:
+            must.extend(should)
+            should = []
+        if not must and not should and must_not:
+            # pure negation: prohibit against all docs (Solr-style -foo)
+            return BoolQ(must=(MatchAllQ(),), must_not=tuple(must_not))
+        if len(must) == 1 and not should and not must_not:
+            return must[0]
+        if len(should) == 1 and not must and not must_not:
+            return should[0]
+        if not must and not should and not must_not:
+            return None
+        return BoolQ(must=tuple(must), should=tuple(should), must_not=tuple(must_not))
+
+    def _parse_atom(self):
+        kind, val = self._peek()
+        if kind == "matchall":
+            self._i += 1
+            return MatchAllQ()
+        if kind == "lparen":
+            self._i += 1
+            node = self._parse_or()
+            if self._peek()[0] != "rparen":
+                raise QueryParseError("unbalanced parenthesis")
+            self._i += 1
+            return self._maybe_boost(node)
+        if kind == "phrase":
+            self._i += 1
+            terms = tuple(t for t, _ in analyze(val))
+            if not terms:
+                return None
+            node = PhraseQ(terms) if len(terms) > 1 else TermQ(terms[0])
+            return self._maybe_boost(node)
+        if kind == "range":
+            self._i += 1
+            f, lo, hi, inc_lo, inc_hi = val
+            lo = None if lo == "*" else lo
+            hi = None if hi == "*" else hi
+            return RangeQ(f, lo, hi, inc_lo, inc_hi)
+        if kind == "fielded":
+            self._i += 1
+            f, v = val
+            if f in self.keyword_fields:
+                return self._maybe_boost(FilterQ(f, v))
+            terms = [t for t, _ in analyze(v)]
+            if not terms:
+                return None
+            node = TermQ(terms[0], field=self.default_field) if len(terms) == 1 else PhraseQ(tuple(terms))
+            return self._maybe_boost(node)
+        if kind == "term":
+            self._i += 1
+            terms = [t for t, _ in analyze(val)]
+            if not terms:
+                return None  # pure stopword — dropped like an empty clause
+            node = TermQ(terms[0]) if len(terms) == 1 else PhraseQ(tuple(terms))
+            return self._maybe_boost(node)
+        raise QueryParseError(f"unexpected token {kind}")
+
+    def _maybe_boost(self, node):
+        if self._peek()[0] == "boost":
+            _, b = self._toks[self._i]
+            self._i += 1
+            if isinstance(node, (TermQ, PhraseQ)):
+                node = type(node)(**{**node.__dict__, "boost": b})
+        return node

@@ -1,0 +1,131 @@
+"""WAND rank-identity, query parser, sparse/NPlane counters."""
+
+import numpy as np
+import pytest
+
+from lucene_solr_ray.index.reader import LocalIndex
+from lucene_solr_ray.index.wand import wand_topk
+from lucene_solr_ray.query.ast import BoolQ, Evaluator, FilterQ, MatchAllQ, PhraseQ, RangeQ, TermQ, top_k
+from lucene_solr_ray.query.parser import QueryParser
+from lucene_solr_ray.state.sparse_counter import CounterPool, NPlaneCounter, SparseCounter
+
+
+@pytest.fixture(scope="module")
+def local_index(pages_corpus):
+    return LocalIndex(pages_corpus["index_dir"])
+
+
+class TestWand:
+    def test_single_term_rank_identical(self, local_index, oracle_index):
+        for term in ["luko", "kalo", "zeph", "tali", "doesnotexist"]:
+            got = wand_topk(local_index.parts, local_index.stats, [term], 10)
+            assert got == oracle_index.search(TermQ(term), 10), term
+
+    def test_disjunction_rank_identical(self, local_index, oracle_index):
+        for terms in [["luko", "kalo"], ["zeph", "tali", "mado"], ["kibezimi", "luko"]]:
+            got = wand_topk(local_index.parts, local_index.stats, terms, 10)
+            want = oracle_index.search(BoolQ(should=tuple(TermQ(t) for t in terms)), 10)
+            assert got == want, terms
+
+    def test_large_k(self, local_index, oracle_index):
+        got = wand_topk(local_index.parts, local_index.stats, ["luko"], 500)
+        assert got == oracle_index.search(TermQ("luko"), 500)
+
+    def test_actor_path_uses_wand(self, ray_session, pages_corpus, oracle_index):
+        from lucene_solr_ray.index.searcher import RayIndexSearcher
+
+        s = RayIndexSearcher(pages_corpus["index_dir"], num_actors=2)
+        try:
+            res = s.search(TermQ("luko"), k=10)
+            assert res["topk"] == oracle_index.search(TermQ("luko"), 10)
+            # exact total for single term
+            assert res["total_hits"] == len(oracle_index.search(TermQ("luko"), 10**9))
+        finally:
+            s.shutdown()
+
+
+class TestParser:
+    def test_shapes(self):
+        p = QueryParser()
+        assert p.parse("fox") == TermQ("fox")
+        assert p.parse("quick AND fox") == BoolQ(must=(TermQ("quick"), TermQ("fox")))
+        assert p.parse("quick OR fox") == BoolQ(should=(TermQ("quick"), TermQ("fox")))
+        assert p.parse('"lazy dog"') == PhraseQ(("lazy", "dog"))
+        assert p.parse("host:a.example") == FilterQ("host", "a.example")
+        assert p.parse("dl:[1 TO 5]") == RangeQ("dl", 1, 5, True, True)
+        assert p.parse("dl:{1 TO 5}") == RangeQ("dl", 1, 5, False, False)
+        assert p.parse("*:*") == MatchAllQ()
+        assert p.parse("fox^2.5") == TermQ("fox", boost=2.5)
+        q = p.parse("+quick -lazy fox")
+        assert q.must == (TermQ("quick"),) and q.must_not == (TermQ("lazy"),)
+
+    def test_analysis_applied(self):
+        p = QueryParser()
+        # query text is analyzed: lowercased, stopwords removed
+        assert p.parse("The Fox") == TermQ("fox")
+        assert p.parse("the") == MatchAllQ()  # all-stopword query
+
+    def test_parsed_query_executes(self, local_index, oracle_index):
+        p = QueryParser()
+        for q in ["luko", "luko AND kalo", '+luko -kalo zeph', 'lang:en AND luko', '"luko kalo"']:
+            ast = p.parse(q)
+            docs, scores = Evaluator(local_index).scored(ast)
+            assert top_k(docs, scores, 10) == oracle_index.search(ast, 10), q
+
+
+class TestCounters:
+    def _maxima(self):
+        rng = np.random.default_rng(1)
+        return np.concatenate(
+            [np.ones(500), rng.integers(1, 4, 300), rng.integers(4, 300, 50), rng.integers(300, 50000, 5)]
+        ).astype(np.int64)
+
+    def test_nplane_equals_dense(self):
+        maxima = self._maxima()
+        n = len(maxima)
+        rng = np.random.default_rng(2)
+        c = NPlaneCounter(maxima)
+        ref = np.zeros(n, dtype=np.int64)
+        for _ in range(30):
+            ords = rng.choice(n, size=rng.integers(1, 150))
+            keep, tmp = [], ref.copy()
+            for o in ords:
+                if tmp[o] < maxima[o]:
+                    keep.append(o)
+                    tmp[o] += 1
+            ords = np.array(keep, dtype=np.int64)
+            c.inc(ords)
+            np.add.at(ref, ords, 1)
+        o, v = c.nonzero()
+        assert (ref[o] == v).all() and len(o) == (ref > 0).sum()
+        assert c.get(np.arange(n)).tolist() == ref.tolist()
+
+    def test_nplane_plane_structure_is_longtail(self):
+        c = NPlaneCounter(self._maxima())
+        sizes = [len(p["members"]) for p in c.planes]
+        assert sizes == sorted(sizes, reverse=True)  # fewer ords need more bits
+        assert c.planes[0]["bits"] == 1
+
+    def test_sparse_tracker_and_explosion(self):
+        c = SparseCounter(10_000, cutoff=0.01)
+        c.inc(np.array([1, 1, 5]))
+        assert c.is_sparse
+        o, v = c.nonzero()
+        assert o.tolist() == [1, 5] and v.tolist() == [2, 1]
+        c.inc(np.arange(5000))  # way past cutoff -> explodes to dense
+        assert not c.is_sparse
+        o, v = c.nonzero()
+        assert v.sum() == 3 + 5000
+
+    def test_sparse_heuristic(self):
+        assert SparseCounter.use_sparse(hits=10, avg_refs=1.0, n_ords=10_000)
+        assert not SparseCounter.use_sparse(hits=9_000, avg_refs=1.0, n_ords=10_000)
+
+    def test_pool_reuse(self):
+        pool = CounterPool()
+        a = pool.acquire("f", lambda: SparseCounter(100))
+        a.inc(np.array([1]))
+        pool.release("f", a)
+        b = pool.acquire("f", lambda: SparseCounter(100))
+        assert b is a and b.nonzero()[0].size == 0  # cleared on release
+        assert pool.hits == 1 and pool.misses == 1
