@@ -93,6 +93,7 @@ class SegmentSearcher:
         k: int = 10,
         facet_fields: tuple = (),
         facet_ord_limit: int | None = None,
+        after: tuple | None = None,
     ) -> dict:
         """-> {topk: [(score, doc)], total_hits, facets: {f: (ords, counts)}}.
 
@@ -105,7 +106,7 @@ class SegmentSearcher:
         as the reference's facet collection.
         """
         wand_terms = _wand_eligible(query)
-        if wand_terms is not None and not facet_fields:
+        if wand_terms is not None and not facet_fields and after is None:
             from .wand import wand_topk
 
             topk = wand_topk(self.parts, self.stats, wand_terms, k)
@@ -129,7 +130,7 @@ class SegmentSearcher:
             scores_all.append(scores)
         docs = np.concatenate(all_hits) if all_hits else np.empty(0, dtype=np.int64)
         scores = np.concatenate(scores_all) if scores_all else np.empty(0, dtype=np.float32)
-        topk = top_k(docs, scores, k)
+        topk = top_k(docs, scores, k, after=after)
 
         facets: dict[str, tuple] = {}
         for f in facet_fields:
@@ -147,6 +148,19 @@ class SegmentSearcher:
                 ords, counts = ords[sel], counts[sel]
             facets[f] = (ords, counts)
         return {"topk": topk, "total_hits": int(len(docs)), "facets": facets}
+
+    def scores_for_docs(self, query, doc_ids: list[int]) -> dict:
+        """Scores of *query* restricted to the given docs (ReRank support:
+        `solr/core/src/java/org/apache/solr/search/ReRankQParserPlugin.java`
+        rescores only the first-pass top-N)."""
+        want = np.asarray(sorted(doc_ids), dtype=np.int64)
+        out: dict[int, float] = {}
+        for part in self.parts:
+            docs, scores = Evaluator(part).scored(query)
+            keep = np.isin(docs, want, assume_unique=True)
+            for d, sc in zip(docs[keep].tolist(), scores[keep].tolist()):
+                out[int(d)] = float(sc)
+        return out
 
     def count_specific(self, query, field: str, target_ords: list[int]) -> list[int]:
         """Refinement: exact counts for specific ordinals
@@ -185,6 +199,36 @@ class RayIndexSearcher:
             ray.kill(a)
         self.actors = []
 
+    def rerank(self, query, rerank_query, k: int = 10, rerank_docs: int = 50,
+               rerank_weight: float = 2.0) -> list[tuple[float, int]]:
+        """ReRankQParserPlugin semantics: take the first-pass top
+        ``rerank_docs``, add ``rerank_weight * second_query_score`` (float32)
+        to the docs the second query matches, re-sort (score desc, doc asc).
+        """
+        first = self.search(query, k=rerank_docs)["topk"]
+        ids = [d for _, d in first]
+        futs = [a.scores_for_docs.remote(rerank_query, ids) for a in self.actors]
+        second: dict[int, float] = {}
+        for r in ray.get(futs):
+            second.update(r)
+        combined = []
+        for s, d in first:
+            s2 = second.get(d)
+            ns = np.float32(s) if s2 is None else np.float32(
+                np.float32(s) + np.float32(rerank_weight) * np.float32(s2)
+            )
+            combined.append((float(ns), d))
+        combined.sort(key=lambda sd: (-sd[0], sd[1]))
+        return combined[:k]
+
+    def search_after(self, query, cursor: tuple | None, k: int = 10) -> dict:
+        """cursorMark deep paging: ``cursor`` is the last (score, doc_id) of
+        the previous page (None = first page).  Returns {topk, next_cursor}.
+        """
+        res = self.search(query, k=k, after=cursor)
+        nxt = res["topk"][-1] if res["topk"] else None
+        return {"topk": res["topk"], "next_cursor": nxt}
+
     def search(
         self,
         query,
@@ -194,6 +238,7 @@ class RayIndexSearcher:
         facet_limit: int = 100,
         facet_mincount: int = 0,
         facet_overrequest: bool = False,
+        after: tuple | None = None,
     ) -> dict:
         """Distributed search; returns merged top-k + facet lists.
 
@@ -207,7 +252,10 @@ class RayIndexSearcher:
         if facet_overrequest and facet_fields:
             shard_limit = int(facet_limit * 1.5) + 10
         futs = [
-            a.search.remote(query, k=offset + k, facet_fields=facet_fields, facet_ord_limit=shard_limit)
+            a.search.remote(
+                query, k=offset + k, facet_fields=facet_fields,
+                facet_ord_limit=shard_limit, after=after,
+            )
             for a in self.actors
         ]
         results = ray.get(futs)

@@ -278,9 +278,26 @@ class Evaluator:
         return docs, bm25.term_scores(freqs, nb, self._cache(q.field), wv)
 
 
-def top_k(docs: np.ndarray, scores: np.ndarray, k: int) -> list[tuple[float, int]]:
-    """Total order (score desc, doc_id asc) — HitQueue.java:76-78."""
+def top_k(
+    docs: np.ndarray,
+    scores: np.ndarray,
+    k: int,
+    after: tuple[float, int] | None = None,
+) -> list[tuple[float, int]]:
+    """Total order (score desc, doc_id asc) — HitQueue.java:76-78.
+
+    ``after=(score, doc_id)`` implements searchAfter / cursorMark deep paging
+    (`IndexSearcher.java:242-266`, `solr/.../search/CursorMark.java:54-90`):
+    only docs strictly after the totem in the total order are returned.
+    Stateless and partition-stable — each scope can apply it independently.
+    """
     if len(docs) == 0:
         return []
+    if after is not None:
+        a_score, a_doc = np.float32(after[0]), int(after[1])
+        keep = (scores < a_score) | ((scores == a_score) & (docs > a_doc))
+        docs, scores = docs[keep], scores[keep]
+        if len(docs) == 0:
+            return []
     order = np.lexsort((docs, -scores.astype(np.float64)))[:k]
     return [(float(scores[i]), int(docs[i])) for i in order]
