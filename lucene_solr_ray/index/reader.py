@@ -149,6 +149,9 @@ class IndexPartition(TermSource):
     def global_stats(self, field):
         return self.stats.max_doc, self.stats.sum_dl
 
+    def vocabulary(self, field):
+        return self.stats.df.keys()
+
     # -- faceting support -----------------------------------------------------
 
     def facet_ords(self, field: str, hit_doc_ids: np.ndarray) -> np.ndarray:
@@ -216,3 +219,6 @@ class LocalIndex(TermSource):
 
     def global_stats(self, field):
         return self.stats.max_doc, self.stats.sum_dl
+
+    def vocabulary(self, field):
+        return self.stats.df.keys()

@@ -96,6 +96,9 @@ class OracleIndex(TermSource):
     def global_stats(self, field):
         return self.max_doc, self.sum_ttf
 
+    def vocabulary(self, field):
+        return self._post.keys()
+
     # -- search / facets ------------------------------------------------------
 
     def search(self, query, k: int = 10) -> list[tuple[float, int]]:

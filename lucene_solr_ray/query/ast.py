@@ -88,6 +88,26 @@ class MatchAllQ:
     pass
 
 
+@dataclass(frozen=True)
+class MultiTermQ:
+    """Prefix / wildcard / regexp / fuzzy query — expanded over the GLOBAL
+    term dictionary then evaluated as a constant-score union of the matched
+    terms' postings (the reference's CONSTANT_SCORE rewrite of
+    ``MultiTermQuery``; `lucene/core/src/java/org/apache/lucene/search/
+    MultiTermQuery.java`, `PrefixQuery/WildcardQuery/RegexpQuery/FuzzyQuery`).
+
+    kind: "prefix" | "wildcard" | "regexp" | "fuzzy".
+    For fuzzy, ``arg2`` is maxEdits (default 2, `FuzzyQuery` default).
+    Expansion scans the dictionary (at scale: sorted-term range scan for
+    prefix, automaton intersection for the rest — documented follow-up).
+    """
+
+    kind: str
+    arg: str
+    field: str = DEFAULT_FIELD
+    arg2: int = 2
+
+
 # ---- data source protocol ---------------------------------------------------
 
 
@@ -113,6 +133,49 @@ class TermSource(Protocol):
     def global_df(self, field: str, term: str) -> int: ...
     def global_stats(self, field: str) -> tuple[int, int]:
         """-> (max_doc, sum_total_term_freq)."""
+
+    def vocabulary(self, field: str):
+        """iterable of all terms in the global dictionary (for MultiTermQ)."""
+
+
+def _edit_distance_le(a: str, b: str, k: int) -> bool:
+    """Levenshtein(a,b) <= k with banded DP early exit."""
+    if abs(len(a) - len(b)) > k:
+        return False
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        best = cur[0]
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            best = min(best, cur[j])
+        if best > k:
+            return False
+        prev = cur
+    return prev[-1] <= k
+
+
+def expand_multiterm(q: "MultiTermQ", vocabulary) -> list[str]:
+    """Dictionary expansion for MultiTermQ (shared by oracle and engine)."""
+    import re as _re
+
+    if q.kind == "prefix":
+        return sorted(t for t in vocabulary if t.startswith(q.arg))
+    if q.kind == "wildcard":
+        pat = _re.compile(
+            "".join(
+                ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
+                for ch in q.arg
+            )
+            + r"\Z"
+        )
+        return sorted(t for t in vocabulary if pat.match(t))
+    if q.kind == "regexp":
+        pat = _re.compile(q.arg + r"\Z")
+        return sorted(t for t in vocabulary if pat.match(t))
+    if q.kind == "fuzzy":
+        return sorted(t for t in vocabulary if _edit_distance_le(t, q.arg, q.arg2))
+    raise ValueError(q.kind)
 
 
 # ---- evaluation -------------------------------------------------------------
@@ -166,6 +229,15 @@ class Evaluator:
 
         if isinstance(q, MatchAllQ):
             docs = self.src.all_docs()
+            return docs, np.full(len(docs), np.float32(1.0), dtype=np.float32)
+
+        if isinstance(q, MultiTermQ):
+            terms = expand_multiterm(q, self.src.vocabulary(q.field))
+            docs_parts = [self.src.postings(q.field, t)[0] for t in terms]
+            docs_parts = [d for d in docs_parts if len(d)]
+            if not docs_parts:
+                return _EMPTY_I, _EMPTY_F
+            docs = np.unique(np.concatenate(docs_parts))
             return docs, np.full(len(docs), np.float32(1.0), dtype=np.float32)
 
         if isinstance(q, BoolQ):

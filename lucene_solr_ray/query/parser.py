@@ -21,7 +21,7 @@ from __future__ import annotations
 import re
 
 from ..analysis.tokenizer import analyze
-from .ast import BoolQ, FilterQ, MatchAllQ, PhraseQ, RangeQ, TermQ
+from .ast import BoolQ, FilterQ, MatchAllQ, MultiTermQ, PhraseQ, RangeQ, TermQ
 
 _TOKEN_RE = re.compile(
     r"""
@@ -30,6 +30,8 @@ _TOKEN_RE = re.compile(
     (?P<plus>\+) | (?P<minus>-) |
     (?P<phrase>"(?P<phrase_body>[^"]*)") |
     (?P<range>(?P<rfield>[A-Za-z_][\w.]*):(?P<lb>[\[{])(?P<lo>[^\s\]}]+)\s+TO\s+(?P<hi>[^\s\]}]+)(?P<rb>[\]}])) |
+    (?P<regexq>/(?P<rbody>[^/]+)/) |
+    (?P<fuzzy>(?P<fbody>[^\s()^"~+-][^\s()^"~]*)~(?P<fedits>\d)?) |
     (?P<fphrase>(?P<pfield>[A-Za-z_][\w.]*):"(?P<pbody>[^"]*)") |
     (?P<fielded>(?P<field>[A-Za-z_][\w.]*):(?P<fvalue>[^\s()^"]+)) |
     (?P<term>[^\s()^"+-][^\s()^"]*) |
@@ -104,6 +106,10 @@ class QueryParser:
                         ),
                     )
                 )
+            elif m.group("regexq") is not None:
+                out.append(("regexq", m.group("rbody")))
+            elif m.group("fuzzy") is not None:
+                out.append(("fuzzy", (m.group("fbody"), int(m.group("fedits") or 2))))
             elif m.group("fphrase") is not None:
                 out.append(("phrase", m.group("pbody")))  # field-scoped phrase -> default text field
             elif m.group("fielded") is not None:
@@ -162,7 +168,7 @@ class QueryParser:
                 self._i += 1
                 explicit_and = True
                 take_clause()
-            elif kind in ("plus", "minus", "not", "term", "fielded", "phrase", "range", "lparen", "matchall"):
+            elif kind in ("plus", "minus", "not", "term", "fielded", "phrase", "range", "lparen", "matchall", "regexq", "fuzzy"):
                 take_clause()
             else:
                 break
@@ -200,6 +206,13 @@ class QueryParser:
                 return None
             node = PhraseQ(terms) if len(terms) > 1 else TermQ(terms[0])
             return self._maybe_boost(node)
+        if kind == "regexq":
+            self._i += 1
+            return MultiTermQ("regexp", val.lower())
+        if kind == "fuzzy":
+            self._i += 1
+            body, edits = val
+            return MultiTermQ("fuzzy", body.lower(), arg2=edits)
         if kind == "range":
             self._i += 1
             f, lo, hi, inc_lo, inc_hi = val
@@ -218,6 +231,13 @@ class QueryParser:
             return self._maybe_boost(node)
         if kind == "term":
             self._i += 1
+            if "*" in val or "?" in val:
+                # wildcard terms are lowercased but NOT analyzed
+                # (QueryParserBase.getWildcardQuery / lowercase_expanded_terms)
+                w = val.lower()
+                if w.endswith("*") and "*" not in w[:-1] and "?" not in w:
+                    return self._maybe_boost(MultiTermQ("prefix", w[:-1]))
+                return self._maybe_boost(MultiTermQ("wildcard", w))
             terms = [t for t, _ in analyze(val)]
             if not terms:
                 return None  # pure stopword — dropped like an empty clause
