@@ -116,7 +116,7 @@ def run_bench() -> dict:
     man = build_index(
         files,
         ix_pages,
-        rows_per_partition=int(os.environ.get("BENCH_RPP", "1024")),
+        rows_per_partition=int(os.environ.get("BENCH_RPP", "8192")),
         multi_facet_fields=("links_sim",),
         tokenize_batch_size=512,
     )

@@ -238,28 +238,24 @@ def build_index(
     # ---- stage 4: doc-map (norms + doc values) -----------------------------
     if not (resume and _stage_done(index_dir, "docmap")):
         t0 = time.time()
-        dicts = {
-            f: {v: i for i, v in enumerate(pq.read_table(os.path.join(dicts_dir, f"{f}.parquet"))["value"].to_pylist())}
+        dict_arrays = {
+            f: pq.read_table(os.path.join(dicts_dir, f"{f}.parquet"))["value"].combine_chunks()
             for f in (*facet_fields, *multi_facet_fields)
         }
-        dicts_ref = ray.put(dicts)
+        dicts_ref = ray.put(dict_arrays)
 
         def to_ords(batch: pa.Table) -> pa.Table:
+            """value -> global ordinal via Arrow's C++ index_in (vectorized)."""
             d = ray.get(dicts_ref)
-            cols = {c: batch[c] for c in batch.column_names if c not in (*facet_fields, *multi_facet_fields)}
+            cols = {c: batch[c] for c in batch.column_names if c not in multi_facet_fields}
             for f in facet_fields:
-                m = d[f]
-                cols[f + "_ord"] = pa.array(
-                    [m.get(v, -1) if v is not None else -1 for v in batch[f].to_pylist()],
-                    type=pa.int32(),
-                )
-                cols[f] = batch[f]
+                idx = pc.index_in(batch[f].combine_chunks(), value_set=d[f])
+                cols[f + "_ord"] = pc.fill_null(pc.cast(idx, pa.int32()), -1)
             for f in multi_facet_fields:
-                m = d[f]
-                cols[f + "_ords"] = pa.array(
-                    [[m[v] for v in lst] if lst is not None else [] for lst in batch[f].to_pylist()],
-                    type=pa.list_(pa.int32()),
-                )
+                col = batch[f].combine_chunks()
+                flat = pc.list_flatten(col)
+                idx = pc.fill_null(pc.cast(pc.index_in(flat, value_set=d[f]), pa.int32()), -1)
+                cols[f + "_ords"] = pa.ListArray.from_arrays(col.offsets, idx)
             return pa.table(cols)
 
         cols = ["doc_id", "partition_id", "dl", "norm"] + keep_fields

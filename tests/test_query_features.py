@@ -1,0 +1,90 @@
+"""searchAfter paging, ReRank, MultiTerm queries — engine vs oracle."""
+
+import pytest
+
+from lucene_solr_ray.index.reader import LocalIndex
+from lucene_solr_ray.query.ast import (
+    BoolQ,
+    Evaluator,
+    MultiTermQ,
+    TermQ,
+    top_k,
+)
+
+
+@pytest.fixture(scope="module")
+def local_index(pages_corpus):
+    return LocalIndex(pages_corpus["index_dir"])
+
+
+def test_search_after_pages_are_disjoint_and_ordered(local_index, oracle_index):
+    docs, scores = Evaluator(local_index).scored(TermQ("luko"))
+    full = top_k(docs, scores, 30)
+    # page through 3 pages of 10 and compare against the one-shot top-30
+    pages, cursor = [], None
+    for _ in range(3):
+        page = top_k(docs, scores, 10, after=cursor)
+        if not page:
+            break
+        pages.extend(page)
+        cursor = page[-1]
+    assert pages == full
+
+
+def test_search_after_distributed(ray_session, pages_corpus, oracle_index):
+    from lucene_solr_ray.index.searcher import RayIndexSearcher
+
+    s = RayIndexSearcher(pages_corpus["index_dir"], num_actors=2)
+    try:
+        q = BoolQ(should=(TermQ("luko"), TermQ("kalo")))
+        want = oracle_index.search(q, 30)
+        got, cursor = [], None
+        for _ in range(3):
+            res = s.search_after(q, cursor, k=10)
+            got.extend(res["topk"])
+            cursor = res["next_cursor"]
+            if cursor is None:
+                break
+        assert got == want
+    finally:
+        s.shutdown()
+
+
+def test_rerank(ray_session, pages_corpus, oracle_index):
+    from lucene_solr_ray.index.searcher import RayIndexSearcher
+    import numpy as np
+
+    s = RayIndexSearcher(pages_corpus["index_dir"], num_actors=2)
+    try:
+        base, boost = TermQ("luko"), TermQ("kalo")
+        got = s.rerank(base, boost, k=10, rerank_docs=30, rerank_weight=2.0)
+        # oracle-side replica of ReRank semantics
+        first = oracle_index.search(base, 30)
+        second = dict(
+            (d, sc) for sc, d in oracle_index.search(boost, 10**9)
+        )
+        comb = []
+        for sc, d in first:
+            s2 = second.get(d)
+            ns = np.float32(sc) if s2 is None else np.float32(
+                np.float32(sc) + np.float32(2.0) * np.float32(s2)
+            )
+            comb.append((float(ns), d))
+        comb.sort(key=lambda x: (-x[0], x[1]))
+        assert got == comb[:10]
+    finally:
+        s.shutdown()
+
+
+def test_multiterm_engine_equals_oracle(local_index, oracle_index):
+    # engine expands over the global dict; oracle over its own postings keys —
+    # same vocabulary by construction
+    for q in [
+        MultiTermQ("prefix", "lu"),
+        MultiTermQ("wildcard", "z?ph*"),
+        MultiTermQ("regexp", "ka.o"),
+        MultiTermQ("fuzzy", "kalo", arg2=1),
+        BoolQ(must=(MultiTermQ("prefix", "luk"), TermQ("zeph"))),
+    ]:
+        docs, scores = Evaluator(local_index).scored(q)
+        assert top_k(docs, scores, 25) == oracle_index.search(q, 25), q
