@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_counts": rl.events_hourly_counts,
         "group_top1_orders": rl.group_top1_orders,
         "semi_join_customers": rl.semi_join_customers,
+        "hash_join_orders_customer": rl.hash_join_orders_customer,
         "block_join_orders": rl.block_join_orders,
         "function_query_part": rl.function_query_part,
         # -- multimodal plumbing --
@@ -184,6 +185,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey, o_orderkey, o_totalprice FROM orders
             QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) = 1
             ORDER BY o_custkey""",
+        "hash_join_orders_customer": """
+            SELECT o_orderkey, c_name, o_totalprice
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE o_totalprice > 400000 ORDER BY o_orderkey""",
         "semi_join_customers": """
             SELECT c_custkey, c_name FROM customer
             WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 150000)

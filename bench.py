@@ -37,6 +37,9 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 PAGES_N = int(os.environ.get("BENCH_PAGES_N", "60000"))
 PAGES_FILES = 64
 PAGES_CACHE = f"/tmp/lsr_bench_pages_{PAGES_N}"
+# index artifacts go to tmpfs: virtio-disk latency jitter otherwise dominates
+# the measurement on this sandbox (the corpus input stays on disk, warmed)
+WORKDIR = os.environ.get("BENCH_WORKDIR", "/dev/shm/lsr_bench")
 
 
 def _ensure_pages(ray):
@@ -100,7 +103,7 @@ def run_bench() -> dict:
         return i
 
     ray.get([_spawn_worker.remote(i) for i in range(NUM_CPUS * 2)])
-    warm_ix = f"/tmp/lsr_bench_warm_{NUM_CPUS}"
+    warm_ix = f"{WORKDIR}/warm_{NUM_CPUS}"
     shutil.rmtree(warm_ix, ignore_errors=True)
     build_index(
         files[:8],
@@ -110,7 +113,7 @@ def run_bench() -> dict:
     )
     shutil.rmtree(warm_ix, ignore_errors=True)
 
-    ix_pages = f"/tmp/lsr_bench_ixpages_{NUM_CPUS}"
+    ix_pages = f"{WORKDIR}/ixpages_{NUM_CPUS}"
     shutil.rmtree(ix_pages, ignore_errors=True)
     t0 = time.time()
     man = build_index(
@@ -165,7 +168,7 @@ def run_bench() -> dict:
     import ray.data as rd
 
     docs_path = os.path.join(SF_DIR, "documents.parquet")
-    ix_docs = f"/tmp/lsr_bench_ixdocs_{NUM_CPUS}"
+    ix_docs = f"{WORKDIR}/ixdocs_{NUM_CPUS}"
     shutil.rmtree(ix_docs, ignore_errors=True)
     t0 = time.time()
     build_index(

@@ -199,265 +199,277 @@ def build_index(
         ds.write_parquet(tokenized_dir, partition_cols=["partition_id"], mode="overwrite")
         _mark_stage(index_dir, "tokenized", secs=time.time() - t0, fingerprint=fingerprint)
 
-    # ---- stage 3: facet dictionaries (OrdinalMap analog) -------------------
-    if not (resume and _stage_done(index_dir, "dicts")):
-        t0 = time.time()
-        os.makedirs(dicts_dir, exist_ok=True)
-        # per-block unique (Arrow C++), then a driver-side set union: the
-        # dictionary is bounded by field cardinality, which is what also makes
-        # it loadable at query time.  (The 640M-value `links` histogram of the
-        # reference would instead use a distributed sorted-dict build; the
-        # per-block-unique stage is the same, only the union shards.)
-        all_fields = [*facet_fields, *multi_facet_fields]
-        if all_fields:
+    # ---- stages 3+4 (dicts -> docmap) and stage 5 (postings) are
+    # independent given the tokenized checkpoint: run them on two driver
+    # threads so their Ray jobs overlap (fills scheduler gaps; both
+    # parallelism levels benefit, which is what the scaling metric sees).
+    def _run_dicts_docmap():
+        # ---- stage 3: facet dictionaries (OrdinalMap analog) -------------------
+        if not (resume and _stage_done(index_dir, "dicts")):
+            t0 = time.time()
+            os.makedirs(dicts_dir, exist_ok=True)
+            # per-block unique (Arrow C++), then a driver-side set union: the
+            # dictionary is bounded by field cardinality, which is what also makes
+            # it loadable at query time.  (The 640M-value `links` histogram of the
+            # reference would instead use a distributed sorted-dict build; the
+            # per-block-unique stage is the same, only the union shards.)
+            all_fields = [*facet_fields, *multi_facet_fields]
+            if all_fields:
 
-            def block_uniques(t: pa.Table) -> pa.Table:
-                cols = {}
+                def block_uniques(t: pa.Table) -> pa.Table:
+                    cols = {}
+                    for f in facet_fields:
+                        cols[f] = [pc.unique(t[f].combine_chunks()).to_pylist()]
+                    for f in multi_facet_fields:
+                        cols[f] = [pc.unique(pc.list_flatten(t[f].combine_chunks())).to_pylist()]
+                    return pa.table(cols)
+
+                blocks = (
+                    _read_sized(tokenized_dir, columns=list(all_fields))
+                    .map_batches(block_uniques, batch_format="pyarrow")
+                    .take_all()
+                )
+                for f in all_fields:
+                    seen: set = set()
+                    for b in blocks:
+                        seen.update(v for v in b[f] if v is not None)
+                    vals = sorted(seen, key=lambda s: str(s).encode())
+                    pq.write_table(
+                        pa.table({"value": pa.array(vals, type=pa.string())}),
+                        os.path.join(dicts_dir, f"{f}.parquet"),
+                    )
+            _mark_stage(index_dir, "dicts", secs=time.time() - t0)
+
+        # ---- stage 4: doc-map (norms + doc values) -----------------------------
+        if not (resume and _stage_done(index_dir, "docmap")):
+            t0 = time.time()
+            dict_arrays = {
+                f: pq.read_table(os.path.join(dicts_dir, f"{f}.parquet"))["value"].combine_chunks()
+                for f in (*facet_fields, *multi_facet_fields)
+            }
+            dicts_ref = ray.put(dict_arrays)
+
+            def to_ords(batch: pa.Table) -> pa.Table:
+                """value -> global ordinal via Arrow's C++ index_in (vectorized)."""
+                d = ray.get(dicts_ref)
+                cols = {c: batch[c] for c in batch.column_names if c not in multi_facet_fields}
                 for f in facet_fields:
-                    cols[f] = [pc.unique(t[f].combine_chunks()).to_pylist()]
+                    idx = pc.index_in(batch[f].combine_chunks(), value_set=d[f])
+                    cols[f + "_ord"] = pc.fill_null(pc.cast(idx, pa.int32()), -1)
                 for f in multi_facet_fields:
-                    cols[f] = [pc.unique(pc.list_flatten(t[f].combine_chunks())).to_pylist()]
+                    col = batch[f].combine_chunks()
+                    flat = pc.list_flatten(col)
+                    idx = pc.fill_null(pc.cast(pc.index_in(flat, value_set=d[f]), pa.int32()), -1)
+                    cols[f + "_ords"] = pa.ListArray.from_arrays(col.offsets, idx)
                 return pa.table(cols)
 
-            blocks = (
-                _read_sized(tokenized_dir, columns=list(all_fields))
-                .map_batches(block_uniques, batch_format="pyarrow")
-                .take_all()
-            )
-            for f in all_fields:
-                seen: set = set()
-                for b in blocks:
-                    seen.update(v for v in b[f] if v is not None)
-                vals = sorted(seen, key=lambda s: str(s).encode())
-                pq.write_table(
-                    pa.table({"value": pa.array(vals, type=pa.string())}),
-                    os.path.join(dicts_dir, f"{f}.parquet"),
-                )
-        _mark_stage(index_dir, "dicts", secs=time.time() - t0)
+            cols = ["doc_id", "partition_id", "dl", "norm"] + keep_fields
+            ds = _read_sized(tokenized_dir, columns=[c for c in cols])
+            ds = ds.map_batches(to_ords, batch_format="pyarrow")
+            ds.write_parquet(docmap_dir, partition_cols=["partition_id"], mode="overwrite")
+            _mark_stage(index_dir, "docmap", secs=time.time() - t0)
 
-    # ---- stage 4: doc-map (norms + doc values) -----------------------------
-    if not (resume and _stage_done(index_dir, "docmap")):
-        t0 = time.time()
-        dict_arrays = {
-            f: pq.read_table(os.path.join(dicts_dir, f"{f}.parquet"))["value"].combine_chunks()
-            for f in (*facet_fields, *multi_facet_fields)
-        }
-        dicts_ref = ray.put(dict_arrays)
+    def _run_postings():
+        # ---- stage 5: per-partition inversion + encode -------------------------
+        # The term exchange ALREADY happened when the tokenized checkpoint was
+        # written hive-partitioned by partition_id; inverting a partition needs
+        # only that partition's rows, so this stage is embarrassingly parallel:
+        # one task per partition dir, no sort/groupby of posting payloads at all
+        # (the MR reducer of MapReduceIndexerTool, re-expressed).  Output is
+        # written atomically per partition (tmp+rename) -> PER-PARTITION RESUME:
+        # on rerun, finished partitions are skipped.
+        if not (resume and _stage_done(index_dir, "postings")):
+            t0 = time.time()
+            cols = ["doc_id", "partition_id", "norm", "terms", "tfs", "dl"]
+            if with_positions:
+                cols.append("positions")
 
-        def to_ords(batch: pa.Table) -> pa.Table:
-            """value -> global ordinal via Arrow's C++ index_in (vectorized)."""
-            d = ray.get(dicts_ref)
-            cols = {c: batch[c] for c in batch.column_names if c not in multi_facet_fields}
-            for f in facet_fields:
-                idx = pc.index_in(batch[f].combine_chunks(), value_set=d[f])
-                cols[f + "_ord"] = pc.fill_null(pc.cast(idx, pa.int32()), -1)
-            for f in multi_facet_fields:
-                col = batch[f].combine_chunks()
-                flat = pc.list_flatten(col)
-                idx = pc.fill_null(pc.cast(pc.index_in(flat, value_set=d[f]), pa.int32()), -1)
-                cols[f + "_ords"] = pa.ListArray.from_arrays(col.offsets, idx)
-            return pa.table(cols)
+            # The reduce group of the exchange is ONE INDEX PARTITION: every cell
+            # chunk for partition P meets in one map_groups call, which merges and
+            # encodes the partition's ENTIRE postings vectorized and emits one
+            # output block -> exactly one Parquet file per partition dir.  Group
+            # size is bounded by rows_per_partition (memory: ~tokens(partition) *
+            # 24B flat arrays), parallelism = partition count, and Zipf-head terms
+            # cannot straggle because no group ever exceeds a partition.
+            def encode_bucket(group: pa.Table) -> pa.Table:
+                """Merge + encode every cell in one partition, vectorized
+                end-to-end: pyarrow list-flatten -> one global lexsort by (term,
+                doc) -> encode_cells_columns (two vbyte passes for the whole group).
+                Per-cell Python is limited to assembling output rows."""
+                group = group.combine_chunks()
+                nrows = group.num_rows
+                if nrows == 0:
+                    schema: dict = {
+                        "term": pa.array([], type=pa.string()),
+                        "partition_id": pa.array([], type=pa.int64()),
+                        "df": pa.array([], type=pa.int64()),
+                        "ttf": pa.array([], type=pa.int64()),
+                        "docs": pa.array([], type=pa.binary()),
+                        "freqs": pa.array([], type=pa.binary()),
+                        "skip_first_doc": pa.array([], type=pa.list_(pa.int64())),
+                        "skip_last_doc": pa.array([], type=pa.list_(pa.int64())),
+                        "skip_docs_off": pa.array([], type=pa.list_(pa.int64())),
+                        "skip_freqs_off": pa.array([], type=pa.list_(pa.int64())),
+                        "bm_max_tf": pa.array([], type=pa.list_(pa.int64())),
+                        "bm_min_dl": pa.array([], type=pa.list_(pa.float32())),
+                    }
+                    if with_positions:
+                        schema["positions"] = pa.array([], type=pa.binary())
+                    return pa.table(schema)
+                import pyarrow.compute as pc_
 
-        cols = ["doc_id", "partition_id", "dl", "norm"] + keep_fields
-        ds = _read_sized(tokenized_dir, columns=[c for c in cols])
-        ds = ds.map_batches(to_ords, batch_format="pyarrow")
-        ds.write_parquet(docmap_dir, partition_cols=["partition_id"], mode="overwrite")
-        _mark_stage(index_dir, "docmap", secs=time.time() - t0)
+                term_enc = pc_.dictionary_encode(group["term"].combine_chunks())
+                term_codes = np.asarray(term_enc.indices, dtype=np.int64)
+                pids = np.asarray(group["partition_id"], dtype=np.int64)
+                docs_list = group["docs"].combine_chunks()
+                chunk_lens = np.asarray(docs_list.value_lengths(), dtype=np.int64)
+                docs_flat = np.asarray(docs_list.flatten(), dtype=np.int64)
+                tfs_flat = np.asarray(group["tfs"].combine_chunks().flatten(), dtype=np.int64)
+                norms_flat = np.asarray(group["norms"].combine_chunks().flatten(), dtype=np.uint8)
+                parent = np.repeat(np.arange(nrows), chunk_lens)
 
-    # ---- stage 5: per-partition inversion + encode -------------------------
-    # The term exchange ALREADY happened when the tokenized checkpoint was
-    # written hive-partitioned by partition_id; inverting a partition needs
-    # only that partition's rows, so this stage is embarrassingly parallel:
-    # one task per partition dir, no sort/groupby of posting payloads at all
-    # (the MR reducer of MapReduceIndexerTool, re-expressed).  Output is
-    # written atomically per partition (tmp+rename) -> PER-PARTITION RESUME:
-    # on rerun, finished partitions are skipped.
-    if not (resume and _stage_done(index_dir, "postings")):
-        t0 = time.time()
-        cols = ["doc_id", "partition_id", "norm", "terms", "tfs", "dl"]
-        if with_positions:
-            cols.append("positions")
+                order = np.lexsort((docs_flat, pids[parent], term_codes[parent]))
+                s_code = term_codes[parent][order]
+                s_pid = pids[parent][order]
+                change = np.empty(len(order), dtype=bool)
+                change[0] = True
+                change[1:] = (s_code[1:] != s_code[:-1]) | (s_pid[1:] != s_pid[:-1])
+                starts = np.flatnonzero(change)
 
-        # The reduce group of the exchange is ONE INDEX PARTITION: every cell
-        # chunk for partition P meets in one map_groups call, which merges and
-        # encodes the partition's ENTIRE postings vectorized and emits one
-        # output block -> exactly one Parquet file per partition dir.  Group
-        # size is bounded by rows_per_partition (memory: ~tokens(partition) *
-        # 24B flat arrays), parallelism = partition count, and Zipf-head terms
-        # cannot straggle because no group ever exceeds a partition.
-        def encode_bucket(group: pa.Table) -> pa.Table:
-            """Merge + encode every cell in one partition, vectorized
-            end-to-end: pyarrow list-flatten -> one global lexsort by (term,
-            doc) -> encode_cells_columns (two vbyte passes for the whole group).
-            Per-cell Python is limited to assembling output rows."""
-            group = group.combine_chunks()
-            nrows = group.num_rows
-            if nrows == 0:
-                schema: dict = {
-                    "term": pa.array([], type=pa.string()),
-                    "partition_id": pa.array([], type=pa.int64()),
-                    "df": pa.array([], type=pa.int64()),
-                    "ttf": pa.array([], type=pa.int64()),
-                    "docs": pa.array([], type=pa.binary()),
-                    "freqs": pa.array([], type=pa.binary()),
-                    "skip_first_doc": pa.array([], type=pa.list_(pa.int64())),
-                    "skip_last_doc": pa.array([], type=pa.list_(pa.int64())),
-                    "skip_docs_off": pa.array([], type=pa.list_(pa.int64())),
-                    "skip_freqs_off": pa.array([], type=pa.list_(pa.int64())),
-                    "bm_max_tf": pa.array([], type=pa.list_(pa.int64())),
-                    "bm_min_dl": pa.array([], type=pa.list_(pa.float32())),
-                }
+                pos_vals = None
                 if with_positions:
-                    schema["positions"] = pa.array([], type=pa.binary())
-                return pa.table(schema)
+                    pos_outer = group["positions"].combine_chunks().flatten()  # list<int32> per doc-entry
+                    pos_lens = np.asarray(pos_outer.value_lengths(), dtype=np.int64)
+                    pos_all = np.asarray(pos_outer.flatten(), dtype=np.int64)
+                    old_starts = np.concatenate(([0], np.cumsum(pos_lens)[:-1]))
+                    lens_o = pos_lens[order]
+                    new_offsets = np.concatenate(([0], np.cumsum(lens_o)[:-1]))
+                    gather = (
+                        np.repeat(old_starts[order] - new_offsets, lens_o)
+                        + np.arange(int(lens_o.sum()), dtype=np.int64)
+                    )
+                    pos_vals = pos_all[gather]
+
+                cell_cols = encode_cells_columns(
+                    starts,
+                    docs_flat[order],
+                    tfs_flat[order],
+                    NORM_TABLE[norms_flat[order]],
+                    pos_vals,
+                )
+                out = {
+                    "term": term_enc.dictionary.take(pa.array(s_code[starts])),
+                    "partition_id": pa.array(s_pid[starts], type=pa.int64()),
+                    **cell_cols,
+                }
+                return pa.table(out)
+
+            import glob as _glob
+
             import pyarrow.compute as pc_
 
-            term_enc = pc_.dictionary_encode(group["term"].combine_chunks())
-            term_codes = np.asarray(term_enc.indices, dtype=np.int64)
-            pids = np.asarray(group["partition_id"], dtype=np.int64)
-            docs_list = group["docs"].combine_chunks()
-            chunk_lens = np.asarray(docs_list.value_lengths(), dtype=np.int64)
-            docs_flat = np.asarray(docs_list.flatten(), dtype=np.int64)
-            tfs_flat = np.asarray(group["tfs"].combine_chunks().flatten(), dtype=np.int64)
-            norms_flat = np.asarray(group["norms"].combine_chunks().flatten(), dtype=np.uint8)
-            parent = np.repeat(np.arange(nrows), chunk_lens)
+            def invert_encode_partition(tbl: pa.Table, pid: int) -> pa.Table:
+                """Whole-partition inversion + encode in one vectorized pass:
+                flatten per-doc term lists -> dictionary-encode -> one lexsort by
+                (term, doc) -> encode_cells_columns.  (DefaultIndexingChain's in-RAM
+                inversion + Lucene41 flush, fused.)"""
+                terms_col = tbl["terms"].combine_chunks()
+                flat_terms = terms_col.flatten()
+                if len(flat_terms) == 0:
+                    return encode_bucket(
+                        pa.table({"term": pa.array([], type=pa.string())}).slice(0, 0)
+                    ).drop_columns(["partition_id"])
+                lens = np.asarray(terms_col.value_lengths(), dtype=np.int64)
+                parent = np.repeat(np.arange(tbl.num_rows), lens)
+                dict_enc = pc_.dictionary_encode(flat_terms)
+                codes = np.asarray(dict_enc.indices, dtype=np.int64)
+                doc_ids = np.asarray(tbl["doc_id"], dtype=np.int64)
+                norms = np.asarray(tbl["norm"], dtype=np.uint8)
+                tfs_flat = np.asarray(tbl["tfs"].combine_chunks().flatten(), dtype=np.int64)
 
-            order = np.lexsort((docs_flat, pids[parent], term_codes[parent]))
-            s_code = term_codes[parent][order]
-            s_pid = pids[parent][order]
-            change = np.empty(len(order), dtype=bool)
-            change[0] = True
-            change[1:] = (s_code[1:] != s_code[:-1]) | (s_pid[1:] != s_pid[:-1])
-            starts = np.flatnonzero(change)
+                order = np.lexsort((doc_ids[parent], codes))
+                s_code = codes[order]
+                change = np.empty(len(order), dtype=bool)
+                change[0] = True
+                change[1:] = s_code[1:] != s_code[:-1]
+                starts = np.flatnonzero(change)
 
-            pos_vals = None
-            if with_positions:
-                pos_outer = group["positions"].combine_chunks().flatten()  # list<int32> per doc-entry
-                pos_lens = np.asarray(pos_outer.value_lengths(), dtype=np.int64)
-                pos_all = np.asarray(pos_outer.flatten(), dtype=np.int64)
-                old_starts = np.concatenate(([0], np.cumsum(pos_lens)[:-1]))
-                lens_o = pos_lens[order]
-                new_offsets = np.concatenate(([0], np.cumsum(lens_o)[:-1]))
-                gather = (
-                    np.repeat(old_starts[order] - new_offsets, lens_o)
-                    + np.arange(int(lens_o.sum()), dtype=np.int64)
-                )
-                pos_vals = pos_all[gather]
-
-            cell_cols = encode_cells_columns(
-                starts,
-                docs_flat[order],
-                tfs_flat[order],
-                NORM_TABLE[norms_flat[order]],
-                pos_vals,
-            )
-            out = {
-                "term": term_enc.dictionary.take(pa.array(s_code[starts])),
-                "partition_id": pa.array(s_pid[starts], type=pa.int64()),
-                **cell_cols,
-            }
-            return pa.table(out)
-
-        import glob as _glob
-
-        import pyarrow.compute as pc_
-
-        def invert_encode_partition(tbl: pa.Table, pid: int) -> pa.Table:
-            """Whole-partition inversion + encode in one vectorized pass:
-            flatten per-doc term lists -> dictionary-encode -> one lexsort by
-            (term, doc) -> encode_cells_columns.  (DefaultIndexingChain's in-RAM
-            inversion + Lucene41 flush, fused.)"""
-            terms_col = tbl["terms"].combine_chunks()
-            flat_terms = terms_col.flatten()
-            if len(flat_terms) == 0:
-                return encode_bucket(
-                    pa.table({"term": pa.array([], type=pa.string())}).slice(0, 0)
-                ).drop_columns(["partition_id"])
-            lens = np.asarray(terms_col.value_lengths(), dtype=np.int64)
-            parent = np.repeat(np.arange(tbl.num_rows), lens)
-            dict_enc = pc_.dictionary_encode(flat_terms)
-            codes = np.asarray(dict_enc.indices, dtype=np.int64)
-            doc_ids = np.asarray(tbl["doc_id"], dtype=np.int64)
-            norms = np.asarray(tbl["norm"], dtype=np.uint8)
-            tfs_flat = np.asarray(tbl["tfs"].combine_chunks().flatten(), dtype=np.int64)
-
-            order = np.lexsort((doc_ids[parent], codes))
-            s_code = codes[order]
-            change = np.empty(len(order), dtype=bool)
-            change[0] = True
-            change[1:] = s_code[1:] != s_code[:-1]
-            starts = np.flatnonzero(change)
-
-            pos_vals = None
-            if with_positions:
-                pos_outer = tbl["positions"].combine_chunks().flatten()
-                pos_lens = np.asarray(pos_outer.value_lengths(), dtype=np.int64)
-                pos_all = np.asarray(pos_outer.flatten(), dtype=np.int64)
-                old_starts = np.concatenate(([0], np.cumsum(pos_lens)[:-1]))
-                lens_o = pos_lens[order]
-                new_offsets = np.concatenate(([0], np.cumsum(lens_o)[:-1]))
-                gather = (
-                    np.repeat(old_starts[order] - new_offsets, lens_o)
-                    + np.arange(int(lens_o.sum()), dtype=np.int64)
-                )
-                pos_vals = pos_all[gather]
-
-            cell_cols = encode_cells_columns(
-                starts, doc_ids[parent][order], tfs_flat[order],
-                NORM_TABLE[norms[parent][order]], pos_vals,
-            )
-            out = {
-                "term": dict_enc.dictionary.take(pa.array(s_code[starts])),
-                **cell_cols,
-            }
-            # canonical row order -> byte-stable partition files under resume
-            return pa.table(out).sort_by("term")
-
-        part_dirs = sorted(_glob.glob(os.path.join(tokenized_dir, "partition_id=*")))
-        todo = []
-        for d in part_dirs:
-            pid = int(d.rsplit("=", 1)[1])
-            out_file = os.path.join(postings_dir, f"partition_id={pid}", "postings.parquet")
-            if not os.path.exists(out_file):  # per-partition resume
-                todo.append({"pid": pid, "dir": d})
-
-        def encode_partition(batch: pa.Table) -> pa.Table:
-            pids_done, n_cells = [], []
-            for pid, d in zip(batch["pid"].to_pylist(), batch["dir"].to_pylist()):
-                files = sorted(_glob.glob(os.path.join(d, "*.parquet")))
-                tbl = pq.read_table(files, columns=[c for c in cols if c != "partition_id"])
-                out = invert_encode_partition(tbl, pid)
-                out_dir = os.path.join(postings_dir, f"partition_id={pid}")
-                os.makedirs(out_dir, exist_ok=True)
-                # per-partition collection stats sidecar (rows, sum_dl) — the
-                # doc-count/avgdl inputs of BM25 — then the postings file;
-                # rename order makes the pair atomic under resume (the
-                # partition is "done" only once postings.parquet exists).
-                stats_tmp = os.path.join(out_dir, ".part_stats.tmp")
-                with open(stats_tmp, "w") as fh:
-                    json.dump(
-                        {
-                            "partition_id": pid,
-                            "rows": tbl.num_rows,
-                            "sum_dl": int(np.asarray(tbl["dl"], dtype=np.int64).sum()),
-                        },
-                        fh,
+                pos_vals = None
+                if with_positions:
+                    pos_outer = tbl["positions"].combine_chunks().flatten()
+                    pos_lens = np.asarray(pos_outer.value_lengths(), dtype=np.int64)
+                    pos_all = np.asarray(pos_outer.flatten(), dtype=np.int64)
+                    old_starts = np.concatenate(([0], np.cumsum(pos_lens)[:-1]))
+                    lens_o = pos_lens[order]
+                    new_offsets = np.concatenate(([0], np.cumsum(lens_o)[:-1]))
+                    gather = (
+                        np.repeat(old_starts[order] - new_offsets, lens_o)
+                        + np.arange(int(lens_o.sum()), dtype=np.int64)
                     )
-                os.replace(stats_tmp, os.path.join(out_dir, "_part_stats.json"))
-                tmp = os.path.join(out_dir, ".postings.parquet.tmp")
-                pq.write_table(out, tmp)
-                os.replace(tmp, os.path.join(out_dir, "postings.parquet"))
-                pids_done.append(pid)
-                n_cells.append(out.num_rows)
-            return pa.table({"pid": pa.array(pids_done, type=pa.int64()),
-                             "n_cells": pa.array(n_cells, type=pa.int64())})
+                    pos_vals = pos_all[gather]
 
-        if todo:
-            rd.from_items(todo).map_batches(
-                encode_partition, batch_format="pyarrow", batch_size=1
-            ).materialize()
-        _mark_stage(index_dir, "postings", secs=time.time() - t0,
-                    partitions_encoded=len(todo), partitions_skipped=len(part_dirs) - len(todo))
+                cell_cols = encode_cells_columns(
+                    starts, doc_ids[parent][order], tfs_flat[order],
+                    NORM_TABLE[norms[parent][order]], pos_vals,
+                )
+                out = {
+                    "term": dict_enc.dictionary.take(pa.array(s_code[starts])),
+                    **cell_cols,
+                }
+                # canonical row order -> byte-stable partition files under resume
+                return pa.table(out).sort_by("term")
+
+            part_dirs = sorted(_glob.glob(os.path.join(tokenized_dir, "partition_id=*")))
+            todo = []
+            for d in part_dirs:
+                pid = int(d.rsplit("=", 1)[1])
+                out_file = os.path.join(postings_dir, f"partition_id={pid}", "postings.parquet")
+                if not os.path.exists(out_file):  # per-partition resume
+                    todo.append({"pid": pid, "dir": d})
+
+            def encode_partition(batch: pa.Table) -> pa.Table:
+                pids_done, n_cells = [], []
+                for pid, d in zip(batch["pid"].to_pylist(), batch["dir"].to_pylist()):
+                    files = sorted(_glob.glob(os.path.join(d, "*.parquet")))
+                    tbl = pq.read_table(files, columns=[c for c in cols if c != "partition_id"])
+                    out = invert_encode_partition(tbl, pid)
+                    out_dir = os.path.join(postings_dir, f"partition_id={pid}")
+                    os.makedirs(out_dir, exist_ok=True)
+                    # per-partition collection stats sidecar (rows, sum_dl) — the
+                    # doc-count/avgdl inputs of BM25 — then the postings file;
+                    # rename order makes the pair atomic under resume (the
+                    # partition is "done" only once postings.parquet exists).
+                    stats_tmp = os.path.join(out_dir, ".part_stats.tmp")
+                    with open(stats_tmp, "w") as fh:
+                        json.dump(
+                            {
+                                "partition_id": pid,
+                                "rows": tbl.num_rows,
+                                "sum_dl": int(np.asarray(tbl["dl"], dtype=np.int64).sum()),
+                            },
+                            fh,
+                        )
+                    os.replace(stats_tmp, os.path.join(out_dir, "_part_stats.json"))
+                    tmp = os.path.join(out_dir, ".postings.parquet.tmp")
+                    pq.write_table(out, tmp)
+                    os.replace(tmp, os.path.join(out_dir, "postings.parquet"))
+                    pids_done.append(pid)
+                    n_cells.append(out.num_rows)
+                return pa.table({"pid": pa.array(pids_done, type=pa.int64()),
+                                 "n_cells": pa.array(n_cells, type=pa.int64())})
+
+            if todo:
+                rd.from_items(todo).map_batches(
+                    encode_partition, batch_format="pyarrow", batch_size=1
+                ).materialize()
+            _mark_stage(index_dir, "postings", secs=time.time() - t0,
+                        partitions_encoded=len(todo), partitions_skipped=len(part_dirs) - len(todo))
+
+    import threading
+    _th = threading.Thread(target=_run_dicts_docmap)
+    _th.start()
+    _run_postings()
+    _th.join()
 
     # ---- stage 6: global term stats + collection stats ---------------------
     if not (resume and _stage_done(index_dir, "stats")):

@@ -149,6 +149,26 @@ class SegmentSearcher:
             facets[f] = (ords, counts)
         return {"topk": topk, "total_hits": int(len(docs)), "facets": facets}
 
+    def facet_sampled(self, query, field: str, stride: int, ord_limit: int) -> tuple:
+        """Heuristic facet sampling: count only every ``stride``-th hit doc
+        (deterministic stride, not RNG — `SparseCount.java:222-258`,
+        `SparseKeys.java:351-447`), truncate to the over-request limit.
+        Candidates feed an exact fine-count round on the driver."""
+        acc: dict[int, int] = {}
+        for part in self.parts:
+            docs, _ = Evaluator(part).scored(query)
+            sampled = docs[::stride]
+            o, c = self._facet_counts_for_hits(part, field, sampled)
+            for oo, cc in zip(o.tolist(), c.tolist()):
+                acc[oo] = acc.get(oo, 0) + cc
+        ords = np.array(sorted(acc), dtype=np.int64)
+        counts = np.array([acc[o] for o in ords.tolist()], dtype=np.int64)
+        if len(ords) > ord_limit:
+            sel = np.lexsort((ords, -counts))[:ord_limit]
+            sel.sort()
+            ords, counts = ords[sel], counts[sel]
+        return ords, counts
+
     def scores_for_docs(self, query, doc_ids: list[int]) -> dict:
         """Scores of *query* restricted to the given docs (ReRank support:
         `solr/core/src/java/org/apache/solr/search/ReRankQParserPlugin.java`
@@ -221,6 +241,38 @@ class RayIndexSearcher:
         combined.sort(key=lambda sd: (-sd[0], sd[1]))
         return combined[:k]
 
+    def facet_heuristic(
+        self,
+        query,
+        field: str,
+        limit: int = 10,
+        stride: int = 2,
+        fine_count: bool = True,
+    ) -> list[tuple[str, int]]:
+        """Heuristic facet: sampled counting then exact fine-count of the top
+        candidates (`SparseKeys` sampling + ``heuristicFineCount``,
+        `SparseExtract.java:137-152`).  With ``fine_count=True`` the returned
+        COUNTS are exact; only candidate SELECTION is approximate (a term
+        whose sampled rank fell below the over-request limit can be missed —
+        the reference accepts the same error).
+        """
+        ord_limit = int(limit * 1.5) + 10
+        futs = [
+            a.facet_sampled.remote(query, field, stride, ord_limit) for a in self.actors
+        ]
+        acc: dict[int, int] = {}
+        for o, c in ray.get(futs):
+            for oo, cc in zip(np.asarray(o).tolist(), np.asarray(c).tolist()):
+                acc[oo] = acc.get(oo, 0) + cc
+        cand = sorted(acc, key=lambda o: (-acc[o], o))[:ord_limit]
+        if fine_count and cand:
+            refined = [a.count_specific.remote(query, field, cand) for a in self.actors]
+            exact = np.sum(np.asarray(ray.get(refined), dtype=np.int64), axis=0)
+            acc = dict(zip(cand, exact.tolist()))
+        items = sorted(((o, c) for o, c in acc.items()), key=lambda oc: (-oc[1], oc[0]))
+        vocab = self.stats.dicts[field]
+        return [(vocab[o], int(c)) for o, c in items[:limit]]
+
     def search_after(self, query, cursor: tuple | None, k: int = 10) -> dict:
         """cursorMark deep paging: ``cursor`` is the last (score, doc_id) of
         the previous page (None = first page).  Returns {topk, next_cursor}.
@@ -236,7 +288,9 @@ class RayIndexSearcher:
         offset: int = 0,
         facet_fields: tuple = (),
         facet_limit: int = 100,
+        facet_offset: int = 0,
         facet_mincount: int = 0,
+        facet_prefix: str | None = None,
         facet_overrequest: bool = False,
         after: tuple | None = None,
     ) -> dict:
@@ -288,7 +342,13 @@ class RayIndexSearcher:
                 # (DocValuesFacets counts over the full ordinal space)
                 for o in range(len(vocab)):
                     acc.setdefault(o, 0)
-            items = [(o, c) for o, c in acc.items() if c >= facet_mincount]
+            items = [
+                (o, c)
+                for o, c in acc.items()
+                if c >= facet_mincount
+                and (facet_prefix is None or vocab[o].startswith(facet_prefix))
+            ]
             items.sort(key=lambda oc: (-oc[1], oc[0]))
-            facets[f] = [(vocab[o], int(c)) for o, c in items[:facet_limit]]
+            items = items[facet_offset : facet_offset + facet_limit]
+            facets[f] = [(vocab[o], int(c)) for o, c in items]
         return {"topk": topk, "total_hits": total, "facets": facets}

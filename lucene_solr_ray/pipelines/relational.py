@@ -308,6 +308,30 @@ def block_join_orders(sf_dir: str) -> pa.Table:
     )
 
 
+def hash_join_orders_customer(sf_dir: str) -> pa.Table:
+    """Partitioned hash join (both sides large): orders x customer on
+    custkey, high-value orders only."""
+    from ..stages.joins import hash_join
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    ).map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 400000.0)),
+        batch_format="pyarrow",
+    )
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"])
+    out = hash_join(orders, cust, "o_custkey", "c_custkey", buckets=16).to_pandas()
+    out = out.sort_values("o_orderkey")
+    return pa.table(
+        {
+            "o_orderkey": out["o_orderkey"].astype("int64").tolist(),
+            "c_name": out["c_name"].tolist(),
+            "o_totalprice": out["o_totalprice"].astype("float64").tolist(),
+        }
+    )
+
+
 def function_query_part(sf_dir: str) -> pa.Table:
     """ValueSource scalar-function surface: sqrt/abs/floor over part prices."""
     ds = rd.read_parquet(os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_retailprice"])

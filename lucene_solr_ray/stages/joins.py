@@ -1,0 +1,113 @@
+"""Join operators.
+
+The reference has only query-time semi-joins and block-joins (SURVEY.md
+§2.4); a training-data engine also needs general equi-joins.  Two shapes:
+
+* :func:`broadcast_semi_join` — small key side broadcast via ``ray.put``,
+  filter inside ``map_batches`` (no shuffle; `JoinQParserPlugin` analog).
+* :func:`hash_join` — both sides large: explicit partitioned hash join
+  (the portable Ray Data pattern): add ``bucket = hash(key) % B`` to both
+  sides, tag the side, union, ``groupby(bucket)``, pandas merge per bucket.
+  B bounds the per-task memory; salt hot keys upstream if a single key
+  dominates (skew note in SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+
+def _bucket_of(vals, buckets: int) -> np.ndarray:
+    out = np.empty(len(vals), dtype=np.int64)
+    for i, v in enumerate(vals):
+        if isinstance(v, (int, np.integer)):
+            out[i] = (int(v) * 0x9E3779B1) % buckets
+        else:
+            out[i] = zlib.crc32(str(v).encode()) % buckets
+    return out
+
+
+def broadcast_semi_join(ds, keys: set, key_col: str, *, anti: bool = False):
+    """Keep rows whose key is (not, for anti) in the broadcast key set."""
+    ref = ray.put(keys)
+
+    def filt(t: pa.Table) -> pa.Table:
+        s = ray.get(ref)
+        mask = pa.array(
+            [(k in s) != anti for k in t[key_col].to_pylist()], type=pa.bool_()
+        )
+        return t.filter(mask)
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def hash_join(
+    left,
+    right,
+    left_key: str,
+    right_key: str,
+    *,
+    buckets: int = 32,
+    how: str = "inner",
+):
+    """Partitioned hash join of two Datasets -> Dataset of joined rows.
+
+    Schema: all left columns + all right columns (right key column dropped
+    if names collide).  ``how``: inner / left.
+    """
+    l_names = left.schema().names
+    r_names = right.schema().names
+
+    def tag(side: str, key: str):
+        def fn(t: pa.Table) -> pa.Table:
+            b = _bucket_of(t[key].to_pylist(), buckets)
+            t = t.append_column("__bucket", pa.array(b, type=pa.int64()))
+            return t.append_column("__side", pa.array([side] * t.num_rows))
+
+        return fn
+
+    lt = left.map_batches(tag("L", left_key), batch_format="pyarrow")
+    rt = right.map_batches(tag("R", right_key), batch_format="pyarrow")
+
+    l_schema = {n: t for n, t in zip(left.schema().names, left.schema().types)}
+    r_schema = {n: t for n, t in zip(right.schema().names, right.schema().types)}
+
+    def pad(missing: dict):
+        def fn(t: pa.Table) -> pa.Table:
+            for n, typ in missing.items():
+                if n not in t.column_names:
+                    t = t.append_column(n, pa.nulls(t.num_rows, type=typ))
+            return t
+
+        return fn
+
+    lt = lt.map_batches(pad(r_schema), batch_format="pyarrow")
+    rt = rt.map_batches(pad(l_schema), batch_format="pyarrow")
+    ordered = sorted(set(l_names) | set(r_names)) + ["__bucket", "__side"]
+    lt = lt.select_columns(ordered)
+    rt = rt.select_columns(ordered)
+
+    def join_bucket(group):
+        import pandas as pd  # noqa: F401
+
+        gl = group[group["__side"] == "L"][list(l_names)]
+        gr = group[group["__side"] == "R"][list(r_names)]
+        out = gl.merge(
+            gr,
+            left_on=left_key,
+            right_on=right_key,
+            how="inner" if how == "inner" else "left",
+            suffixes=("", "_r"),
+        )
+        return out
+
+    return (
+        lt.union(rt)
+        .groupby("__bucket")
+        .map_groups(join_bucket, batch_format="pandas")
+    )
