@@ -244,7 +244,8 @@ def run_scaling() -> dict:
             pass
         time.sleep(15)
 
-    lo, hi = 8, 32
+    pair = os.environ.get("BENCH_SCALING_CPUS", "8,32").split(",")
+    lo, hi = int(pair[0]), int(pair[1])
     drain()
     r_lo = run(lo)
     drain()

@@ -50,7 +50,7 @@ from ray.data.aggregate import Count, Sum
 
 from ..smallfloat import NORM_TABLE
 from ..stages.extract import extract_batch
-from ..stages.tokenize import explode_to_cells, tokenize_batch
+from ..stages.tokenize import tokenize_batch
 from .postings import encode_cells_columns
 
 DEFAULT_FACET_FIELDS = ("host", "tld", "lang")

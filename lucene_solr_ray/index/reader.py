@@ -114,7 +114,6 @@ class IndexPartition(TermSource):
             col = self.columns.get(q.field)
             if col is not None:
                 return self.doc_ids[col == q.value]
-            lst = self.list_columns.get(q.field) or self.list_columns.get(q.field + "_ords")
             if q.field in self.stats.dicts and (q.field + "_ords") in self.list_columns:
                 o = self.stats.ord_of(q.field, q.value)
                 mask = np.fromiter(

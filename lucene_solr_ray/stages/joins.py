@@ -74,8 +74,16 @@ def hash_join(
     lt = left.map_batches(tag("L", left_key), batch_format="pyarrow")
     rt = right.map_batches(tag("R", right_key), batch_format="pyarrow")
 
-    l_schema = {n: t for n, t in zip(left.schema().names, left.schema().types)}
-    r_schema = {n: t for n, t in zip(right.schema().names, right.schema().types)}
+    def _pa_type(t):
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(np.dtype(t))
+        except (TypeError, ValueError, pa.lib.ArrowNotImplementedError):
+            return pa.string()
+
+    l_schema = {n: _pa_type(t) for n, t in zip(left.schema().names, left.schema().types)}
+    r_schema = {n: _pa_type(t) for n, t in zip(right.schema().names, right.schema().types)}
 
     def pad(missing: dict):
         def fn(t: pa.Table) -> pa.Table:
@@ -92,11 +100,23 @@ def hash_join(
     lt = lt.select_columns(ordered)
     rt = rt.select_columns(ordered)
 
+    def _np_dtypes(schema: dict) -> dict:
+        out = {}
+        for n, t in schema.items():
+            if pa.types.is_integer(t) or pa.types.is_floating(t):
+                out[n] = t.to_pandas_dtype()
+        return out
+
+    l_np = _np_dtypes(l_schema)
+    r_np = _np_dtypes(r_schema)
+
     def join_bucket(group):
         import pandas as pd  # noqa: F401
 
-        gl = group[group["__side"] == "L"][list(l_names)]
-        gr = group[group["__side"] == "R"][list(r_names)]
+        # union-with-nulls upcast ints to float in pandas; restore dtypes
+        # after splitting the sides (no nulls remain within a side)
+        gl = group[group["__side"] == "L"][list(l_names)].astype(l_np)
+        gr = group[group["__side"] == "R"][list(r_names)].astype(r_np)
         out = gl.merge(
             gr,
             left_on=left_key,

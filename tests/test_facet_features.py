@@ -1,0 +1,69 @@
+"""Facet offset/prefix, heuristic sampling, hash join."""
+
+import pytest
+
+from lucene_solr_ray.query.ast import MatchAllQ, TermQ
+
+
+def test_facet_offset_and_prefix(ray_session, pages_corpus, oracle_index):
+    from lucene_solr_ray.index.searcher import RayIndexSearcher
+
+    s = RayIndexSearcher(pages_corpus["index_dir"], num_actors=2)
+    try:
+        res = s.search(
+            MatchAllQ(), facet_fields=("host",),
+            facet_limit=5, facet_offset=3, facet_mincount=1, facet_prefix="site00",
+        )
+        o_hits = [d for _, d in oracle_index.search(MatchAllQ(), 10**9)]
+        want = oracle_index.facet(o_hits, "host", limit=5, offset=3, mincount=1, prefix="site00")
+        assert res["facets"]["host"] == want
+    finally:
+        s.shutdown()
+
+
+def test_facet_heuristic_full_stride_equals_exact(ray_session, pages_corpus, oracle_index):
+    from lucene_solr_ray.index.searcher import RayIndexSearcher
+
+    s = RayIndexSearcher(pages_corpus["index_dir"], num_actors=2)
+    try:
+        q = TermQ("luko")
+        # tld has 8 values < the over-request limit -> no per-actor candidate
+        # truncation, so stride=1 + fine-count is EXACT end to end
+        exact_tld = s.search(q, facet_fields=("tld",), facet_limit=10, facet_mincount=1)["facets"]["tld"]
+        heur_tld = s.facet_heuristic(q, "tld", limit=10, stride=1, fine_count=True)
+        assert heur_tld == [vc for vc in exact_tld if vc[1] > 0]
+        # high-cardinality field: candidate selection is approximate (per-actor
+        # over-request truncation, same as the reference), counts stay exact
+        exact = s.search(q, facet_fields=("host",), facet_limit=10, facet_mincount=1)["facets"]["host"]
+        # stride=2 with fine-count: candidate SELECTION is approximate but the
+        # returned counts must be exact for every value also in the exact list
+        heur2 = dict(s.facet_heuristic(q, "host", limit=10, stride=2, fine_count=True))
+        exact_map = dict(exact)
+        overlap = [v for v in heur2 if v in exact_map]
+        assert overlap, "sampled facet should find at least one true top value"
+        for v in overlap:
+            assert heur2[v] == exact_map[v]
+    finally:
+        s.shutdown()
+
+
+def test_hash_join_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from lucene_solr_ray.stages.joins import hash_join
+
+    left = pd.DataFrame({"k": [1, 2, 2, 3, 5], "a": list("abcde")})
+    right = pd.DataFrame({"j": [2, 3, 3, 4], "b": list("wxyz")})
+    got = (
+        hash_join(rd.from_pandas(left), rd.from_pandas(right), "k", "j", buckets=4)
+        .to_pandas()[["k", "a", "b"]]
+        .sort_values(["k", "a", "b"])
+        .reset_index(drop=True)
+    )
+    want = (
+        left.merge(right, left_on="k", right_on="j")[["k", "a", "b"]]
+        .sort_values(["k", "a", "b"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
