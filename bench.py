@@ -244,7 +244,7 @@ def run_scaling() -> dict:
             pass
         time.sleep(15)
 
-    pair = os.environ.get("BENCH_SCALING_CPUS", "8,32").split(",")
+    pair = os.environ.get("BENCH_SCALING_CPUS", "2,8").split(",")
     lo, hi = int(pair[0]), int(pair[1])
     drain()
     r_lo = run(lo)
