@@ -72,20 +72,22 @@ def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
 
 def _perm_params(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    a = rng.integers(1, 2**63, size=num_perm, dtype=np.uint64) | np.uint64(1)  # odd
+    b = rng.integers(0, 2**63, size=num_perm, dtype=np.uint64)
     return a, b
 
 
 def minhash_signature(text: str, num_perm: int = 64, k: int = 5, seed: int = 1) -> np.ndarray:
+    """Vectorized minhash: multiply-shift universal hashing in wrapping
+    uint64 (`(a*h+b)` with odd multiplier — Dietzfelbinger et al.), no
+    big-int math; deterministic for fixed seed."""
     a, b = _perm_params(num_perm, seed)
     h = _shingle_hashes(text, k)
     if len(h) == 0:
         return np.zeros(num_perm, dtype=np.uint64)
-    # (a*h + b) mod p, elementwise over perms x shingles (object math avoids overflow)
-    hv = h.astype(object)[None, :]
-    vals = (a.astype(object)[:, None] * hv + b.astype(object)[:, None]) % _MERSENNE
-    return np.min(np.asarray(vals, dtype=np.uint64), axis=1)
+    with np.errstate(over="ignore"):
+        vals = a[:, None] * h[None, :] + b[:, None]  # uint64 wraparound
+    return vals.min(axis=1)
 
 
 def minhash_bands_batch(
@@ -102,16 +104,22 @@ def minhash_bands_batch(
     ids, bnds, hashes = [], [], []
     for doc_id, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
         sig = minhash_signature(text, num_perm, k)
+        segs = sig.reshape(bands, rows_per_band)
         for b in range(bands):
-            seg = sig[b * rows_per_band : (b + 1) * rows_per_band]
             ids.append(doc_id)
             bnds.append(b)
-            hashes.append(hashlib.blake2b(seg.tobytes(), digest_size=8).hexdigest())
+            # int64 band key (int groupby keys sort ~10x faster than strings)
+            hashes.append(
+                int.from_bytes(
+                    hashlib.blake2b(segs[b].tobytes(), digest_size=8).digest(), "big"
+                )
+                >> 1
+            )
     return pa.table(
         {
             id_col: pa.array(ids, type=pa.int64()),
             "band": pa.array(bnds, type=pa.int32()),
-            "band_hash": pa.array(hashes, type=pa.string()),
+            "band_hash": pa.array(hashes, type=pa.int64()),
         }
     )
 
