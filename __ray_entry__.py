@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- events / relational --
         "events_hourly_counts": rl.events_hourly_counts,
         "group_top1_orders": rl.group_top1_orders,
+        "export_sorted_lineitem": rl.export_sorted_lineitem,
         "semi_join_customers": rl.semi_join_customers,
         "hash_join_orders_customer": rl.hash_join_orders_customer,
         "block_join_orders": rl.block_join_orders,
@@ -181,6 +182,10 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_counts": """
             SELECT event_type, date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS n
             FROM events GROUP BY event_type, hour ORDER BY event_type, hour""",
+        "export_sorted_lineitem": """
+            SELECT CAST(row_number() OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber) - 1 AS BIGINT) AS rank,
+                   l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity
+            FROM lineitem WHERE l_quantity > 45 ORDER BY rank""",
         "group_top1_orders": """
             SELECT o_custkey, o_orderkey, o_totalprice FROM orders
             QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) = 1

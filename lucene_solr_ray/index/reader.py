@@ -34,6 +34,7 @@ class GlobalStats:
     """Index-wide statistics shared by every scope (loaded once per process)."""
 
     def __init__(self, index_dir: str):
+        self.index_dir = index_dir
         with open(os.path.join(index_dir, "manifest.json")) as f:
             self.manifest = json.load(f)
         self.max_doc = self.manifest["max_doc"]
@@ -46,6 +47,32 @@ class GlobalStats:
             p = os.path.join(index_dir, "dicts", f"{f}.parquet")
             if os.path.exists(p):
                 self.dicts[f] = pq.read_table(p)["value"].to_pylist()
+        # union-manifest support (incremental ingest): member roots + the
+        # per-member old_ord -> global_ord OrdinalMaps (MultiDocValues analog)
+        self._members: list[str] = self.manifest.get("members", [])
+        self._member_of = {
+            p["partition_id"]: p.get("member") for p in self.manifest["partitions"]
+        }
+        self._ordmaps: dict[tuple, np.ndarray | None] = {}
+
+    def root_for(self, pid: int) -> str:
+        mi = self._member_of.get(pid)
+        return self._members[mi] if mi is not None else self.index_dir
+
+    def ordmap_for(self, pid: int, field: str) -> np.ndarray | None:
+        """member-local ord -> global ord (None for non-union indexes)."""
+        mi = self._member_of.get(pid)
+        if mi is None:
+            return None
+        key = (mi, field)
+        if key not in self._ordmaps:
+            p = os.path.join(self.index_dir, "ordmaps", f"m{mi}_{field}.parquet")
+            self._ordmaps[key] = (
+                np.asarray(pq.read_table(p)["global_ord"], dtype=np.int64)
+                if os.path.exists(p)
+                else None
+            )
+        return self._ordmaps[key]
 
     def ord_of(self, field: str, value: str) -> int:
         try:
@@ -61,6 +88,7 @@ class IndexPartition(TermSource):
         self.pid = pid
         self.stats = stats
         self.with_positions = stats.manifest["with_positions"]
+        index_dir = stats.root_for(pid)  # union manifests link member artifacts
 
         tfiles = _partition_files(os.path.join(index_dir, "postings"), pid)
         terms_tbl = pq.read_table(tfiles) if tfiles else None
@@ -116,6 +144,11 @@ class IndexPartition(TermSource):
                 return self.doc_ids[col == q.value]
             if q.field in self.stats.dicts and (q.field + "_ords") in self.list_columns:
                 o = self.stats.ord_of(q.field, q.value)
+                remap = self.stats.ordmap_for(self.pid, q.field)
+                if remap is not None:
+                    # global ord -> member-local (remap strictly increasing)
+                    ml = int(np.searchsorted(remap, o))
+                    o = ml if ml < len(remap) and remap[ml] == o else -1
                 mask = np.fromiter(
                     (o in row for row in self.list_columns[q.field + "_ords"]),
                     dtype=bool,
@@ -154,17 +187,24 @@ class IndexPartition(TermSource):
     # -- faceting support -----------------------------------------------------
 
     def facet_ords(self, field: str, hit_doc_ids: np.ndarray) -> np.ndarray:
-        """Ordinals (with repetition) contributed by the hit docs."""
+        """GLOBAL ordinals (with repetition) contributed by the hit docs.
+
+        In a union index the docmap stores member-local ordinals; the
+        OrdinalMap remap (strictly increasing) lifts them to global ordinals
+        (`MultiDocValues.OrdinalMap` analog)."""
         idx = np.searchsorted(self.doc_ids, hit_doc_ids)
+        remap = self.stats.ordmap_for(self.pid, field)
         if field + "_ord" in self.columns:
             o = self.columns[field + "_ord"][idx].astype(np.int64)
-            return o[o >= 0]
+            o = o[o >= 0]
+            return remap[o] if remap is not None else o
         if field + "_ords" in self.list_columns:
             rows = self.list_columns[field + "_ords"]
             out = [rows[i] for i in idx.tolist() if rows[i]]
             if not out:
                 return np.empty(0, dtype=np.int64)
-            return np.concatenate([np.asarray(r, dtype=np.int64) for r in out])
+            o = np.concatenate([np.asarray(r, dtype=np.int64) for r in out])
+            return remap[o] if remap is not None else o
         raise KeyError(field)
 
 

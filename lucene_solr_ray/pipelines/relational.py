@@ -308,6 +308,28 @@ def block_join_orders(sf_dir: str) -> pa.Table:
     )
 
 
+def export_sorted_lineitem(sf_dir: str) -> pa.Table:
+    """SortingResponseWriter / ExportQParserPlugin analog: stream-export an
+    entire filtered result set in full sort order (no paging) — a real
+    distributed ``Dataset.sort``; rank column pins the order for the oracle."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"],
+    )
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.greater(t["l_quantity"], 45.0)), batch_format="pyarrow"
+    )
+    out = ds.sort(["l_shipdate", "l_orderkey", "l_linenumber"]).to_pandas()
+    return pa.table(
+        {
+            "rank": pa.array(range(len(out)), type=pa.int64()),
+            "l_orderkey": out["l_orderkey"].astype("int64").tolist(),
+            "l_linenumber": out["l_linenumber"].astype("int64").tolist(),
+            "l_quantity": out["l_quantity"].astype("float64").tolist(),
+        }
+    )
+
+
 def hash_join_orders_customer(sf_dir: str) -> pa.Table:
     """Partitioned hash join (both sides large): orders x customer on
     custkey, high-value orders only."""
