@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_must_not": ft.search_must_not,
         "search_phrase": ft.search_phrase,
         "search_msm": ft.search_msm,
+        "parsed_query_search": ft.parsed_query_search,
         # -- BM25 ranking (rows-only; rank-identity tested vs Python oracle) --
         "bm25_topk": ft.bm25_topk,
         "bm25_and_topk": ft.bm25_and_topk,
@@ -143,6 +144,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE CAST({_HAS.format(t='join')} AS INT) + CAST({_HAS.format(t='vector')} AS INT)
                 + CAST({_HAS.format(t='stream')} AS INT) >= 2
+            ORDER BY doc_id""",
+        "parsed_query_search": f"""
+            SELECT doc_id FROM documents
+            WHERE {_HAS.format(t='join')} AND {_HAS.format(t='vector')}
+              AND NOT {_HAS.format(t='hash')}
             ORDER BY doc_id""",
         "facet_lang_for_term": f"""
             SELECT CAST(row_number() OVER (ORDER BY n DESC, lang) - 1 AS BIGINT) AS rank, lang, n

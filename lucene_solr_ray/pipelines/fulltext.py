@@ -124,6 +124,15 @@ def search_msm(sf_dir: str) -> pa.Table:
     )
 
 
+def parsed_query_search(sf_dir: str) -> pa.Table:
+    """End-to-end through the classic query parser: parse a query string,
+    evaluate against the index — the parser itself sits inside the SQL gate."""
+    from ..query.parser import QueryParser
+
+    ast = QueryParser().parse("join AND vector -hash")
+    return _search_docs(sf_dir, ast)
+
+
 # ---- BM25 ranking (oracle: pytest vs pure-Python; driver: rows-only) --------
 
 

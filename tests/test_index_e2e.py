@@ -65,6 +65,20 @@ def test_rank_identical_queries(oracle_index, local_index):
         assert top_k(docs, scores, q["k"]) == oracle_index.search(ast, q["k"]), q
 
 
+def test_distributed_full_query_set(ray_session, pages_corpus, oracle_index):
+    """The whole fixture query set through the ACTOR pool (WAND included for
+    term/OR shapes) — rank-identical to the oracle, scores included."""
+    from lucene_solr_ray.index.searcher import RayIndexSearcher
+
+    s = RayIndexSearcher(pages_corpus["index_dir"], num_actors=3)
+    try:
+        for q in make_query_set(40):
+            ast = query_to_ast(q)
+            assert s.search(ast, k=q["k"])["topk"] == oracle_index.search(ast, q["k"]), q
+    finally:
+        s.shutdown()
+
+
 def test_handpicked_query_shapes(oracle_index, local_index):
     ev = Evaluator(local_index)
     queries = [
