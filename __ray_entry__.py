@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- faceting --
         "facet_lang_for_term": ft.facet_lang_for_term,
         "facet_source_all": ft.facet_source_all,
+        "facet_queries_counts": ft.facet_queries_counts,
         "facet_range_nchars": ft.facet_range_nchars,
         "pivot_lang_source": ft.pivot_lang_source,
         "stats_nchars_by_lang": ft.stats_nchars_by_lang,
@@ -159,6 +160,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(row_number() OVER (ORDER BY n DESC, source) - 1 AS BIGINT) AS rank, source, n
             FROM (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source)
             ORDER BY n DESC, source""",
+        "facet_queries_counts": f"""
+            SELECT 'q_join' AS facet_query, CAST(count(*) AS BIGINT) AS n FROM documents WHERE {_HAS.format(t='join')}
+            UNION ALL
+            SELECT 'q_join_and_vector', CAST(count(*) AS BIGINT) FROM documents WHERE {_HAS.format(t='join')} AND {_HAS.format(t='vector')}
+            UNION ALL
+            SELECT 'q_window_or_stream', CAST(count(*) AS BIGINT) FROM documents WHERE {_HAS.format(t='window')} OR {_HAS.format(t='stream')}
+            UNION ALL
+            SELECT 'q_phrase_join_hash', CAST(count(*) AS BIGINT) FROM documents
+            WHERE regexp_matches(lower(text), '(^|[^a-z0-9])join[^a-z0-9]+hash([^a-z0-9]|$)')""",
         "facet_range_nchars": """
             SELECT CAST(floor(n_chars / 100.0) AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n
             FROM documents GROUP BY bucket ORDER BY bucket""",

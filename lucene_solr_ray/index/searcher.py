@@ -94,8 +94,14 @@ class SegmentSearcher:
         facet_fields: tuple = (),
         facet_ord_limit: int | None = None,
         after: tuple | None = None,
+        time_allowed_ms: float | None = None,
     ) -> dict:
-        """-> {topk: [(score, doc)], total_hits, facets: {f: (ords, counts)}}.
+        """-> {topk, total_hits, facets, partial}.
+
+        ``time_allowed_ms``: per-actor deadline (TimeLimitingCollector /
+        Solr timeAllowed analog, `search/TimeLimitingCollector.java`):
+        evaluation stops at a partition boundary once the budget is spent and
+        the result is flagged ``partial`` — partial results, not an error.
 
         ``facet_ord_limit`` truncates the per-actor facet list to the
         over-request limit (None = exact/complete counts).
@@ -118,16 +124,25 @@ class SegmentSearcher:
                 )
             else:
                 total = -1  # unknown without full evaluation (WAND skipped docs)
-            return {"topk": topk, "total_hits": total, "facets": {}}
+            return {"topk": topk, "total_hits": total, "facets": {}, "partial": False}
 
+        import time as _time
+
+        t0 = _time.time()
+        partial = False
         all_hits: list[np.ndarray] = []
         per_part_hits: list[np.ndarray] = []
         scores_all: list[np.ndarray] = []
+        counted_parts: list = []
         for part in self.parts:
+            if time_allowed_ms is not None and (_time.time() - t0) * 1000 > time_allowed_ms:
+                partial = True
+                break
             docs, scores = Evaluator(part).scored(query)
             per_part_hits.append(docs)
             all_hits.append(docs)
             scores_all.append(scores)
+            counted_parts.append(part)
         docs = np.concatenate(all_hits) if all_hits else np.empty(0, dtype=np.int64)
         scores = np.concatenate(scores_all) if scores_all else np.empty(0, dtype=np.float32)
         topk = top_k(docs, scores, k, after=after)
@@ -135,7 +150,7 @@ class SegmentSearcher:
         facets: dict[str, tuple] = {}
         for f in facet_fields:
             acc: dict[int, int] = {}
-            for part, hits in zip(self.parts, per_part_hits):
+            for part, hits in zip(counted_parts, per_part_hits):
                 o, c = self._facet_counts_for_hits(part, f, hits)
                 for oo, cc in zip(o.tolist(), c.tolist()):
                     acc[oo] = acc.get(oo, 0) + cc
@@ -147,7 +162,7 @@ class SegmentSearcher:
                 sel.sort()
                 ords, counts = ords[sel], counts[sel]
             facets[f] = (ords, counts)
-        return {"topk": topk, "total_hits": int(len(docs)), "facets": facets}
+        return {"topk": topk, "total_hits": int(len(docs)), "facets": facets, "partial": partial}
 
     def facet_sampled(self, query, field: str, stride: int, ord_limit: int) -> tuple:
         """Heuristic facet sampling: count only every ``stride``-th hit doc
@@ -293,6 +308,7 @@ class RayIndexSearcher:
         facet_prefix: str | None = None,
         facet_overrequest: bool = False,
         after: tuple | None = None,
+        time_allowed_ms: float | None = None,
     ) -> dict:
         """Distributed search; returns merged top-k + facet lists.
 
@@ -309,6 +325,7 @@ class RayIndexSearcher:
             a.search.remote(
                 query, k=offset + k, facet_fields=facet_fields,
                 facet_ord_limit=shard_limit, after=after,
+                time_allowed_ms=time_allowed_ms,
             )
             for a in self.actors
         ]

@@ -209,6 +209,26 @@ def facet_source_all(sf_dir: str) -> pa.Table:
         s.shutdown()
 
 
+def facet_queries_counts(sf_dir: str) -> pa.Table:
+    """facet.query analog (`SimpleFacets.java:251-271`): hit counts of
+    arbitrary sub-queries, evaluated against the index."""
+    ix = documents_index(sf_dir)
+    loc = LocalIndex(ix)
+    ev = Evaluator(loc)
+    subqueries = [
+        ("q_join", TermQ("join")),
+        ("q_join_and_vector", BoolQ(must=(TermQ("join"), TermQ("vector")))),
+        ("q_window_or_stream", BoolQ(should=(TermQ("window"), TermQ("stream")))),
+        ("q_phrase_join_hash", PhraseQ(("join", "hash"))),
+    ]
+    names, counts = [], []
+    for name, ast in subqueries:
+        docs, _ = ev.scored(ast)
+        names.append(name)
+        counts.append(len(docs))
+    return pa.table({"facet_query": pa.array(names), "n": pa.array(counts, type=pa.int64())})
+
+
 def facet_range_nchars(sf_dir: str) -> pa.Table:
     """Range facet on n_chars: gap 100 buckets (IntervalFacets analog)."""
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["n_chars"])
