@@ -62,15 +62,37 @@ class SegmentSearcher:
     distributed pool.
     """
 
+    # ordinal spaces at least this large use the NPlane packed counter on the
+    # dense path (the fork's regime: huge dictionaries, bounded memory)
+    NPLANE_MIN_ORDS = 32_768
+
     def __init__(self, index_dir: str, partition_ids: list[int]):
         self.stats = GlobalStats(index_dir)
         self.parts = [IndexPartition(index_dir, pid, self.stats) for pid in partition_ids]
         self.counter_pool = CounterPool()
+        self._maxima_cache: dict[str, np.ndarray] = {}
+
+    def _field_maxima(self, field: str, n_ords: int) -> np.ndarray:
+        """Per-ordinal count upper bounds for THIS actor's partitions (=
+        match-all counts) — the histogram NPlane planes are sized from
+        (`OrdinalUtils.getBPVs` / `SparseDocValuesFacets.java:296-337`
+        analog), computed once per actor per field."""
+        if field not in self._maxima_cache:
+            m = np.zeros(n_ords, dtype=np.int64)
+            for part in self.parts:
+                o = part.facet_ords(field, part.doc_ids)
+                if len(o):
+                    m[: int(o.max()) + 1] += np.bincount(o, minlength=int(o.max()) + 1)[: n_ords]
+            self._maxima_cache[field] = m
+        return self._maxima_cache[field]
 
     def _facet_counts_for_hits(self, part: IndexPartition, field: str, hits: np.ndarray):
-        """Count facet ordinals for a hit set using the sparse counter when
-        the hit/ordinal ratio predicts few touched ordinals (SOLR-5894 path);
-        dense bincount otherwise.  Results are identical either way."""
+        """Count facet ordinals for a hit set: sparse tracker counter when the
+        hit/ordinal ratio predicts few touched ordinals, NPlane bit-plane
+        packed counter for huge ordinal spaces, plain bincount otherwise
+        (SOLR-5894 dispatch).  Results are identical on every path."""
+        from ..state.sparse_counter import NPlaneCounter
+
         ords = part.facet_ords(field, hits)
         if len(ords) == 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
@@ -83,6 +105,17 @@ class SegmentSearcher:
                 return o.copy(), v.copy()
             finally:
                 self.counter_pool.release((field, "sparse"), c)
+        if n_ords >= self.NPLANE_MIN_ORDS:
+            maxima = self._field_maxima(field, n_ords)
+            c = self.counter_pool.acquire(
+                (field, "nplane"), lambda: NPlaneCounter(maxima)
+            )
+            try:
+                c.inc(ords)
+                o, v = c.nonzero()
+                return o.copy(), v.copy()
+            finally:
+                self.counter_pool.release((field, "nplane"), c)
         counts = np.bincount(ords)
         nz = np.flatnonzero(counts)
         return nz.astype(np.int64), counts[nz].astype(np.int64)

@@ -129,3 +129,26 @@ class TestCounters:
         b = pool.acquire("f", lambda: SparseCounter(100))
         assert b is a and b.nonzero()[0].size == 0  # cleared on release
         assert pool.hits == 1 and pool.misses == 1
+
+
+class TestNPlaneFacetPath:
+    def test_nplane_path_equals_oracle(self, pages_corpus, oracle_index, monkeypatch):
+        from lucene_solr_ray.index.searcher import SegmentSearcher
+        from lucene_solr_ray.query.ast import MatchAllQ, TermQ
+
+        monkeypatch.setattr(SegmentSearcher, "NPLANE_MIN_ORDS", 1)  # force NPlane
+        man = pages_corpus["manifest"]
+        pids = [p["partition_id"] for p in man["partitions"]]
+        s = SegmentSearcher(pages_corpus["index_dir"], pids)
+        for q in [MatchAllQ(), TermQ("luko")]:
+            res = s.search(q, k=5, facet_fields=("host", "links_sim"))
+            o_hits = [d for _, d in oracle_index.search(q, 10**9)]
+            for f in ("host", "links_sim"):
+                ords, counts = res["facets"][f]
+                vocab = s.stats.dicts[f]
+                got = sorted(
+                    ((vocab[o], int(c)) for o, c in zip(ords.tolist(), counts.tolist())),
+                    key=lambda vc: (-vc[1], vc[0].encode()),
+                )
+                want = [vc for vc in oracle_index.facet(o_hits, f, limit=10**9, mincount=1)]
+                assert got == want, (q, f)
