@@ -64,7 +64,7 @@ class SegmentSearcher:
 
     # ordinal spaces at least this large use the NPlane packed counter on the
     # dense path (the fork's regime: huge dictionaries, bounded memory)
-    NPLANE_MIN_ORDS = 32_768
+    NPLANE_MIN_ORDS = 1 << 20  # dense int64 counters above ~8 MB/field -> packed planes
 
     def __init__(self, index_dir: str, partition_ids: list[int]):
         self.stats = GlobalStats(index_dir)

@@ -124,3 +124,27 @@ class TestTokenizer:
             "SELECT t FROM unnest(regexp_split_to_array(lower($$" + text + "$$), '[^a-z0-9]+')) AS u(t) WHERE t != ''"
         ).fetchall()
         assert ours == [r[0] for r in sql]
+
+
+class TestPipelineEdgeCases:
+    def test_frameset_flows_through_build_stages(self):
+        """Frameset docs are flagged, not fatal: extract_ok=False, empty
+        token stream, dl=0 (norm byte 255 = inf) — they match nothing."""
+        import pyarrow as pa
+
+        from lucene_solr_ray.stages.extract import extract_batch
+        from lucene_solr_ray.stages.tokenize import tokenize_batch
+
+        t = pa.table(
+            {
+                "doc_id": [1, 2],
+                "partition_id": [0, 0],
+                "html": [b"<html><frameset></frameset></html>", b"<html><body>ok text</body></html>"],
+            }
+        )
+        e = extract_batch(t)
+        assert e["extract_ok"].to_pylist() == [False, True]
+        tok = tokenize_batch(e)
+        assert tok["dl"].to_pylist() == [0, 2]
+        assert tok["norm"].to_pylist()[0] == 255
+        assert tok["terms"].to_pylist() == [[], ["ok", "text"]]
