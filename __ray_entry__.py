@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_df_top100": ft.term_df_top100,
         "term_ttf_top100": ft.term_ttf_top100,
         "terms_component_prefix": ft.terms_component_prefix,
+        "incremental_union_term_df": ft.incremental_union_term_df,
         # -- boolean / phrase search --
         "search_and": ft.search_and,
         "search_or": ft.search_or,
@@ -121,6 +122,12 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT term, CAST(count(*) AS BIGINT) AS ttf
                   FROM ({tok_terms}) WHERE term != '' GROUP BY term)
             ORDER BY ttf DESC, term LIMIT 100""",
+        "incremental_union_term_df": f"""
+            SELECT CAST(row_number() OVER (ORDER BY df DESC, term) - 1 AS BIGINT) AS rank, term, df
+            FROM (SELECT term, CAST(count(*) AS BIGINT) AS df
+                  FROM (SELECT DISTINCT doc_id, term FROM ({tok_terms}) WHERE term != '')
+                  GROUP BY term)
+            ORDER BY df DESC, term LIMIT 100""",
         "terms_component_prefix": f"""
             SELECT term, CAST(count(*) AS BIGINT) AS df
             FROM (SELECT DISTINCT doc_id, term FROM ({tok_terms}) WHERE term != '')

@@ -57,6 +57,40 @@ def documents_index(sf_dir: str, analyzer: str = "simple") -> str:
     return index_dir
 
 
+def incremental_union_term_df(sf_dir: str) -> pa.Table:
+    """Incremental ingest under the SQL gate: documents split into two
+    increments (doc_id < 250 / >= 250), each built as its own immutable
+    index, committed via ``union_indexes`` — the union's global term stats
+    must equal a single-index build (same oracle as ``term_df_top100``)."""
+    import pyarrow.parquet as pqf
+
+    from ..index.union import union_indexes
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(f"{src}:{st.st_size}:{st.st_mtime_ns}:unionv1".encode()).hexdigest()[:16]
+    root = os.path.join(CACHE_ROOT, "union_" + key)
+    union_dir = os.path.join(root, "union")
+    if not os.path.exists(os.path.join(union_dir, "manifest.json")):
+        os.makedirs(root, exist_ok=True)
+        tbl = pqf.read_table(src)
+        # split on a partition boundary (rows_per_partition=128 -> doc 256)
+        cut = 256
+        pqf.write_table(tbl.filter(pc.less(tbl["doc_id"], cut)), os.path.join(root, "a.parquet"))
+        pqf.write_table(tbl.filter(pc.greater_equal(tbl["doc_id"], cut)), os.path.join(root, "b.parquet"))
+        kw = dict(
+            rows_per_partition=128, extract_html=False, dedup_url=False,
+            analyzer="simple", facet_fields=("lang", "source"),
+            numeric_fields=("n_chars",), resume=True,
+        )
+        build_index([os.path.join(root, "a.parquet")], os.path.join(root, "ixa"), **kw)
+        build_index([os.path.join(root, "b.parquet")], os.path.join(root, "ixb"), **kw)
+        union_indexes([os.path.join(root, "ixa"), os.path.join(root, "ixb")], union_dir)
+    t = rd.read_parquet(os.path.join(union_dir, "terms_global")).to_pandas()
+    t = t.sort_values(["df", "term"], ascending=[False, True]).head(100)
+    return _rank_table({"term": t["term"].tolist(), "df": t["df"].astype("int64").tolist()})
+
+
 def _rank_table(cols: dict) -> pa.Table:
     n = len(next(iter(cols.values())))
     return pa.table({"rank": pa.array(range(n), type=pa.int64()), **{

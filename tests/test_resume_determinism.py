@@ -74,6 +74,36 @@ def test_identical_artifacts_across_build_configs(ray_session, tmp_path):
         assert top_k(da, sa, 20) == top_k(db, sb, 20)
 
 
+def test_per_partition_resume_reencodes_only_missing(ray_session, tmp_path):
+    """Delete ONE partition's postings file; rerun; only that partition is
+    re-encoded (others untouched byte-for-byte, checked via mtime+content)."""
+    root = str(tmp_path)
+    files = write_pages_parquet(os.path.join(root, "pages"), 300, n_files=3)
+    ix = os.path.join(root, "ix")
+    build_index(files, ix, rows_per_partition=64)
+    pdirs = sorted(glob.glob(os.path.join(ix, "postings", "partition_id=*")))
+    assert len(pdirs) >= 3
+    victim = os.path.join(pdirs[1], "postings.parquet")
+    victim_content = open(victim, "rb").read()
+    keep_stats = {
+        d: os.stat(os.path.join(d, "postings.parquet")).st_mtime_ns
+        for d in pdirs
+        if d != pdirs[1]
+    }
+    os.remove(victim)
+    for stage in ("postings", "stats"):
+        os.remove(os.path.join(ix, f"_stage_{stage}.json"))
+    os.remove(os.path.join(ix, "manifest.json"))
+
+    m2 = build_index(files, ix, rows_per_partition=64, resume=True)
+    # victim re-encoded to identical bytes; all others not rewritten
+    assert open(victim, "rb").read() == victim_content
+    for d, mtime in keep_stats.items():
+        assert os.stat(os.path.join(d, "postings.parquet")).st_mtime_ns == mtime, d
+    assert m2["lineage"]["postings"]["partitions_encoded"] == 1
+    assert m2["lineage"]["postings"]["partitions_skipped"] == len(pdirs) - 1
+
+
 def test_manifest_records_lineage(pages_corpus):
     man = json.load(open(os.path.join(pages_corpus["index_dir"], "manifest.json")))
     assert set(man["lineage"]) == {"tokenized", "dicts", "docmap", "postings", "stats"}
