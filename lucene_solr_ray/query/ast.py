@@ -51,9 +51,22 @@ class TermQ:
 
 @dataclass(frozen=True)
 class PhraseQ:
+    """Exact (slop=0) or sloppy phrase.
+
+    Sloppy matching (slop>0) follows the reference's contract shape
+    (`SloppyPhraseScorer` + ``Similarity.sloppyFreq = 1/(distance+1)``,
+    `BM25Similarity.java:69-71`): each match contributes ``1/(d+1)`` to the
+    phrase freq where ``d`` is the positional displacement.  The match
+    enumeration here is the minimal-window algorithm (for every occurrence of
+    the first term, the smallest in-order completion window); Lucene's exact
+    repeat-term/reorder edge cases are a documented deviation — oracle and
+    engine share THIS implementation, so differential tests stay exact.
+    """
+
     terms: tuple
     field: str = DEFAULT_FIELD
     boost: float = 1.0
+    slop: int = 0
 
 
 @dataclass(frozen=True)
@@ -330,17 +343,23 @@ class Evaluator:
             docs = np.intersect1d(docs, d, assume_unique=True)
         if len(docs) == 0:
             return _EMPTY_I, _EMPTY_F
-        freqs = np.zeros(len(docs), dtype=np.int64)
-        # exact phrase: positions of term i, shifted by -i, intersected
+        freqs = np.zeros(len(docs), dtype=np.float64)
         for j, doc in enumerate(docs.tolist()):
-            base = None
-            for i, (d, _, plists) in enumerate(per_term):
+            plists = []
+            for i, (d, _, pl) in enumerate(per_term):
                 pi = np.searchsorted(d, doc)
-                p = np.asarray(plists[pi], dtype=np.int64) - i
-                base = p if base is None else np.intersect1d(base, p, assume_unique=True)
-                if len(base) == 0:
-                    break
-            freqs[j] = len(base)
+                plists.append(np.asarray(pl[pi], dtype=np.int64))
+            if q.slop == 0:
+                # exact phrase: positions of term i, shifted by -i, intersected
+                base = None
+                for i, p in enumerate(plists):
+                    p = p - i
+                    base = p if base is None else np.intersect1d(base, p, assume_unique=True)
+                    if len(base) == 0:
+                        break
+                freqs[j] = float(len(base))
+            else:
+                freqs[j] = _sloppy_freq(plists, q.slop)
         hit = freqs > 0
         docs, freqs = docs[hit], freqs[hit]
         if len(docs) == 0:
@@ -348,6 +367,27 @@ class Evaluator:
         wv = self._weight_value(q.field, list(q.terms), q.boost)
         nb = self.src.norm_bytes(q.field, docs)
         return docs, bm25.term_scores(freqs, nb, self._cache(q.field), wv)
+
+
+def _sloppy_freq(plists: list, slop: int) -> float:
+    """Minimal-window sloppy matching: for each occurrence of term 0, find
+    the earliest in-order completion; distance = extra displacement beyond
+    the exact phrase; contributes 1/(distance+1) if distance <= slop."""
+    acc = 0.0
+    for p0 in plists[0].tolist():
+        pos = p0
+        ok = True
+        for i in range(1, len(plists)):
+            nxt = plists[i][np.searchsorted(plists[i], pos + 1)] if np.searchsorted(plists[i], pos + 1) < len(plists[i]) else None
+            if nxt is None:
+                ok = False
+                break
+            pos = int(nxt)
+        if ok:
+            distance = (pos - p0) - (len(plists) - 1)
+            if distance <= slop:
+                acc += 1.0 / (distance + 1)
+    return acc
 
 
 def top_k(

@@ -28,7 +28,7 @@ _TOKEN_RE = re.compile(
     (?P<lparen>\() | (?P<rparen>\)) |
     (?P<and>AND\b) | (?P<or>OR\b) | (?P<not>NOT\b) |
     (?P<plus>\+) | (?P<minus>-) |
-    (?P<phrase>"(?P<phrase_body>[^"]*)") |
+    (?P<phrase>"(?P<phrase_body>[^"]*)"(?:~(?P<pslop>\d+))?) |
     (?P<range>(?P<rfield>[A-Za-z_][\w.]*):(?P<lb>[\[{])(?P<lo>[^\s\]}]+)\s+TO\s+(?P<hi>[^\s\]}]+)(?P<rb>[\]}])) |
     (?P<regexq>/(?P<rbody>[^/]+)/) |
     (?P<fuzzy>(?P<fbody>[^\s()^"~+-][^\s()^"~]*)~(?P<fedits>\d)?) |
@@ -92,7 +92,7 @@ class QueryParser:
             if kind:
                 out.append((kind, None))
             elif m.group("phrase") is not None:
-                out.append(("phrase", m.group("phrase_body")))
+                out.append(("phrase", (m.group("phrase_body"), int(m.group("pslop") or 0))))
             elif m.group("range") is not None:
                 out.append(
                     (
@@ -111,7 +111,7 @@ class QueryParser:
             elif m.group("fuzzy") is not None:
                 out.append(("fuzzy", (m.group("fbody"), int(m.group("fedits") or 2))))
             elif m.group("fphrase") is not None:
-                out.append(("phrase", m.group("pbody")))  # field-scoped phrase -> default text field
+                out.append(("phrase", (m.group("pbody"), 0)))  # field-scoped phrase -> default text field
             elif m.group("fielded") is not None:
                 out.append(("fielded", (m.group("field"), m.group("fvalue"))))
             elif m.group("boost") is not None:
@@ -201,10 +201,11 @@ class QueryParser:
             return self._maybe_boost(node)
         if kind == "phrase":
             self._i += 1
-            terms = tuple(t for t, _ in analyze(val))
+            body, slop = val
+            terms = tuple(t for t, _ in analyze(body))
             if not terms:
                 return None
-            node = PhraseQ(terms) if len(terms) > 1 else TermQ(terms[0])
+            node = PhraseQ(terms, slop=slop) if len(terms) > 1 else TermQ(terms[0])
             return self._maybe_boost(node)
         if kind == "regexq":
             self._i += 1

@@ -88,3 +88,16 @@ def test_multiterm_engine_equals_oracle(local_index, oracle_index):
     ]:
         docs, scores = Evaluator(local_index).scored(q)
         assert top_k(docs, scores, 25) == oracle_index.search(q, 25), q
+
+
+def test_sloppy_phrase_engine_equals_oracle(local_index, oracle_index):
+    from lucene_solr_ray.query.ast import PhraseQ
+
+    for slop in (1, 2, 4):
+        q = PhraseQ(("luko", "kalo"), slop=slop)
+        docs, scores = Evaluator(local_index).scored(q)
+        assert top_k(docs, scores, 20) == oracle_index.search(q, 20), slop
+    # slop widens the hit set monotonically
+    n0 = len(Evaluator(local_index).scored(PhraseQ(("luko", "kalo")))[0])
+    n4 = len(Evaluator(local_index).scored(PhraseQ(("luko", "kalo"), slop=4))[0])
+    assert n4 >= n0
