@@ -97,6 +97,17 @@ class RangeQ:
 
 
 @dataclass(frozen=True)
+class DisMaxQ:
+    """DisjunctionMaxQuery: score = max over matching clauses + tiebreak *
+    (sum of the others) — `lucene/core/src/java/org/apache/lucene/search/
+    DisjunctionMaxQuery.java` / ``DisjunctionMaxScorer`` (float arithmetic:
+    ``scoreMax + (scoreSum - scoreMax) * tieBreakerMultiplier``)."""
+
+    clauses: tuple
+    tiebreak: float = 0.0
+
+
+@dataclass(frozen=True)
 class MatchAllQ:
     pass
 
@@ -243,6 +254,22 @@ class Evaluator:
         if isinstance(q, MatchAllQ):
             docs = self.src.all_docs()
             return docs, np.full(len(docs), np.float32(1.0), dtype=np.float32)
+
+        if isinstance(q, DisMaxQ):
+            evaled = [self.scored(c) for c in q.clauses]
+            evaled = [(d, s) for d, s in evaled if len(d)]
+            if not evaled:
+                return _EMPTY_I, _EMPTY_F
+            all_docs = np.unique(np.concatenate([d for d, _ in evaled]))
+            smax = np.full(len(all_docs), -np.inf, dtype=np.float32)
+            ssum = np.zeros(len(all_docs), dtype=np.float32)
+            for d, s in evaled:
+                idx = np.searchsorted(all_docs, d)
+                np.maximum.at(smax, idx, s)
+                ssum[idx] = (ssum[idx] + s).astype(np.float32)
+            tie = np.float32(q.tiebreak)
+            out = (smax + (ssum - smax) * tie).astype(np.float32)
+            return all_docs, out
 
         if isinstance(q, MultiTermQ):
             terms = expand_multiterm(q, self.src.vocabulary(q.field))

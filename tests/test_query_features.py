@@ -101,3 +101,21 @@ def test_sloppy_phrase_engine_equals_oracle(local_index, oracle_index):
     n0 = len(Evaluator(local_index).scored(PhraseQ(("luko", "kalo")))[0])
     n4 = len(Evaluator(local_index).scored(PhraseQ(("luko", "kalo"), slop=4))[0])
     assert n4 >= n0
+
+
+def test_dismax_engine_equals_oracle(local_index, oracle_index):
+    from lucene_solr_ray.query.ast import DisMaxQ, PhraseQ
+
+    for tie in (0.0, 0.3, 1.0):
+        q = DisMaxQ((TermQ("luko"), TermQ("kalo"), PhraseQ(("luko", "kalo"))), tiebreak=tie)
+        docs, scores = Evaluator(local_index).scored(q)
+        assert top_k(docs, scores, 20) == oracle_index.search(q, 20), tie
+    # tiebreak=1.0 equals plain disjunction sum on the same docs
+    q1 = DisMaxQ((TermQ("luko"), TermQ("kalo")), tiebreak=1.0)
+    qb = BoolQ(should=(TermQ("luko"), TermQ("kalo")))
+    d1, s1 = Evaluator(local_index).scored(q1)
+    db, sb = Evaluator(local_index).scored(qb)
+    assert d1.tolist() == db.tolist()
+    import numpy as np
+
+    assert np.allclose(s1, sb, rtol=1e-6)
