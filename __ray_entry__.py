@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_lang_for_term": ft.facet_lang_for_term,
         "facet_source_all": ft.facet_source_all,
         "facet_queries_counts": ft.facet_queries_counts,
+        "function_query_index_stats": ft.function_query_index_stats,
         "facet_range_nchars": ft.facet_range_nchars,
         "pivot_lang_source": ft.pivot_lang_source,
         "stats_nchars_by_lang": ft.stats_nchars_by_lang,
@@ -167,6 +168,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(row_number() OVER (ORDER BY n DESC, source) - 1 AS BIGINT) AS rank, source, n
             FROM (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source)
             ORDER BY n DESC, source""",
+        "function_query_index_stats": f"""
+            SELECT doc_id,
+                   CAST(len(list_filter({_TOK}, t -> t = 'join')) AS BIGINT) AS termfreq_join,
+                   CAST((SELECT count(*) FROM documents WHERE {_HAS.format(t='join')}) AS BIGINT) AS docfreq_join,
+                   CAST((SELECT count(*) FROM documents) AS BIGINT) AS maxdoc
+            FROM documents ORDER BY doc_id""",
         "facet_queries_counts": f"""
             SELECT 'q_join' AS facet_query, CAST(count(*) AS BIGINT) AS n FROM documents WHERE {_HAS.format(t='join')}
             UNION ALL

@@ -243,6 +243,29 @@ def facet_source_all(sf_dir: str) -> pa.Table:
         s.shutdown()
 
 
+def function_query_index_stats(sf_dir: str) -> pa.Table:
+    """Index-statistics ValueSources per doc (`ValueSourceParser.java:591-649`
+    registry: docfreq / termfreq / maxdoc / numdocs; idf et al. are the same
+    lookups composed): evaluated from the index artifacts, checked against
+    SQL recomputation from raw text."""
+    ix = documents_index(sf_dir)
+    loc = LocalIndex(ix)
+    term = "join"
+    docs, tfs = loc.postings("text", term)
+    tf_map = dict(zip(docs.tolist(), tfs.tolist()))
+    all_docs = np.sort(loc.all_docs())
+    df = loc.global_df("text", term)
+    n = loc.global_stats("text")[0]
+    return pa.table(
+        {
+            "doc_id": pa.array(all_docs, type=pa.int64()),
+            "termfreq_join": pa.array([tf_map.get(int(d), 0) for d in all_docs], type=pa.int64()),
+            "docfreq_join": pa.array([df] * len(all_docs), type=pa.int64()),
+            "maxdoc": pa.array([n] * len(all_docs), type=pa.int64()),
+        }
+    )
+
+
 def facet_queries_counts(sf_dir: str) -> pa.Table:
     """facet.query analog (`SimpleFacets.java:251-271`): hit counts of
     arbitrary sub-queries, evaluated against the index."""
