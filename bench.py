@@ -254,11 +254,13 @@ def run_scaling() -> dict:
     t_hi = r_hi["docs_per_sec"]
     eff = (t_hi / t_lo) / (hi / lo)
     return {
-        "metric": "scaling efficiency (build_pages docs/s, 8 vs 32 CPUs, fresh processes)",
-        "docs_per_sec_8": t_lo,
-        "docs_per_sec_32": t_hi,
-        "build_sec_8": r_lo["queries"]["build_pages"],
-        "build_sec_32": r_hi["queries"]["build_pages"],
+        "metric": f"scaling efficiency (build_pages docs/s, {lo} vs {hi} CPUs, fresh processes)",
+        f"docs_per_sec_{lo}": t_lo,
+        f"docs_per_sec_{hi}": t_hi,
+        f"build_sec_{lo}": r_lo["queries"]["build_pages"],
+        f"build_sec_{hi}": r_hi["queries"]["build_pages"],
+        "cpus_lo": lo,
+        "cpus_hi": hi,
         "scaling_efficiency": round(eff, 3),
         "pages_n": r_lo["pages_n"],
     }
