@@ -1,0 +1,96 @@
+"""User-extension registries (SURVEY.md §2.12).
+
+The reference's SPI surfaces (`TokenizerFactory`/`TokenFilterFactory` loadable
+by name, `UpdateRequestProcessorChain` ingest middleware, `QParserPlugin` /
+`ValueSourceParser` registries) map to plain name -> callable registries here;
+a pipeline step is any batch callable (stateless task) or callable class
+(actor-pool stage) composable into ``Dataset.map_batches``.
+
+Built-ins are pre-registered; users add their own with ``register(kind, name,
+obj)`` and build chains with :func:`ingest_chain`.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+_REGISTRY: dict[str, dict[str, object]] = {
+    "tokenizer": {},
+    "stage": {},
+    "query_parser": {},
+    "scalar_fn": {},
+}
+
+
+def register(kind: str, name: str, obj) -> None:
+    if kind not in _REGISTRY:
+        raise KeyError(f"unknown registry kind {kind!r}; have {sorted(_REGISTRY)}")
+    _REGISTRY[kind][name] = obj
+
+
+def lookup(kind: str, name: str):
+    try:
+        return _REGISTRY[kind][name]
+    except KeyError:
+        raise KeyError(f"no {kind} named {name!r}; have {sorted(_REGISTRY.get(kind, ()))}") from None
+
+
+def names(kind: str) -> list[str]:
+    return sorted(_REGISTRY[kind])
+
+
+def ingest_chain(ds, steps: list, **map_batches_kwargs):
+    """UpdateRequestProcessorChain analog: apply named/inline stages in order.
+
+    ``steps``: each item is a registered stage name, a callable, or a
+    ``(callable, kwargs)`` pair — applied as ``map_batches(...,
+    batch_format="pyarrow")`` in sequence.
+    """
+    for step in steps:
+        fn_kwargs = {}
+        if isinstance(step, tuple):
+            step, fn_kwargs = step
+        if isinstance(step, str):
+            step = lookup("stage", step)
+        ds = ds.map_batches(
+            step, batch_format="pyarrow", fn_kwargs=fn_kwargs or None, **map_batches_kwargs
+        )
+    return ds
+
+
+def _register_builtins() -> None:
+    from ..analysis import tokenizer as tok
+    from ..stages import dedup, extract, signatures, textstats, tokenize
+
+    register("tokenizer", "standard", tok.analyze)
+    register("tokenizer", "simple", tok.simple_tokenize)
+    register("stage", "extract_html", extract.extract_batch)
+    register("stage", "tokenize", tokenize.tokenize_batch)
+    register("stage", "signature_md5", signatures.md5_signature_batch)
+    register("stage", "signature_lookup3", signatures.lookup3_signature_batch)
+    register("stage", "signature_textprofile", signatures.text_profile_signature_batch)
+    register("stage", "content_hash", dedup.add_content_hash)
+    register("stage", "simhash", dedup.simhash_batch)
+    register("stage", "language_id", textstats.LanguageId)
+    register("stage", "token_count", textstats.token_count_batch)
+    register("stage", "quality_score", textstats.quality_score_batch)
+    register("stage", "fingerprint", textstats.fingerprint_batch)
+
+    from ..query.parser import QueryParser
+
+    register("query_parser", "classic", QueryParser)
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    # ValueSourceParser surface (math/logic kernels over pc/numpy)
+    for name, fn in {
+        "sqrt": pc.sqrt, "abs": pc.abs, "floor": pc.floor, "ceil": pc.ceil,
+        "ln": pc.ln, "exp": pc.exp, "sin": pc.sin, "cos": pc.cos,
+        "sum": pc.add, "sub": pc.subtract, "product": pc.multiply,
+        "div": pc.divide, "max": pc.max_element_wise, "min": pc.min_element_wise,
+    }.items():
+        register("scalar_fn", name, fn)
+
+
+_register_builtins()

@@ -264,6 +264,12 @@ def build_index(
                 return pa.table(cols)
 
             cols = ["doc_id", "partition_id", "dl", "norm"] + keep_fields
+            # url = the stored unique key (STAGE_GET_FIELDS serves it back)
+            import glob as _g0
+
+            _sample = _g0.glob(os.path.join(tokenized_dir, "**", "*.parquet"), recursive=True)
+            if _sample and "url" in pq.read_schema(_sample[0]).names:
+                cols.append("url")
             ds = _read_sized(tokenized_dir, columns=[c for c in cols])
             ds = ds.map_batches(to_ords, batch_format="pyarrow")
             ds.write_parquet(docmap_dir, partition_cols=["partition_id"], mode="overwrite")

@@ -217,6 +217,29 @@ class SegmentSearcher:
             ords, counts = ords[sel], counts[sel]
         return ords, counts
 
+    def fetch_fields(self, doc_ids: list[int], fields: list[str]) -> dict:
+        """STAGE_GET_FIELDS: stored/doc-values fields for result ids owned by
+        this actor (`QueryComponent.java:656-658` second round-trip)."""
+        want = np.asarray(sorted(doc_ids), dtype=np.int64)
+        out: dict[int, dict] = {}
+        for part in self.parts:
+            if not len(part.doc_ids):
+                continue
+            sel = want[(want >= part.doc_ids[0]) & (want <= part.doc_ids[-1])]
+            idx = np.searchsorted(part.doc_ids, sel)
+            ok = part.doc_ids[np.minimum(idx, len(part.doc_ids) - 1)] == sel
+            for d, i in zip(sel[ok].tolist(), idx[ok].tolist()):
+                row = {}
+                for f in fields:
+                    if f == "dl":
+                        row[f] = int(part.dls[i])
+                    elif f in part.columns:
+                        row[f] = part.columns[f][i]
+                    elif f in part.list_columns:
+                        row[f] = part.list_columns[f][i]
+                out[int(d)] = row
+        return out
+
     def scores_for_docs(self, query, doc_ids: list[int]) -> dict:
         """Scores of *query* restricted to the given docs (ReRank support:
         `solr/core/src/java/org/apache/solr/search/ReRankQParserPlugin.java`
@@ -320,6 +343,15 @@ class RayIndexSearcher:
         items = sorted(((o, c) for o, c in acc.items()), key=lambda oc: (-oc[1], oc[0]))
         vocab = self.stats.dicts[field]
         return [(vocab[o], int(c)) for o, c in items[:limit]]
+
+    def fetch_fields(self, doc_ids: list[int], fields: list[str]) -> dict:
+        """Distributed STAGE_GET_FIELDS: each actor returns fields for the
+        ids it owns; driver merges (ids are disjoint across actors)."""
+        futs = [a.fetch_fields.remote(doc_ids, fields) for a in self.actors]
+        out: dict[int, dict] = {}
+        for r in ray.get(futs):
+            out.update(r)
+        return out
 
     def search_after(self, query, cursor: tuple | None, k: int = 10) -> dict:
         """cursorMark deep paging: ``cursor`` is the last (score, doc_id) of

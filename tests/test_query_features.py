@@ -119,3 +119,34 @@ def test_dismax_engine_equals_oracle(local_index, oracle_index):
     import numpy as np
 
     assert np.allclose(s1, sb, rtol=1e-6)
+
+
+def test_fetch_fields_distributed(ray_session, pages_corpus, oracle_rows):
+    from lucene_solr_ray.index.searcher import RayIndexSearcher
+
+    s = RayIndexSearcher(pages_corpus["index_dir"], num_actors=3)
+    try:
+        res = s.search(TermQ("luko"), k=5)
+        ids = [d for _, d in res["topk"]]
+        fields = s.fetch_fields(ids, ["url", "host", "lang", "dl"])
+        by_id = {r["doc_id"]: r for r in oracle_rows}
+        assert set(fields) == set(ids)
+        for d, row in fields.items():
+            assert row["url"] == by_id[d]["url"]
+            assert row["host"] == by_id[d]["host"]
+            assert row["lang"] == by_id[d]["lang"]
+    finally:
+        s.shutdown()
+
+
+def test_registry_and_ingest_chain(ray_session):
+    import ray.data as rd
+
+    from lucene_solr_ray.functions.registry import ingest_chain, lookup, names
+
+    assert "tokenize" in names("stage") and "classic" in names("query_parser")
+    ds = rd.from_items([{"doc_id": 1, "text": "Hello hello world"}])
+    out = ingest_chain(ds, ["content_hash", "token_count", ("signature_md5", {"fields": ["text"]})])
+    row = out.take_all()[0]
+    assert row["n_tokens"] == 3 and len(row["content_hash"]) == 40 and len(row["signature"]) == 32
+    assert lookup("scalar_fn", "sqrt")
