@@ -132,6 +132,7 @@ def build_index(
     dedup_url: bool = True,
     with_positions: bool = True,
     analyzer: str = "standard",
+    extra_text_fields: tuple = (),
     facet_fields: tuple = DEFAULT_FACET_FIELDS,
     multi_facet_fields: tuple = (),
     numeric_fields: tuple = (),
@@ -147,6 +148,7 @@ def build_index(
         "rows_per_partition": rows_per_partition,
         "with_positions": with_positions,
         "analyzer": analyzer,
+        "extra_text_fields": list(extra_text_fields),
     }
 
     tokenized_dir = os.path.join(index_dir, "tokenized")
@@ -188,9 +190,15 @@ def build_index(
             tokenize_batch,
             batch_format="pyarrow",
             batch_size=tokenize_batch_size,
-            fn_kwargs={"with_positions": with_positions, "analyzer": analyzer},
+            fn_kwargs={
+                "with_positions": with_positions,
+                "analyzer": analyzer,
+                "extra_text_fields": extra_text_fields,
+            },
         )
         keep = ["doc_id", "partition_id", "dl", "norm", "terms", "tfs"] + keep_fields
+        for _f in extra_text_fields:
+            keep += [f"dl_{_f}", f"norm_{_f}"]
         if with_positions:
             keep.append("positions")
         if "url" in ds.schema().names:
@@ -264,6 +272,8 @@ def build_index(
                 return pa.table(cols)
 
             cols = ["doc_id", "partition_id", "dl", "norm"] + keep_fields
+            for _f in extra_text_fields:
+                cols += [f"dl_{_f}", f"norm_{_f}"]
             # url = the stored unique key (STAGE_GET_FIELDS serves it back)
             import glob as _g0
 
@@ -287,6 +297,8 @@ def build_index(
         if not (resume and _stage_done(index_dir, "postings")):
             t0 = time.time()
             cols = ["doc_id", "partition_id", "norm", "terms", "tfs", "dl"]
+            for _f in extra_text_fields:
+                cols += [f"norm_{_f}", f"dl_{_f}"]
             if with_positions:
                 cols.append("positions")
 
@@ -390,8 +402,22 @@ def build_index(
                 dict_enc = pc_.dictionary_encode(flat_terms)
                 codes = np.asarray(dict_enc.indices, dtype=np.int64)
                 doc_ids = np.asarray(tbl["doc_id"], dtype=np.int64)
-                norms = np.asarray(tbl["norm"], dtype=np.uint8)
                 tfs_flat = np.asarray(tbl["tfs"].combine_chunks().flatten(), dtype=np.int64)
+                # per-field norms: a term key's field decides which norm column
+                # feeds its block-max metadata (text unprefixed: field_term_key)
+                from ..stages.tokenize import FIELD_SEP
+
+                norm_mat = [np.asarray(tbl["norm"], dtype=np.uint8)]
+                field_of_code = np.zeros(len(dict_enc.dictionary), dtype=np.int64)
+                if extra_text_fields:
+                    dict_vals = dict_enc.dictionary.to_pylist()
+                    for fi, _f in enumerate(extra_text_fields, start=1):
+                        norm_mat.append(np.asarray(tbl[f"norm_{_f}"], dtype=np.uint8))
+                        pref = _f + FIELD_SEP
+                        for ci, tv in enumerate(dict_vals):
+                            if tv.startswith(pref):
+                                field_of_code[ci] = fi
+                norm_mat = np.stack(norm_mat)
 
                 order = np.lexsort((doc_ids[parent], codes))
                 s_code = codes[order]
@@ -414,9 +440,10 @@ def build_index(
                     )
                     pos_vals = pos_all[gather]
 
+                norm_sel = norm_mat[field_of_code[codes[order]], parent[order]]
                 cell_cols = encode_cells_columns(
                     starts, doc_ids[parent][order], tfs_flat[order],
-                    NORM_TABLE[norms[parent][order]], pos_vals,
+                    NORM_TABLE[norm_sel], pos_vals,
                 )
                 out = {
                     "term": dict_enc.dictionary.take(pa.array(s_code[starts])),
@@ -452,6 +479,10 @@ def build_index(
                                 "partition_id": pid,
                                 "rows": tbl.num_rows,
                                 "sum_dl": int(np.asarray(tbl["dl"], dtype=np.int64).sum()),
+                                **{
+                                    f"sum_dl_{_f}": int(np.asarray(tbl[f"dl_{_f}"], dtype=np.int64).sum())
+                                    for _f in extra_text_fields
+                                },
                             },
                             fh,
                         )
@@ -514,6 +545,10 @@ def build_index(
         coll = {
             "max_doc": sum(p["rows"] for p in parts),
             "sum_dl": sum(p["sum_dl"] for p in parts),
+            **{
+                f"sum_dl_{_f}": sum(p.get(f"sum_dl_{_f}", 0) for p in parts)
+                for _f in extra_text_fields
+            },
             "partitions": parts,
         }
         with open(os.path.join(index_dir, "stats.json"), "w") as f:
@@ -534,6 +569,8 @@ def build_index(
         "numeric_fields": list(numeric_fields),
         "max_doc": coll["max_doc"],
         "sum_dl": coll["sum_dl"],
+        "extra_text_fields": list(extra_text_fields),
+        **{f"sum_dl_{_f}": coll.get(f"sum_dl_{_f}", 0) for _f in extra_text_fields},
         "partitions": coll["partitions"],
         "lineage": {
             s: json.load(open(os.path.join(index_dir, f"_stage_{s}.json")))

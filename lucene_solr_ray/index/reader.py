@@ -23,6 +23,7 @@ import numpy as np
 import pyarrow.parquet as pq
 
 from ..query.ast import FilterQ, RangeQ, TermSource
+from ..stages.tokenize import field_term_key
 from .postings import decode_docs_freqs, decode_positions
 
 
@@ -39,6 +40,10 @@ class GlobalStats:
             self.manifest = json.load(f)
         self.max_doc = self.manifest["max_doc"]
         self.sum_dl = self.manifest["sum_dl"]
+        self.extra_text_fields = tuple(self.manifest.get("extra_text_fields", ()))
+        self.sum_dl_field = {
+            f: self.manifest.get(f"sum_dl_{f}", 0) for f in self.extra_text_fields
+        }
         t = pq.read_table(os.path.join(index_dir, "terms_global"))
         self.df = dict(zip(t["term"].to_pylist(), t["df"].to_pylist()))
         self.ttf = dict(zip(t["term"].to_pylist(), t["ttf"].to_pylist()))
@@ -104,6 +109,10 @@ class IndexPartition(TermSource):
         self.doc_ids = np.asarray(dm["doc_id"].to_pylist(), dtype=np.int64)[order]
         self.norms = np.asarray(dm["norm"].to_pylist(), dtype=np.uint8)[order]
         self.dls = np.asarray(dm["dl"].to_pylist(), dtype=np.int64)[order]
+        self.field_norms: dict[str, np.ndarray] = {"text": self.norms}
+        for f in stats.extra_text_fields:
+            if f"norm_{f}" in dm.column_names:
+                self.field_norms[f] = np.asarray(dm[f"norm_{f}"].to_pylist(), dtype=np.uint8)[order]
         self.columns: dict[str, np.ndarray] = {}
         self.list_columns: dict[str, list] = {}
         for name in dm.column_names:
@@ -120,13 +129,13 @@ class IndexPartition(TermSource):
     # -- TermSource -----------------------------------------------------------
 
     def postings(self, field, term):
-        cell = self._cells.get(term)
+        cell = self._cells.get(field_term_key(field, term))
         if cell is None:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
         return decode_docs_freqs(cell["docs"], cell["freqs"], cell["df"])
 
     def positions(self, field, term):
-        cell = self._cells.get(term)
+        cell = self._cells.get(field_term_key(field, term))
         if cell is None:
             e = np.empty(0, dtype=np.int64)
             return e, e, []
@@ -135,7 +144,7 @@ class IndexPartition(TermSource):
 
     def norm_bytes(self, field, doc_ids):
         idx = np.searchsorted(self.doc_ids, doc_ids)
-        return self.norms[idx]
+        return self.field_norms.get(field, self.norms)[idx]
 
     def filter_docs(self, q):
         if isinstance(q, FilterQ):
@@ -176,13 +185,20 @@ class IndexPartition(TermSource):
         return self.doc_ids
 
     def global_df(self, field, term):
-        return self.stats.df.get(term, 0)
+        return self.stats.df.get(field_term_key(field, term), 0)
 
     def global_stats(self, field):
+        if field != "text" and field in self.stats.sum_dl_field:
+            return self.stats.max_doc, self.stats.sum_dl_field[field]
         return self.stats.max_doc, self.stats.sum_dl
 
     def vocabulary(self, field):
-        return self.stats.df.keys()
+        if field == "text":
+            from ..stages.tokenize import FIELD_SEP
+
+            return [t for t in self.stats.df if FIELD_SEP not in t]
+        pref = field + "\x1f"
+        return [t[len(pref):] for t in self.stats.df if t.startswith(pref)]
 
     # -- faceting support -----------------------------------------------------
 
@@ -254,10 +270,17 @@ class LocalIndex(TermSource):
         return self._concat([p.all_docs() for p in self.parts])
 
     def global_df(self, field, term):
-        return self.stats.df.get(term, 0)
+        return self.stats.df.get(field_term_key(field, term), 0)
 
     def global_stats(self, field):
+        if field != "text" and field in self.stats.sum_dl_field:
+            return self.stats.max_doc, self.stats.sum_dl_field[field]
         return self.stats.max_doc, self.stats.sum_dl
 
     def vocabulary(self, field):
-        return self.stats.df.keys()
+        if field == "text":
+            from ..stages.tokenize import FIELD_SEP
+
+            return [t for t in self.stats.df if FIELD_SEP not in t]
+        pref = field + "\x1f"
+        return [t[len(pref):] for t in self.stats.df if t.startswith(pref)]

@@ -42,8 +42,8 @@ def union_indexes(member_dirs: list[str], out_dir: str) -> dict:
 
     m0 = manifests[0]
     for m in manifests[1:]:
-        for key in ("with_positions", "analyzer", "facet_fields", "multi_facet_fields", "numeric_fields", "rows_per_partition"):
-            if m[key] != m0[key]:
+        for key in ("with_positions", "analyzer", "facet_fields", "multi_facet_fields", "numeric_fields", "rows_per_partition", "extra_text_fields"):
+            if m.get(key) != m0.get(key):
                 raise ValueError(f"member config mismatch on {key}")
     all_pids = [p["partition_id"] for m in manifests for p in m["partitions"]]
     if len(set(all_pids)) != len(all_pids):
@@ -97,8 +97,13 @@ def union_indexes(member_dirs: list[str], out_dir: str) -> dict:
         "facet_fields": m0["facet_fields"],
         "multi_facet_fields": m0["multi_facet_fields"],
         "numeric_fields": m0["numeric_fields"],
+        "extra_text_fields": m0.get("extra_text_fields", []),
         "max_doc": sum(m["max_doc"] for m in manifests),
         "sum_dl": sum(m["sum_dl"] for m in manifests),
+        **{
+            f"sum_dl_{f}": sum(m.get(f"sum_dl_{f}", 0) for m in manifests)
+            for f in m0.get("extra_text_fields", [])
+        },
         "partitions": partitions,
         "lineage": {"members": [m.get("lineage", {}) for m in manifests]},
     }

@@ -15,6 +15,7 @@ import numpy as np
 from .analysis.tokenizer import analyze
 from .query.ast import Evaluator, FilterQ, RangeQ, TermSource, top_k
 from .smallfloat import encode_norm
+from .stages.tokenize import FIELD_SEP, field_term_key
 
 
 class OracleIndex(TermSource):
@@ -25,48 +26,55 @@ class OracleIndex(TermSource):
     keyword fields are lists.
     """
 
-    def __init__(self, rows: list[dict], text_field: str = "text"):
+    def __init__(self, rows: list[dict], text_field: str = "text", extra_fields: tuple = ()):
         rows = sorted(rows, key=lambda r: r["doc_id"])
         self.rows = rows
         self.text_field = text_field
+        self.extra_fields = tuple(extra_fields)
         self.doc_ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
         self._post: dict[str, list[tuple[int, int, list[int]]]] = {}
-        dls = []
-        sum_ttf = 0
-        for r in rows:
-            toks = analyze(r.get(text_field) or "")
-            dls.append(len(toks))
-            sum_ttf += len(toks)
-            per: dict[str, list[int]] = {}
-            for term, pos in toks:
-                per.setdefault(term, []).append(pos)
-            for term, plist in per.items():
-                self._post.setdefault(term, []).append(
-                    (int(r["doc_id"]), len(plist), plist)
-                )
-        self.dls = np.array(dls, dtype=np.int64)
-        self.norms = encode_norm(self.dls)
+        self.field_norms: dict[str, np.ndarray] = {}
+        self.sum_ttf_field: dict[str, int] = {}
+        for f, src in [("text", text_field)] + [(f, f) for f in self.extra_fields]:
+            dls = []
+            sum_ttf = 0
+            for r in rows:
+                toks = analyze(r.get(src) or "")
+                dls.append(len(toks))
+                sum_ttf += len(toks)
+                per: dict[str, list[int]] = {}
+                for term, pos in toks:
+                    per.setdefault(field_term_key(f, term), []).append(pos)
+                for term, plist in per.items():
+                    self._post.setdefault(term, []).append(
+                        (int(r["doc_id"]), len(plist), plist)
+                    )
+            self.field_norms[f] = encode_norm(np.array(dls, dtype=np.int64))
+            self.sum_ttf_field[f] = sum_ttf
+            if f == "text":
+                self.dls = np.array(dls, dtype=np.int64)
+        self.norms = self.field_norms["text"]
         self.max_doc = len(rows)
-        self.sum_ttf = sum_ttf
+        self.sum_ttf = self.sum_ttf_field["text"]
 
     # -- TermSource -----------------------------------------------------------
 
     def postings(self, field, term):
-        pl = self._post.get(term, [])
+        pl = self._post.get(field_term_key(field, term), [])
         return (
             np.array([d for d, _, _ in pl], dtype=np.int64),
             np.array([tf for _, tf, _ in pl], dtype=np.int64),
         )
 
     def positions(self, field, term):
-        pl = self._post.get(term, [])
+        pl = self._post.get(field_term_key(field, term), [])
         docs = np.array([d for d, _, _ in pl], dtype=np.int64)
         tfs = np.array([tf for _, tf, _ in pl], dtype=np.int64)
         return docs, tfs, [np.array(p, dtype=np.int64) for _, _, p in pl]
 
     def norm_bytes(self, field, doc_ids):
         idx = np.searchsorted(self.doc_ids, doc_ids)
-        return self.norms[idx]
+        return self.field_norms.get(field, self.norms)[idx]
 
     def filter_docs(self, q):
         out = []
@@ -91,13 +99,16 @@ class OracleIndex(TermSource):
         return self.doc_ids
 
     def global_df(self, field, term):
-        return len(self._post.get(term, []))
+        return len(self._post.get(field_term_key(field, term), []))
 
     def global_stats(self, field):
-        return self.max_doc, self.sum_ttf
+        return self.max_doc, self.sum_ttf_field.get(field, self.sum_ttf)
 
     def vocabulary(self, field):
-        return self._post.keys()
+        if field == "text":
+            return [t for t in self._post if FIELD_SEP not in t]
+        pref = field + FIELD_SEP
+        return [t[len(pref):] for t in self._post if t.startswith(pref)]
 
     # -- search / facets ------------------------------------------------------
 

@@ -59,9 +59,15 @@ class QueryParser:
     """``parse(q)`` with a set of keyword (untokenized, StringField-like)
     fields; everything else is analyzed full-text against ``default_field``."""
 
-    def __init__(self, default_field: str = "text", keyword_fields: tuple = ("host", "tld", "lang", "source")):
+    def __init__(
+        self,
+        default_field: str = "text",
+        keyword_fields: tuple = ("host", "tld", "lang", "source"),
+        text_fields: tuple = ("title",),
+    ):
         self.default_field = default_field
         self.keyword_fields = set(keyword_fields)
+        self.text_fields = set(text_fields)  # analyzed fields -> scored TermQ
 
     def parse(self, q: str):
         self._toks = self._lex(q)
@@ -228,7 +234,12 @@ class QueryParser:
             terms = [t for t, _ in analyze(v)]
             if not terms:
                 return None
-            node = TermQ(terms[0], field=self.default_field) if len(terms) == 1 else PhraseQ(tuple(terms))
+            target = f if f in self.text_fields else self.default_field
+            node = (
+                TermQ(terms[0], field=target)
+                if len(terms) == 1
+                else PhraseQ(tuple(terms), field=target)
+            )
             return self._maybe_boost(node)
         if kind == "term":
             self._i += 1

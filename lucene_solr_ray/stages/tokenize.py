@@ -22,8 +22,24 @@ from ..analysis.tokenizer import analyze, simple_tokenize
 from ..smallfloat import encode_norm
 
 
+# separates field name from term in multi-field term keys; cannot occur in a
+# token (the tokenizer only emits word characters)
+FIELD_SEP = "\x1f"
+
+
+def field_term_key(field: str, term: str) -> str:
+    """Postings key for (field, term): the default text field is unprefixed;
+    other analyzed fields use ``field\\x1fterm`` — one postings table models
+    Lucene's per-field term spaces (`FieldInfos` / per-field postings)."""
+    return term if field == "text" else f"{field}{FIELD_SEP}{term}"
+
+
 def tokenize_batch(
-    batch: pa.Table, *, with_positions: bool = True, analyzer: str = "standard"
+    batch: pa.Table,
+    *,
+    with_positions: bool = True,
+    analyzer: str = "standard",
+    extra_text_fields: tuple = (),
 ) -> pa.Table:
     """Per-doc analysis: adds terms/tfs[/positions] lists + dl + norm.
 
@@ -31,6 +47,11 @@ def tokenize_batch(
     "simple" = lowercase + ``[a-z0-9]+`` runs (exactly DuckDB's
     ``regexp_split_to_array(lower(text),'[^a-z0-9]+')`` — used by the
     SQL-oracle-checked pipelines so tokenization matches on both sides).
+
+    ``extra_text_fields``: additional analyzed fields (e.g. ``("title",)``)
+    indexed into the SAME postings space with field-prefixed term keys and
+    their own ``dl_<f>`` / ``norm_<f>`` length norms — per-field BM25 stays
+    exact because statistics and norms are field-scoped.
 
     Null/missing text → empty token list, dl=0 (norm byte 255 = inf norm,
     matching Java boost/sqrt(0)=inf — such docs match nothing).
@@ -41,31 +62,41 @@ def tokenize_batch(
         tok_iter = analyze
     else:
         raise ValueError(analyzer)
-    texts = batch.column("text").to_pylist()
-    terms_col: list[list[str]] = []
-    tfs_col: list[list[int]] = []
-    pos_col: list[list[list[int]]] = []
-    dls = np.empty(len(texts), dtype=np.int64)
-    for i, text in enumerate(texts):
-        per: dict[str, list[int]] = {}
-        n = 0
-        if text:
-            for term, pos in tok_iter(text):
-                per.setdefault(term, []).append(pos)
-                n += 1
-        dls[i] = n
-        terms_col.append(list(per.keys()))
-        tfs_col.append([len(v) for v in per.values()])
-        if with_positions:
-            pos_col.append(list(per.values()))
+
+    n_rows = batch.num_rows
+    field_texts = {"text": batch.column("text").to_pylist()}
+    for f in extra_text_fields:
+        field_texts[f] = batch.column(f).to_pylist()
+
+    terms_col: list[list[str]] = [[] for _ in range(n_rows)]
+    tfs_col: list[list[int]] = [[] for _ in range(n_rows)]
+    pos_col: list[list[list[int]]] = [[] for _ in range(n_rows)]
+    dls = {f: np.empty(n_rows, dtype=np.int64) for f in field_texts}
+
+    for f, texts in field_texts.items():
+        for i, text in enumerate(texts):
+            per: dict[str, list[int]] = {}
+            n = 0
+            if text:
+                for term, pos in tok_iter(text):
+                    per.setdefault(field_term_key(f, term), []).append(pos)
+                    n += 1
+            dls[f][i] = n
+            terms_col[i].extend(per.keys())
+            tfs_col[i].extend(len(v) for v in per.values())
+            if with_positions:
+                pos_col[i].extend(per.values())
 
     out = {name: batch.column(name) for name in batch.column_names}
     out["terms"] = pa.array(terms_col, type=pa.list_(pa.string()))
     out["tfs"] = pa.array(tfs_col, type=pa.list_(pa.int32()))
     if with_positions:
         out["positions"] = pa.array(pos_col, type=pa.list_(pa.list_(pa.int32())))
-    out["dl"] = pa.array(dls, type=pa.int64())
-    out["norm"] = pa.array(encode_norm(dls), type=pa.uint8())
+    out["dl"] = pa.array(dls["text"], type=pa.int64())
+    out["norm"] = pa.array(encode_norm(dls["text"]), type=pa.uint8())
+    for f in extra_text_fields:
+        out[f"dl_{f}"] = pa.array(dls[f], type=pa.int64())
+        out[f"norm_{f}"] = pa.array(encode_norm(dls[f]), type=pa.uint8())
     return pa.table(out)
 
 
