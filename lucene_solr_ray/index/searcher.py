@@ -361,6 +361,16 @@ class RayIndexSearcher:
         nxt = res["topk"][-1] if res["topk"] else None
         return {"topk": res["topk"], "next_cursor": nxt}
 
+    def search_elevated(self, query, elevated_ids: list[int], k: int = 10) -> list:
+        """Query elevation (`handler/component/QueryElevationComponent.java`):
+        editorially pinned docs first, in the GIVEN order, then organic
+        results with the pinned ids deduplicated out."""
+        res = self.search(query, k=k + len(elevated_ids))
+        organic = [(s, d) for s, d in res["topk"] if d not in set(elevated_ids)]
+        scores = {d: s for s, d in res["topk"]}
+        pinned = [(scores.get(d, 0.0), d) for d in elevated_ids]
+        return (pinned + organic)[:k]
+
     def search(
         self,
         query,

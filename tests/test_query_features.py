@@ -150,3 +150,18 @@ def test_registry_and_ingest_chain(ray_session):
     row = out.take_all()[0]
     assert row["n_tokens"] == 3 and len(row["content_hash"]) == 40 and len(row["signature"]) == 32
     assert lookup("scalar_fn", "sqrt")
+
+
+def test_query_elevation(ray_session, pages_corpus, oracle_index):
+    from lucene_solr_ray.index.searcher import RayIndexSearcher
+
+    s = RayIndexSearcher(pages_corpus["index_dir"], num_actors=2)
+    try:
+        organic = s.search(TermQ("luko"), k=10)["topk"]
+        pin = [organic[-1][1], organic[2][1]]  # pin two docs, editorial order
+        got = s.search_elevated(TermQ("luko"), pin, k=10)
+        assert [d for _, d in got[:2]] == pin  # pinned first, given order
+        rest = [d for _, d in got[2:]]
+        assert rest == [d for _, d in organic if d not in set(pin)][: len(rest)]
+    finally:
+        s.shutdown()
