@@ -135,6 +135,11 @@ class IndexPartition(TermSource):
         return decode_docs_freqs(cell["docs"], cell["freqs"], cell["df"])
 
     def positions(self, field, term):
+        if not self.with_positions:
+            raise ValueError(
+                "field indexed without positions; rebuild with with_positions=True "
+                "to run phrase/span queries"
+            )
         cell = self._cells.get(field_term_key(field, term))
         if cell is None:
             e = np.empty(0, dtype=np.int64)

@@ -411,7 +411,13 @@ class RayIndexSearcher:
             merged.extend(r["topk"])
         merged.sort(key=lambda sd: (-sd[0], sd[1]))
         topk = merged[offset : offset + k]
-        total = sum(r["total_hits"] for r in results)
+        # total_hits contract: -1 = unknown (a WAND actor skipped docs); any
+        # unknown shard makes the merged count unknown rather than corrupt
+        total = (
+            -1
+            if any(r["total_hits"] < 0 for r in results)
+            else sum(r["total_hits"] for r in results)
+        )
 
         facets: dict[str, list[tuple[str, int]]] = {}
         for f in facet_fields:

@@ -113,6 +113,17 @@ class MatchAllQ:
 
 
 @dataclass(frozen=True)
+class BoostQ:
+    """Multiplies the child subtree's scores by ``boost`` (float32) — the
+    classic parser's ``(clause)^N`` on any node type (`BoostQuery.java`:
+    score = boost * child score; TermQ/PhraseQ carry their boost inline in
+    the weight, which is numerically identical since BM25 is linear in it)."""
+
+    child: object
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class MultiTermQ:
     """Prefix / wildcard / regexp / fuzzy query — expanded over the GLOBAL
     term dictionary then evaluated as a constant-score union of the matched
@@ -282,6 +293,10 @@ class Evaluator:
 
         if isinstance(q, BoolQ):
             return self._bool(q)
+
+        if isinstance(q, BoostQ):
+            docs, scores = self.scored(q.child)
+            return docs, (scores * np.float32(q.boost)).astype(np.float32)
 
         raise TypeError(f"unknown query node {type(q)}")
 

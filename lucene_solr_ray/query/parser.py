@@ -21,7 +21,7 @@ from __future__ import annotations
 import re
 
 from ..analysis.tokenizer import analyze
-from .ast import BoolQ, FilterQ, MatchAllQ, MultiTermQ, PhraseQ, RangeQ, TermQ
+from .ast import BoolQ, BoostQ, FilterQ, MatchAllQ, MultiTermQ, PhraseQ, RangeQ, TermQ
 
 _TOKEN_RE = re.compile(
     r"""
@@ -117,7 +117,7 @@ class QueryParser:
             elif m.group("fuzzy") is not None:
                 out.append(("fuzzy", (m.group("fbody"), int(m.group("fedits") or 2))))
             elif m.group("fphrase") is not None:
-                out.append(("phrase", (m.group("pbody"), 0)))  # field-scoped phrase -> default text field
+                out.append(("fphrase", (m.group("pfield"), m.group("pbody"))))
             elif m.group("fielded") is not None:
                 out.append(("fielded", (m.group("field"), m.group("fvalue"))))
             elif m.group("boost") is not None:
@@ -174,7 +174,7 @@ class QueryParser:
                 self._i += 1
                 explicit_and = True
                 take_clause()
-            elif kind in ("plus", "minus", "not", "term", "fielded", "phrase", "range", "lparen", "matchall", "regexq", "fuzzy"):
+            elif kind in ("plus", "minus", "not", "term", "fielded", "phrase", "fphrase", "range", "lparen", "matchall", "regexq", "fuzzy"):
                 take_clause()
             else:
                 break
@@ -212,6 +212,24 @@ class QueryParser:
             if not terms:
                 return None
             node = PhraseQ(terms, slop=slop) if len(terms) > 1 else TermQ(terms[0])
+            return self._maybe_boost(node)
+        if kind == "fphrase":
+            # field-scoped phrase: keyword fields take the raw quoted value as
+            # one term (StringField semantics); text fields get an analyzed
+            # field-routed phrase (QueryParserBase.getFieldQuery with quoted=true)
+            self._i += 1
+            f, body = val
+            if f in self.keyword_fields:
+                return self._maybe_boost(FilterQ(f, body))
+            terms = tuple(t for t, _ in analyze(body))
+            if not terms:
+                return None
+            target = f if f in self.text_fields else self.default_field
+            node = (
+                PhraseQ(terms, field=target)
+                if len(terms) > 1
+                else TermQ(terms[0], field=target)
+            )
             return self._maybe_boost(node)
         if kind == "regexq":
             self._i += 1
@@ -263,4 +281,7 @@ class QueryParser:
             self._i += 1
             if isinstance(node, (TermQ, PhraseQ)):
                 node = type(node)(**{**node.__dict__, "boost": b})
+            elif node is not None:
+                # any other clause type: explicit boost wrapper (BoostQuery)
+                node = BoostQ(node, b)
         return node

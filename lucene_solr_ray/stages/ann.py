@@ -44,7 +44,9 @@ def brute_force_topk(ds, queries: np.ndarray, *, k: int = 10,
         kk = min(k, sims.shape[1])
         out_q, out_id, out_s = [], [], []
         for qi in range(sims.shape[0]):
-            idx = np.argpartition(-sims[qi], kk - 1)[:kk]
+            # full (score desc, vec_id asc) order so equal-score vectors at the
+            # k-th boundary keep the documented tie-break (batch-independent)
+            idx = np.lexsort((ids, -sims[qi]))[:kk]
             out_q.extend([qi] * kk)
             out_id.extend(ids[idx].tolist())
             out_s.extend(sims[qi][idx].astype(np.float64).tolist())

@@ -5,7 +5,7 @@ import pytest
 
 from lucene_solr_ray.index.reader import LocalIndex
 from lucene_solr_ray.index.wand import wand_topk
-from lucene_solr_ray.query.ast import BoolQ, Evaluator, FilterQ, MatchAllQ, PhraseQ, RangeQ, TermQ, top_k
+from lucene_solr_ray.query.ast import BoolQ, Evaluator, FilterQ, MatchAllQ, MultiTermQ, PhraseQ, RangeQ, TermQ, top_k
 from lucene_solr_ray.query.parser import QueryParser
 from lucene_solr_ray.state.sparse_counter import CounterPool, NPlaneCounter, SparseCounter
 
@@ -58,6 +58,55 @@ class TestParser:
         assert p.parse("fox^2.5") == TermQ("fox", boost=2.5)
         q = p.parse("+quick -lazy fox")
         assert q.must == (TermQ("quick"),) and q.must_not == (TermQ("lazy"),)
+
+    def test_field_scoped_phrase_routing(self):
+        from lucene_solr_ray.query.ast import BoostQ
+
+        p = QueryParser()
+        # keyword field: raw quoted value as a single untokenized filter term
+        assert p.parse('host:"a b"') == FilterQ("host", "a b")
+        # text field: analyzed phrase routed to that field
+        assert p.parse('title:"alpha beta"') == PhraseQ(("alpha", "beta"), field="title")
+        assert p.parse('title:"alpha"') == TermQ("alpha", field="title")
+        # unknown field: analyzed phrase on the default text field
+        assert p.parse('nosuch:"alpha beta"') == PhraseQ(("alpha", "beta"))
+
+    def test_boost_on_any_clause(self):
+        from lucene_solr_ray.query.ast import BoostQ
+
+        p = QueryParser()
+        assert p.parse("(quick OR fox)^2") == BoostQ(
+            BoolQ(should=(TermQ("quick"), TermQ("fox"))), 2.0
+        )
+        assert p.parse("host:x^3") == BoostQ(FilterQ("host", "x"), 3.0)
+        assert p.parse("pre*^2") == BoostQ(MultiTermQ("prefix", "pre"), 2.0)
+
+    def test_boost_scales_scores(self, local_index):
+        ev = Evaluator(local_index)
+        from lucene_solr_ray.query.ast import BoostQ
+
+        base = BoolQ(should=(TermQ("luko"), TermQ("kalo")))
+        d0, s0 = ev.scored(base)
+        d1, s1 = ev.scored(BoostQ(base, 2.0))
+        assert np.array_equal(d0, d1)
+        assert np.allclose(s1, (s0 * np.float32(2.0)).astype(np.float32))
+
+    def test_total_hits_sentinel_propagates(self, ray_session, pages_corpus):
+        from lucene_solr_ray.index.searcher import RayIndexSearcher
+
+        s = RayIndexSearcher(pages_corpus["index_dir"], num_actors=2)
+        try:
+            # multi-term WAND path: hit count unknown -> -1, never -num_actors
+            res = s.search(BoolQ(should=(TermQ("luko"), TermQ("kalo"))), k=5)
+            assert res["total_hits"] == -1
+            # facet path forces exhaustive evaluation -> exact count
+            res2 = s.search(
+                BoolQ(should=(TermQ("luko"), TermQ("kalo"))), k=5,
+                facet_fields=("host",), facet_limit=5,
+            )
+            assert res2["total_hits"] >= len(res2["topk"])
+        finally:
+            s.shutdown()
 
     def test_analysis_applied(self):
         p = QueryParser()
