@@ -99,14 +99,10 @@ def _dedup_losers(input_paths, input_columns) -> set:
     shuffle payload is unchanged.
     """
 
-    import zlib
+    from ..hashing import bucket_strings
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        h = np.fromiter(
-            (zlib.crc32(u.encode("utf-8")) % 512 for u in t["url"].to_pylist()),
-            dtype=np.int64,
-            count=t.num_rows,
-        )
+        h = bucket_strings(t["url"], 512)
         return t.append_column("ub", pa.array(h, type=pa.int64()))
 
     def losers(group: pa.Table) -> pa.Table:
@@ -167,14 +163,13 @@ def build_index(
         if dedup_url and "url" in ds.schema().names:
             loser_ids = _dedup_losers(input_paths, input_columns)
             if loser_ids:
-                loser_ref = ray.put(loser_ids)
+                # broadcast the loser ids ONCE as an Arrow array; each batch
+                # filters with the vectorized C++ is_in kernel
+                loser_ref = ray.put(pa.array(sorted(loser_ids), type=pa.int64()))
 
                 def drop_losers(t: pa.Table) -> pa.Table:
-                    s = ray.get(loser_ref)
-                    mask = pa.array(
-                        [d not in s for d in t["doc_id"].to_pylist()], type=pa.bool_()
-                    )
-                    return t.filter(mask)
+                    vs = ray.get(loser_ref)
+                    return t.filter(pc.invert(pc.is_in(t["doc_id"], value_set=vs)))
 
                 ds = ds.map_batches(drop_losers, batch_format="pyarrow")
         if extract_html:
@@ -514,14 +509,10 @@ def build_index(
         # groupby on a string key is a slow sort exchange; hash the term to an
         # int bucket (cheap int sort) and run Arrow's C++ hash-aggregation
         # within each bucket — same result, ~10x faster.
-        import zlib
+        from ..hashing import bucket_strings
 
         def add_term_bucket(t: pa.Table) -> pa.Table:
-            h = np.fromiter(
-                (zlib.crc32(s.encode("utf-8")) % 256 for s in t["term"].to_pylist()),
-                dtype=np.int64,
-                count=t.num_rows,
-            )
+            h = bucket_strings(t["term"], 256)
             return t.append_column("tb", pa.array(h, type=pa.int64()))
 
         def agg_bucket(g: pa.Table) -> pa.Table:

@@ -7,10 +7,18 @@ the lifetime of a query actor.  :class:`LocalIndex` merges all partitions in
 one process (the single-node "control" of the differential tests,
 ``BaseDistributedSearchTestCase`` pattern).
 
-Scale note: per-partition term lookup uses a Python dict (term -> row).  At
-10^12-doc scale this becomes a sorted term array + binary search / FST; the
-dict keeps identical semantics at test scale and is isolated behind
-``postings()``.
+Scale design (round 2): ALL dictionaries are sorted Arrow arrays with binary
+search (:mod:`.termdict`) — no Python dict/list materialization at load:
+
+* ``terms_global`` stays one sorted Arrow table; df/ttf lookups are
+  O(log vocab) byte-wise binary search (BlockTreeTermsReader shape);
+* per-partition posting cells are resolved lazily by binary search on the
+  sorted ``term`` column (+ small LRU, the TermStates-cache analog) instead
+  of a dict of every cell's decoded Python objects;
+* facet value dictionaries are SortedStrings; ``ord_of`` is binary search;
+* multi-valued facet ordinal columns are pre-flattened to (flat_ords,
+  row_of) numpy pairs so membership filters and facet counting are
+  vectorized, never per-row Python.
 """
 
 from __future__ import annotations
@@ -20,15 +28,25 @@ import json
 import os
 
 import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..query.ast import FilterQ, RangeQ, TermSource
 from ..stages.tokenize import field_term_key
 from .postings import decode_docs_freqs, decode_positions
+from .termdict import SortedKeyMap, SortedStrings
 
 
 def _partition_files(root: str, pid: int) -> list[str]:
     return sorted(glob.glob(os.path.join(root, f"partition_id={pid}", "*.parquet")))
+
+
+def _is_sorted_strings(col) -> bool:
+    if len(col) < 2:
+        return True
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return bool(pc.all(pc.less_equal(arr.slice(0, len(arr) - 1), arr.slice(1))).as_py())
 
 
 class GlobalStats:
@@ -45,13 +63,19 @@ class GlobalStats:
             f: self.manifest.get(f"sum_dl_{f}", 0) for f in self.extra_text_fields
         }
         t = pq.read_table(os.path.join(index_dir, "terms_global"))
-        self.df = dict(zip(t["term"].to_pylist(), t["df"].to_pylist()))
-        self.ttf = dict(zip(t["term"].to_pylist(), t["ttf"].to_pylist()))
-        self.dicts: dict[str, list[str]] = {}
+        if not _is_sorted_strings(t["term"]):
+            t = t.sort_by("term")
+        t = t.combine_chunks()
+        self.terms = SortedStrings(t["term"])
+        self._df = np.asarray(t["df"], dtype=np.int64)
+        self._ttf = np.asarray(t["ttf"], dtype=np.int64)
+        self.df = SortedKeyMap(self.terms, self._df)
+        self.ttf = SortedKeyMap(self.terms, self._ttf)
+        self.dicts: dict[str, SortedStrings] = {}
         for f in (*self.manifest["facet_fields"], *self.manifest["multi_facet_fields"]):
             p = os.path.join(index_dir, "dicts", f"{f}.parquet")
             if os.path.exists(p):
-                self.dicts[f] = pq.read_table(p)["value"].to_pylist()
+                self.dicts[f] = SortedStrings(pq.read_table(p)["value"])
         # union-manifest support (incremental ingest): member roots + the
         # per-member old_ord -> global_ord OrdinalMaps (MultiDocValues analog)
         self._members: list[str] = self.manifest.get("members", [])
@@ -80,14 +104,44 @@ class GlobalStats:
         return self._ordmaps[key]
 
     def ord_of(self, field: str, value: str) -> int:
-        try:
-            return self.dicts[field].index(value)
-        except (KeyError, ValueError):
-            return -1
+        d = self.dicts.get(field)
+        return -1 if d is None else d.index(value)
+
+    # ---- term-dictionary scans ---------------------------------------------
+
+    def prefix_terms(self, field: str, prefix: str) -> list[str]:
+        """Sorted range scan of the global dictionary: terms of ``field``
+        starting with ``prefix`` (the BlockTree prefix-seek analog; replaces
+        the round-1 full-vocabulary regex scan for PrefixQuery)."""
+        from ..stages.tokenize import FIELD_SEP
+
+        key_pref = field_term_key(field, prefix)
+        lo, hi = self.terms.prefix_range(key_pref)
+        strip = len(key_pref) - len(prefix)
+        out = []
+        for i in range(lo, hi):
+            t = self.terms[i]
+            body = t[strip:]
+            if FIELD_SEP in body:  # a longer field prefix sharing this range
+                continue
+            out.append(body)
+        return out
+
+    def field_vocabulary(self, field: str):
+        """All terms of one field (full dictionary scan — MultiTermQ only)."""
+        from ..stages.tokenize import FIELD_SEP
+
+        if field == "text":
+            return [t for t in self.terms if FIELD_SEP not in t]
+        pref = field + FIELD_SEP
+        lo, hi = self.terms.prefix_range(pref)
+        return [self.terms[i][len(pref):] for i in range(lo, hi)]
 
 
 class IndexPartition(TermSource):
     """One partition's artifacts, loaded into RAM (SegmentReader analog)."""
+
+    CELL_CACHE = 1024  # per-partition decoded-cell LRU (TermStates cache)
 
     def __init__(self, index_dir: str, pid: int, stats: GlobalStats):
         self.pid = pid
@@ -96,40 +150,77 @@ class IndexPartition(TermSource):
         index_dir = stats.root_for(pid)  # union manifests link member artifacts
 
         tfiles = _partition_files(os.path.join(index_dir, "postings"), pid)
-        terms_tbl = pq.read_table(tfiles) if tfiles else None
-        self._cells: dict[str, dict] = {}
-        if terms_tbl is not None:
-            cols = terms_tbl.to_pydict()
-            for i, term in enumerate(cols["term"]):
-                self._cells[term] = {k: cols[k][i] for k in cols if k != "term"}
+        if tfiles:
+            tbl = pq.read_table(tfiles)
+            if not _is_sorted_strings(tbl["term"]):
+                tbl = tbl.sort_by("term")
+            tbl = tbl.combine_chunks()
+            self._tdict = SortedStrings(tbl["term"])
+            self._tcols = {n: tbl[n] for n in tbl.column_names if n != "term"}
+        else:
+            self._tdict = SortedStrings(pa.array([], type=pa.string()))
+            self._tcols = {}
+        self._cell_cache: dict[str, dict | None] = {}
 
         dfiles = _partition_files(os.path.join(index_dir, "docmap"), pid)
-        dm = pq.read_table(dfiles)
-        order = np.argsort(np.asarray(dm["doc_id"].to_pylist(), dtype=np.int64))
-        self.doc_ids = np.asarray(dm["doc_id"].to_pylist(), dtype=np.int64)[order]
-        self.norms = np.asarray(dm["norm"].to_pylist(), dtype=np.uint8)[order]
-        self.dls = np.asarray(dm["dl"].to_pylist(), dtype=np.int64)[order]
+        dm = pq.read_table(dfiles).combine_chunks()
+        self.doc_ids = np.asarray(dm["doc_id"], dtype=np.int64)
+        if not np.all(self.doc_ids[:-1] <= self.doc_ids[1:]):
+            dm = dm.sort_by("doc_id").combine_chunks()
+            self.doc_ids = np.asarray(dm["doc_id"], dtype=np.int64)
+        self.norms = np.asarray(dm["norm"], dtype=np.uint8)
+        self.dls = np.asarray(dm["dl"], dtype=np.int64)
         self.field_norms: dict[str, np.ndarray] = {"text": self.norms}
         for f in stats.extra_text_fields:
             if f"norm_{f}" in dm.column_names:
-                self.field_norms[f] = np.asarray(dm[f"norm_{f}"].to_pylist(), dtype=np.uint8)[order]
-        self.columns: dict[str, np.ndarray] = {}
-        self.list_columns: dict[str, list] = {}
+                self.field_norms[f] = np.asarray(dm[f"norm_{f}"], dtype=np.uint8)
+        # doc-values columns: numerics as numpy, strings as Arrow, lists
+        # pre-flattened to (flat_ords int64, row_of int64) for vectorized use
+        self.columns: dict[str, object] = {}
+        self.list_columns: dict[str, pa.Array] = {}
+        self._list_flat: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         for name in dm.column_names:
-            if name in ("doc_id", "norm", "dl", "partition_id"):
+            if name in ("doc_id", "norm", "dl", "partition_id") or name.startswith("norm_"):
                 continue
-            vals = dm[name].to_pylist()
-            if name.endswith("_ords") or isinstance(next((v for v in vals if v is not None), None), list):
-                self.list_columns[name] = [vals[i] for i in order.tolist()]
+            col = dm[name].combine_chunks() if isinstance(dm[name], pa.ChunkedArray) else dm[name]
+            if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+                self.list_columns[name] = col
+                if pa.types.is_integer(col.type.value_type):
+                    # ordinal columns: pre-flatten once so facet counting and
+                    # membership filters are pure numpy (no per-row Python)
+                    flat = np.asarray(col.flatten(), dtype=np.int64)
+                    lens = pc.fill_null(col.value_lengths(), 0).to_numpy(zero_copy_only=False)
+                    row_of = np.repeat(np.arange(dm.num_rows, dtype=np.int64), lens)
+                    self._list_flat[name] = (flat, row_of)
+            elif pa.types.is_integer(col.type) or pa.types.is_floating(col.type):
+                arr = col.to_numpy(zero_copy_only=False)
+                if name.endswith("_ord"):
+                    arr = arr.astype(np.int64)
+                self.columns[name] = arr
             else:
-                self.columns[name] = np.asarray(vals, dtype=object)[order]
-                if name.endswith("_ord") or name == "dl":
-                    self.columns[name] = self.columns[name].astype(np.int64)
+                self.columns[name] = col  # Arrow string column (url, host, ...)
+
+    # -- cell lookup ----------------------------------------------------------
+
+    def cell(self, key: str) -> dict | None:
+        """Posting-cell row for a full term key (binary search + small cache).
+
+        The returned dict carries the encoded blobs + skip/block-max sidecar
+        lists exactly as the round-1 dict cells did."""
+        hit = self._cell_cache.get(key, False)
+        if hit is not False:
+            return hit
+        i = self._tdict.index(key)
+        cell = None if i < 0 else {n: c[i].as_py() for n, c in self._tcols.items()}
+        if len(self._cell_cache) >= self.CELL_CACHE:
+            self._cell_cache.pop(next(iter(self._cell_cache)))
+        self._cell_cache[key] = cell
+        return cell
 
     # -- TermSource -----------------------------------------------------------
 
     def postings(self, field, term):
-        cell = self._cells.get(field_term_key(field, term))
+        cell = self.cell(field_term_key(field, term))
         if cell is None:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
         return decode_docs_freqs(cell["docs"], cell["freqs"], cell["df"])
@@ -140,7 +231,7 @@ class IndexPartition(TermSource):
                 "field indexed without positions; rebuild with with_positions=True "
                 "to run phrase/span queries"
             )
-        cell = self._cells.get(field_term_key(field, term))
+        cell = self.cell(field_term_key(field, term))
         if cell is None:
             e = np.empty(0, dtype=np.int64)
             return e, e, []
@@ -151,23 +242,39 @@ class IndexPartition(TermSource):
         idx = np.searchsorted(self.doc_ids, doc_ids)
         return self.field_norms.get(field, self.norms)[idx]
 
+    def field_value(self, name: str, i: int):
+        """One stored/doc-values field of row i as a Python value."""
+        if name == "dl":
+            return int(self.dls[i])
+        if name in self.columns:
+            v = self.columns[name]
+            return v[i].as_py() if isinstance(v, (pa.Array, pa.ChunkedArray)) else v[i]
+        if name in self.list_columns:
+            return self.list_columns[name][i].as_py()
+        return None
+
+    def has_field(self, name: str) -> bool:
+        return name == "dl" or name in self.columns or name in self.list_columns
+
     def filter_docs(self, q):
         if isinstance(q, FilterQ):
             col = self.columns.get(q.field)
             if col is not None:
-                return self.doc_ids[col == q.value]
-            if q.field in self.stats.dicts and (q.field + "_ords") in self.list_columns:
+                if isinstance(col, (pa.Array, pa.ChunkedArray)):
+                    mask = pc.fill_null(pc.equal(col, q.value), False).to_numpy(zero_copy_only=False)
+                else:
+                    mask = col == q.value
+                return self.doc_ids[mask]
+            if q.field in self.stats.dicts and (q.field + "_ords") in self._list_flat:
                 o = self.stats.ord_of(q.field, q.value)
                 remap = self.stats.ordmap_for(self.pid, q.field)
                 if remap is not None:
                     # global ord -> member-local (remap strictly increasing)
                     ml = int(np.searchsorted(remap, o))
                     o = ml if ml < len(remap) and remap[ml] == o else -1
-                mask = np.fromiter(
-                    (o in row for row in self.list_columns[q.field + "_ords"]),
-                    dtype=bool,
-                    count=len(self.doc_ids),
-                )
+                flat, row_of = self._list_flat[q.field + "_ords"]
+                mask = np.zeros(len(self.doc_ids), dtype=bool)
+                mask[row_of[flat == o]] = True
                 return self.doc_ids[mask]
             return np.empty(0, dtype=np.int64)
         if isinstance(q, RangeQ):
@@ -175,7 +282,7 @@ class IndexPartition(TermSource):
                 v = self.dls
             else:
                 v = self.columns.get(q.field)
-                if v is None:
+                if v is None or isinstance(v, (pa.Array, pa.ChunkedArray)):
                     return np.empty(0, dtype=np.int64)
                 v = v.astype(np.float64)
             mask = np.ones(len(self.doc_ids), dtype=bool)
@@ -198,12 +305,10 @@ class IndexPartition(TermSource):
         return self.stats.max_doc, self.stats.sum_dl
 
     def vocabulary(self, field):
-        if field == "text":
-            from ..stages.tokenize import FIELD_SEP
+        return self.stats.field_vocabulary(field)
 
-            return [t for t in self.stats.df if FIELD_SEP not in t]
-        pref = field + "\x1f"
-        return [t[len(pref):] for t in self.stats.df if t.startswith(pref)]
+    def prefix_terms(self, field, prefix):
+        return self.stats.prefix_terms(field, prefix)
 
     # -- faceting support -----------------------------------------------------
 
@@ -219,12 +324,10 @@ class IndexPartition(TermSource):
             o = self.columns[field + "_ord"][idx].astype(np.int64)
             o = o[o >= 0]
             return remap[o] if remap is not None else o
-        if field + "_ords" in self.list_columns:
-            rows = self.list_columns[field + "_ords"]
-            out = [rows[i] for i in idx.tolist() if rows[i]]
-            if not out:
-                return np.empty(0, dtype=np.int64)
-            o = np.concatenate([np.asarray(r, dtype=np.int64) for r in out])
+        if field + "_ords" in self._list_flat:
+            flat, row_of = self._list_flat[field + "_ords"]
+            sel = flat[np.isin(row_of, idx)]
+            o = sel[sel >= 0]
             return remap[o] if remap is not None else o
         raise KeyError(field)
 
@@ -283,9 +386,7 @@ class LocalIndex(TermSource):
         return self.stats.max_doc, self.stats.sum_dl
 
     def vocabulary(self, field):
-        if field == "text":
-            from ..stages.tokenize import FIELD_SEP
+        return self.stats.field_vocabulary(field)
 
-            return [t for t in self.stats.df if FIELD_SEP not in t]
-        pref = field + "\x1f"
-        return [t[len(pref):] for t in self.stats.df if t.startswith(pref)]
+    def prefix_terms(self, field, prefix):
+        return self.stats.prefix_terms(field, prefix)

@@ -150,11 +150,11 @@ class SegmentSearcher:
 
             topk = wand_topk(self.parts, self.stats, wand_terms, k)
             if len(wand_terms) == 1:  # exact hit count is free: sum of cell dfs
-                total = sum(
-                    p._cells[wand_terms[0]]["df"]
-                    for p in self.parts
-                    if wand_terms[0] in p._cells
-                )
+                total = 0
+                for p in self.parts:
+                    c = p.cell(wand_terms[0])
+                    if c is not None:
+                        total += c["df"]
             else:
                 total = -1  # unknown without full evaluation (WAND skipped docs)
             return {"topk": topk, "total_hits": total, "facets": {}, "partial": False}
@@ -229,15 +229,9 @@ class SegmentSearcher:
             idx = np.searchsorted(part.doc_ids, sel)
             ok = part.doc_ids[np.minimum(idx, len(part.doc_ids) - 1)] == sel
             for d, i in zip(sel[ok].tolist(), idx[ok].tolist()):
-                row = {}
-                for f in fields:
-                    if f == "dl":
-                        row[f] = int(part.dls[i])
-                    elif f in part.columns:
-                        row[f] = part.columns[f][i]
-                    elif f in part.list_columns:
-                        row[f] = part.list_columns[f][i]
-                out[int(d)] = row
+                out[int(d)] = {
+                    f: part.field_value(f, i) for f in fields if part.has_field(f)
+                }
         return out
 
     def scores_for_docs(self, query, doc_ids: list[int]) -> dict:
@@ -435,18 +429,36 @@ class RayIndexSearcher:
                 exact = np.sum(np.asarray(ray.get(refined), dtype=np.int64), axis=0)
                 acc = dict(zip(cand, exact.tolist()))
             vocab = self.stats.dicts[f]
-            if facet_mincount <= 0:
-                # mincount=0 returns zero-count dictionary entries too
-                # (DocValuesFacets counts over the full ordinal space)
-                for o in range(len(vocab)):
-                    acc.setdefault(o, 0)
-            items = [
+            pos = [
                 (o, c)
                 for o, c in acc.items()
-                if c >= facet_mincount
-                and (facet_prefix is None or vocab[o].startswith(facet_prefix))
+                if c > 0 and (facet_prefix is None or vocab[o].startswith(facet_prefix))
             ]
-            items.sort(key=lambda oc: (-oc[1], oc[0]))
+            pos.sort(key=lambda oc: (-oc[1], oc[0]))
+            if facet_mincount > 0:
+                items = [oc for oc in pos if oc[1] >= facet_mincount]
+            else:
+                # mincount<=0 returns zero-count dictionary entries too
+                # (DocValuesFacets counts the full ordinal space); zero-count
+                # ords sort after every positive one in ord order, so only the
+                # first offset+limit are ever materialized — O(nnz + limit),
+                # never O(dictionary) (the 640M-ordinal regime stays safe)
+                need = facet_offset + facet_limit
+                items = pos
+                if len(items) < need:
+                    have = {o for o, _ in pos}
+                    lo, hi = (
+                        vocab.prefix_range(facet_prefix)
+                        if facet_prefix is not None
+                        else (0, len(vocab))
+                    )
+                    zeros = []
+                    for o in range(lo, hi):
+                        if o not in have:
+                            zeros.append((o, 0))
+                            if len(items) + len(zeros) >= need:
+                                break
+                    items = items + zeros
             items = items[facet_offset : facet_offset + facet_limit]
             facets[f] = [(vocab[o], int(c)) for o, c in items]
         return {"topk": topk, "total_hits": total, "facets": facets}

@@ -72,7 +72,7 @@ def wand_topk(
     for part in parts:
         cells = []
         for ti, t in enumerate(terms):
-            cell = part._cells.get(t)
+            cell = part.cell(t)
             if cell is None:
                 continue
             first = np.asarray(cell["skip_first_doc"], dtype=np.int64)

@@ -251,6 +251,8 @@ def group_top1_orders(sf_dir: str) -> pa.Table:
 def semi_join_customers(sf_dir: str) -> pa.Table:
     """JoinQParserPlugin analog: customers having an order > 150000
     (broadcast semi-join: key set via ray.put, filter in map_batches)."""
+    from ..stages.joins import broadcast_semi_join
+
     orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"])
     keys = set(
         r["o_custkey"]
@@ -259,19 +261,8 @@ def semi_join_customers(sf_dir: str) -> pa.Table:
             batch_format="pyarrow",
         ).take_all()
     )
-    ref = ray.put(keys)
-
-    def filt(t: pa.Table) -> pa.Table:
-        s = ray.get(ref)
-        mask = pa.array([k in s for k in t["c_custkey"].to_pylist()], type=pa.bool_())
-        return t.filter(mask)
-
-    out = (
-        rd.read_parquet(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"])
-        .map_batches(filt, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values("c_custkey")
-    )
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"])
+    out = broadcast_semi_join(cust, keys, "c_custkey").to_pandas().sort_values("c_custkey")
     return pa.table({"c_custkey": out["c_custkey"].astype("int64").tolist(), "c_name": out["c_name"].tolist()})
 
 
@@ -282,6 +273,8 @@ def block_join_orders(sf_dir: str) -> pa.Table:
     child = li.groupby("l_orderkey").aggregate(
         Count(alias_name="n_items"), Max("l_extendedprice", alias_name="max_price")
     )
+    from ..stages.joins import broadcast_semi_join
+
     urgent = set(
         r["o_orderkey"]
         for r in rd.read_parquet(os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_orderpriority"])
@@ -291,14 +284,7 @@ def block_join_orders(sf_dir: str) -> pa.Table:
         )
         .take_all()
     )
-    ref = ray.put(urgent)
-
-    def filt(t: pa.Table) -> pa.Table:
-        s = ray.get(ref)
-        mask = pa.array([k in s for k in t["l_orderkey"].to_pylist()], type=pa.bool_())
-        return t.filter(mask)
-
-    out = child.map_batches(filt, batch_format="pyarrow").to_pandas().sort_values("l_orderkey")
+    out = broadcast_semi_join(child, urgent, "l_orderkey").to_pandas().sort_values("l_orderkey")
     return pa.table(
         {
             "o_orderkey": out["l_orderkey"].astype("int64").tolist(),

@@ -283,7 +283,12 @@ class Evaluator:
             return all_docs, out
 
         if isinstance(q, MultiTermQ):
-            terms = expand_multiterm(q, self.src.vocabulary(q.field))
+            if q.kind == "prefix" and hasattr(self.src, "prefix_terms"):
+                # sorted-dictionary range scan (BlockTree prefix seek) — no
+                # full-vocabulary materialization
+                terms = self.src.prefix_terms(q.field, q.arg)
+            else:
+                terms = expand_multiterm(q, self.src.vocabulary(q.field))
             docs_parts = [self.src.postings(q.field, t)[0] for t in terms]
             docs_parts = [d for d in docs_parts if len(d)]
             if not docs_parts:

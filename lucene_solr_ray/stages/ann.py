@@ -15,8 +15,16 @@ import ray
 
 
 def _batch_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
-    lists = batch[vec_col].to_pylist()
-    return np.asarray(lists, dtype=np.float32)
+    """(n, d) float32 matrix from a list<float> column — Arrow buffer ->
+    numpy reshape, no per-row Python materialization."""
+    col = batch[vec_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_fixed_size_list(col.type):
+        flat = np.asarray(col.values, dtype=np.float32)
+        return flat.reshape(len(col), col.type.list_size)
+    flat = np.asarray(col.flatten(), dtype=np.float32)
+    return flat.reshape(len(col), -1) if len(col) else flat.reshape(0, 0)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -39,7 +47,7 @@ def brute_force_topk(ds, queries: np.ndarray, *, k: int = 10,
     def partial(batch: pa.Table) -> pa.Table:
         q = ray.get(q_ref)
         m = _normalize(_batch_matrix(batch, vec_col))
-        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        ids = np.asarray(batch[id_col], dtype=np.int64)
         sims = q @ m.T  # (Q, B)
         kk = min(k, sims.shape[1])
         out_q, out_id, out_s = [], [], []

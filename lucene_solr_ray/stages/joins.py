@@ -14,34 +14,28 @@ The reference has only query-time semi-joins and block-joins (SURVEY.md
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
-
-def _bucket_of(vals, buckets: int) -> np.ndarray:
-    out = np.empty(len(vals), dtype=np.int64)
-    for i, v in enumerate(vals):
-        if isinstance(v, (int, np.integer)):
-            out[i] = (int(v) * 0x9E3779B1) % buckets
-        else:
-            out[i] = zlib.crc32(str(v).encode()) % buckets
-    return out
+from ..hashing import bucket_column
 
 
-def broadcast_semi_join(ds, keys: set, key_col: str, *, anti: bool = False):
-    """Keep rows whose key is (not, for anti) in the broadcast key set."""
-    ref = ray.put(keys)
+def broadcast_semi_join(ds, keys, key_col: str, *, anti: bool = False):
+    """Keep rows whose key is (not, for anti) in the broadcast key set.
+
+    The key set is shipped ONCE as an Arrow array (``ray.put``); each batch
+    filters with the vectorized C++ ``is_in`` kernel — no per-row Python."""
+    ref = ray.put(pa.array(sorted(keys)))
 
     def filt(t: pa.Table) -> pa.Table:
-        s = ray.get(ref)
-        mask = pa.array(
-            [(k in s) != anti for k in t[key_col].to_pylist()], type=pa.bool_()
-        )
-        return t.filter(mask)
+        mask = pc.is_in(t[key_col], value_set=ray.get(ref))
+        if anti:
+            mask = pc.invert(mask)
+        # null keys are never "in" the set: round-1 semantics preserved
+        return t.filter(pc.fill_null(mask, anti))
 
     return ds.map_batches(filt, batch_format="pyarrow")
 
@@ -65,7 +59,7 @@ def hash_join(
 
     def tag(side: str, key: str):
         def fn(t: pa.Table) -> pa.Table:
-            b = _bucket_of(t[key].to_pylist(), buckets)
+            b = bucket_column(t[key], buckets)
             t = t.append_column("__bucket", pa.array(b, type=pa.int64()))
             return t.append_column("__side", pa.array([side] * t.num_rows))
 

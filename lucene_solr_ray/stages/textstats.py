@@ -62,31 +62,52 @@ class LanguageId:
         return batch.append_column(self.out, pa.array(preds, type=pa.string()))
 
 
+def _token_lists(col) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """lower -> split on [^a-z0-9]+ -> (flat tokens incl. empties, row_of,
+    per-token utf8 lengths).  All Arrow C++ kernels; no per-row Python."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lower = pc.utf8_lower(pc.fill_null(col, ""))
+    toks = pc.split_pattern_regex(lower, "[^a-z0-9]+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    lens = np.asarray(toks.value_lengths(), dtype=np.int64)
+    row_of = np.repeat(np.arange(len(toks), dtype=np.int64), lens)
+    tok_len = np.asarray(pc.utf8_length(flat), dtype=np.int64)
+    return flat, row_of, tok_len
+
+
 def token_count_batch(batch: pa.Table, *, text_col: str = "text", out: str = "n_tokens") -> pa.Table:
-    """Whitespace/punct token count (simple tokenizer — SQL-parity)."""
-    counts = [len(simple_tokenize(t or "")) for t in batch[text_col].to_pylist()]
+    """Simple-tokenizer token count (SQL-parity), fully vectorized."""
+    flat, row_of, tok_len = _token_lists(batch[text_col])
+    counts = np.bincount(row_of[tok_len > 0], minlength=batch.num_rows).astype(np.int64)
     return batch.append_column(out, pa.array(counts, type=pa.int64()))
 
 
 def quality_score_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
     """Quality heuristics: alpha ratio, stopword ratio, mean token length.
 
-    Emits integer counts plus one final float ratio (integer arithmetic until
-    a single division — keeps the DuckDB oracle bit-identical)."""
-    texts = batch[text_col].to_pylist()
-    n_chars, n_alpha, n_tokens, n_stop, sum_tok_len = [], [], [], [], []
-    prof = _PROFILES["en"]
-    for t in texts:
-        t = t or ""
-        toks = simple_tokenize(t)
-        n_chars.append(len(t))
-        n_alpha.append(sum(c.isalpha() for c in t))
-        n_tokens.append(len(toks))
-        n_stop.append(sum(tok in prof for tok in toks))
-        sum_tok_len.append(sum(len(tok) for tok in toks))
+    Integer counts plus one final float ratio (integer arithmetic until a
+    single division — keeps the DuckDB oracle bit-identical).  Vectorized:
+    Arrow regex/count kernels + one token flatten + numpy bincounts."""
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    text = pc.fill_null(col, "")
+    n = batch.num_rows
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    n_alpha = pc.cast(pc.count_substring_regex(text, "[A-Za-z]"), pa.int64())
+    flat, row_of, tok_len = _token_lists(col)
+    n_tokens = np.bincount(row_of[tok_len > 0], minlength=n).astype(np.int64)
+    stop_mask = np.asarray(
+        pc.is_in(flat, value_set=pa.array(sorted(_PROFILES["en"]))), dtype=bool
+    )
+    n_stop = np.bincount(row_of[stop_mask], minlength=n).astype(np.int64)
+    sum_tok_len = np.bincount(row_of, weights=tok_len, minlength=n).astype(np.int64)
     out = dict(zip(batch.column_names, batch.columns))
-    out["n_chars_m"] = pa.array(n_chars, type=pa.int64())
-    out["n_alpha"] = pa.array(n_alpha, type=pa.int64())
+    out["n_chars_m"] = n_chars
+    out["n_alpha"] = n_alpha
     out["n_tokens"] = pa.array(n_tokens, type=pa.int64())
     out["n_stopwords"] = pa.array(n_stop, type=pa.int64())
     out["sum_token_len"] = pa.array(sum_tok_len, type=pa.int64())
@@ -99,14 +120,16 @@ def quality_score_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
 
 
 def fingerprint_batch(batch: pa.Table, *, text_col: str = "text", out: str = "fingerprint") -> pa.Table:
-    """64-bit rolling-hash document fingerprint (FNV-1a over the token
-    stream) — order-sensitive, whitespace/punct-insensitive."""
-    fps = []
-    for t in batch[text_col].to_pylist():
-        h = 0xCBF29CE484222325
-        for tok in simple_tokenize(t or ""):
-            for b in tok.encode("utf-8") + b"\x1f":
-                h ^= b
-                h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        fps.append(h)
-    return batch.append_column(out, pa.array(np.array(fps, dtype=np.uint64), type=pa.uint64()))
+    """64-bit rolling-hash document fingerprint over the normalized token
+    stream (tokens joined by \\x1f, polynomial hash) — order-sensitive,
+    whitespace/punct-insensitive, vectorized end-to-end."""
+    from ..hashing import hash_strings_u64
+
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lower = pc.utf8_lower(pc.fill_null(col, ""))
+    norm = pc.replace_substring_regex(lower, "[^a-z0-9]+", "\x1f")
+    norm = pc.replace_substring_regex(norm, "^\x1f|\x1f$", "")
+    fps = hash_strings_u64(norm)
+    return batch.append_column(out, pa.array(fps, type=pa.uint64()))
