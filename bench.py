@@ -185,8 +185,14 @@ def run_bench() -> dict:
     from lucene_solr_ray.stages.dedup import minhash_clusters
 
     t0 = time.time()
-    minhash_clusters(rd.read_parquet(docs_path, columns=["doc_id", "text"]), rounds=2).count()
+    minhash_clusters(rd.read_parquet(docs_path, columns=["doc_id", "text"]), rounds=None).count()
     timings["dedup_minhash"] = time.time() - t0
+
+    from lucene_solr_ray.stages.dedup import simhash_near_dup_pairs
+
+    t0 = time.time()
+    simhash_near_dup_pairs(rd.read_parquet(docs_path, columns=["doc_id", "text"])).count()
+    timings["dedup_simhash"] = time.time() - t0
 
     from lucene_solr_ray.stages.ann import brute_force_topk
 

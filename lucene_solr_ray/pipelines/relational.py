@@ -53,7 +53,7 @@ def minhash_clusters_docs(sf_dir: str) -> pa.Table:
     """MinHash+LSH near-dup clusters (rows-only oracle: non-SQL)."""
     from ..stages.dedup import minhash_clusters
 
-    out = minhash_clusters(_docs(sf_dir, ["doc_id", "text"]), rounds=2).to_pandas().sort_values("doc_id")
+    out = minhash_clusters(_docs(sf_dir, ["doc_id", "text"]), rounds=None).to_pandas().sort_values("doc_id")
     return pa.table(
         {"doc_id": out["doc_id"].astype("int64").tolist(), "cluster_id": out["cluster_id"].astype("int64").tolist()}
     )

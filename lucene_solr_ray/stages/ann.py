@@ -67,15 +67,7 @@ def brute_force_topk(ds, queries: np.ndarray, *, k: int = 10,
         )
 
     parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
-    by_q: dict[int, list] = {}
-    for r in parts:
-        by_q.setdefault(r["query_id"], []).append((r["score"], r[id_col]))
-    out = []
-    for qi in sorted(by_q):
-        cand = sorted(by_q[qi], key=lambda sv: (-sv[0], sv[1]))[:k]
-        for rank, (s, vid) in enumerate(cand):
-            out.append({"query_id": qi, "rank": rank, id_col: vid, "score": s})
-    return out
+    return _merge_topk(parts, k, id_col)
 
 
 def kmeans_centroids(ds, *, n_clusters: int = 16, vec_col: str = "embedding",
@@ -108,36 +100,134 @@ def ivf_assign(ds, centroids: np.ndarray, *, vec_col: str = "embedding"):
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def _probe_partial(q_ref, probes_ref, k: int, vec_col: str, id_col: str):
+    """Per-batch candidate top-k where each query only scores vectors whose
+    ``cluster`` it probed — the per-query mask is applied inside the batch,
+    so no post-hoc assignment lookup (and no driver state) is ever needed."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)  # (Q, d), normalized
+        probes = ray.get(probes_ref)  # (Q, nprobe)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        cl = np.asarray(batch["cluster"], dtype=np.int64)
+        sims = q @ m.T  # (Q, B)
+        allowed = (cl[None, :, None] == probes[:, None, :]).any(axis=2)  # (Q, B)
+        sims = np.where(allowed, sims, -np.inf)
+        kk = min(k, sims.shape[1])
+        out_q, out_id, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            idx = np.lexsort((ids, -sims[qi]))[:kk]
+            ok = np.isfinite(sims[qi][idx])
+            idx = idx[ok]
+            out_q.extend([qi] * len(idx))
+            out_id.extend(ids[idx].tolist())
+            out_s.extend(sims[qi][idx].astype(np.float64).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                id_col: pa.array(out_id, type=pa.int64()),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    return partial
+
+
+def _merge_topk(parts: list[dict], k: int, id_col: str) -> list[dict]:
+    by_q: dict[int, list] = {}
+    for r in parts:
+        by_q.setdefault(r["query_id"], []).append((r["score"], r[id_col]))
+    out = []
+    for qi in sorted(by_q):
+        cand = sorted(by_q[qi], key=lambda sv: (-sv[0], sv[1]))[:k]
+        for rank, (s, vid) in enumerate(cand):
+            out.append({"query_id": qi, "rank": rank, id_col: vid, "score": s})
+    return out
+
+
 def ivf_topk(ds, queries: np.ndarray, *, k: int = 10, n_clusters: int = 16,
              nprobe: int = 4, vec_col: str = "embedding", id_col: str = "vec_id"):
     """IVF approximate top-k: probe the ``nprobe`` nearest centroid buckets.
 
-    At scale the assigned dataset is written partitioned by ``cluster`` so a
-    query touches only nprobe/n_clusters of the data; here the probe filter
-    runs inline.  Returns rows like :func:`brute_force_topk` (approximate)."""
+    Streaming path: assignment adds a ``cluster`` column, the coarse filter
+    drops unprobed clusters, and the per-batch scorer masks each query to its
+    own probe set — NO full-dataset materialization on the driver anywhere.
+    For a standing index use :func:`ivf_build` + :func:`ivf_query`, which
+    persist the assignment partitioned by cluster so a query READS only
+    nprobe/n_clusters of the data.  Returns rows like :func:`brute_force_topk`.
+    """
     cent = kmeans_centroids(ds, n_clusters=n_clusters, vec_col=vec_col)
     qn = _normalize(np.asarray(queries, dtype=np.float32))
     probes = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]  # (Q, nprobe)
     assigned = ivf_assign(ds, cent, vec_col=vec_col)
     wanted = sorted({int(c) for row in probes for c in row})
     filt = assigned.filter(expr=f"cluster in {wanted}")
-    rows = brute_force_topk(filt, qn, k=k, vec_col=vec_col, id_col=id_col)
-    # drop results from clusters a given query did not probe
-    cl_of = {
-        r[id_col]: r["cluster"]
-        for r in assigned.select_columns([id_col, "cluster"]).take_all()
-    }
-    out = []
-    for r in rows:
-        if cl_of[r[id_col]] in probes[r["query_id"]]:
-            out.append(r)
-    # re-rank after filtering
-    by_q: dict[int, list] = {}
-    for r in out:
-        by_q.setdefault(r["query_id"], []).append(r)
-    final = []
-    for qi in sorted(by_q):
-        cand = sorted(by_q[qi], key=lambda r: (-r["score"], r[id_col]))[:k]
-        for rank, r in enumerate(cand):
-            final.append({**r, "rank": rank})
-    return final
+    q_ref = ray.put(qn)
+    probes_ref = ray.put(probes)
+    parts = filt.map_batches(
+        _probe_partial(q_ref, probes_ref, k, vec_col, id_col), batch_format="pyarrow"
+    ).take_all()
+    return _merge_topk(parts, k, id_col)
+
+
+def ivf_build(ds, index_dir: str, *, n_clusters: int = 16, vec_col: str = "embedding",
+              seed: int = 42) -> np.ndarray:
+    """Persist an IVF index: centroids + the vectors written as Parquet
+    partitioned by ``cluster`` (one directory per coarse bucket, the
+    resumable layout) so queries read only the probed partitions."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    cent = kmeans_centroids(ds, n_clusters=n_clusters, vec_col=vec_col, seed=seed)
+    assigned = ivf_assign(ds, cent, vec_col=vec_col)
+    assigned.write_parquet(index_dir, partition_cols=["cluster"], mode="overwrite")
+    pq.write_table(
+        pa.table({"centroid": pa.array(cent.tolist())}),
+        os.path.join(index_dir, "centroids.parquet"),
+    )
+    return cent
+
+
+def ivf_query(index_dir: str, queries: np.ndarray, *, k: int = 10, nprobe: int = 4,
+              vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Query a persisted IVF index reading ONLY the probed cluster partitions."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    cent = np.asarray(
+        pq.read_table(os.path.join(index_dir, "centroids.parquet"))["centroid"].to_pylist(),
+        dtype=np.float32,
+    )
+    qn = _normalize(np.asarray(queries, dtype=np.float32))
+    probes = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]
+    wanted = sorted({int(c) for row in probes for c in row})
+    parts_ds = []
+    for c in wanted:
+        paths = glob.glob(os.path.join(index_dir, f"cluster={c}", "*.parquet"))
+        if not paths:
+            continue
+
+        def _tag(t: pa.Table, c=c) -> pa.Table:
+            return t.append_column(
+                "cluster", pa.array(np.full(t.num_rows, c, dtype=np.int64), type=pa.int64())
+            )
+
+        parts_ds.append(
+            rd.read_parquet(paths, columns=[id_col, vec_col]).map_batches(
+                _tag, batch_format="pyarrow"
+            )
+        )
+    if not parts_ds:
+        return []
+    ds = parts_ds[0] if len(parts_ds) == 1 else parts_ds[0].union(*parts_ds[1:])
+    q_ref = ray.put(qn)
+    probes_ref = ray.put(probes)
+    parts = ds.map_batches(
+        _probe_partial(q_ref, probes_ref, k, vec_col, id_col), batch_format="pyarrow"
+    ).take_all()
+    return _merge_topk(parts, k, id_col)

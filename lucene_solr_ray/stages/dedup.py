@@ -5,16 +5,24 @@ operator set; its exact-dedup analogs are ``SignatureUpdateProcessor`` +
 ``overwriteDupes`` and the MR
 ``RetainMostRecentUpdateConflictResolver`` — SURVEY.md §2.8).
 
-All operators are Ray-Data-shaped:
+Round-2 design — every operator is shuffle-native with NO driver-side
+O(corpus) state (the round-1 label maps / ``take_all`` loops are gone):
 
-* exact: vectorized hash column -> hash-partitioned ``groupby.map_groups``
-  keep-first (smallest id: deterministic).
-* MinHash: per-batch vectorized signatures -> explode to (band, band_hash)
-  rows -> ``groupby(["band","band_hash"])`` bucket join -> candidate pairs ->
-  min-label propagation to clusters.  Signatures are mergeable partials; the
-  only all-to-all is over (doc, band) rows, never full texts.
-* SimHash: 64-bit signature per doc; near-dup buckets via 4-way band split
-  (Hamming distance <= 3 guarantees an exact match in one of 4 16-bit bands).
+* exact: vectorized hash column -> hash-partitioned groupby keep-min-id.
+* MinHash: numpy shingle hashing over the raw Arrow byte buffers (no
+  hashlib-per-shingle), signatures via ``minimum.reduceat``; clustering is
+  min-label propagation where EACH round is two bucketed shuffles over
+  (doc, band_hash, label) rows — bucket-min then doc-min — computed
+  vectorized inside ``map_groups`` over ~``shuffle_buckets`` coarse groups.
+  Labels never leave the cluster; the driver sees one integer per round
+  (the converged? count).
+* SimHash: vectorized bit-count signatures; candidate pairs via 4x16-bit
+  band buckets with RECURSIVE pigeonhole sub-banding for oversized buckets
+  (a pair within Hamming<=3 of the remaining bits shares one of 4 sub-bands
+  exactly), pair scoring via XOR + popcount-table matrices.
+* n-gram Jaccard: distributed verification — n-gram hash sets are computed
+  per doc in ``map_batches``, shipped through a bucketed join on pair
+  membership, and intersected vectorized per pair.  No driver text dict.
 """
 
 from __future__ import annotations
@@ -23,10 +31,9 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
-from ..analysis.tokenizer import simple_tokenize
-
-_MERSENNE = (1 << 61) - 1
+from ..hashing import _MIX, _cumsum0, _flat_bytes, _powers, hash_strings_u64, shingle_hashes_flat
 
 
 # ---- exact ------------------------------------------------------------------
@@ -44,8 +51,8 @@ def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id"):
     """Keep the smallest-id row per identical content (deterministic)."""
 
     def keep_first(group: pa.Table) -> pa.Table:
-        ids = group[id_col].to_pylist()
-        return group.slice(ids.index(min(ids)), 1)
+        ids = np.asarray(group[id_col], dtype=np.int64)
+        return group.slice(int(np.argmin(ids)), 1)
 
     return (
         ds.map_batches(add_content_hash, batch_format="pyarrow", fn_kwargs={"text_col": text_col})
@@ -57,19 +64,6 @@ def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id"):
 # ---- minhash ----------------------------------------------------------------
 
 
-def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Hashes of character k-shingles (uint64)."""
-    t = (text or "").lower()
-    if len(t) < k:
-        t = t + "\x00" * (k - len(t))
-    views = [t[i : i + k] for i in range(len(t) - k + 1)]
-    out = np.fromiter(
-        (int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big") for s in set(views)),
-        dtype=np.uint64,
-    )
-    return out
-
-
 def _perm_params(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
     a = rng.integers(1, 2**63, size=num_perm, dtype=np.uint64) | np.uint64(1)  # odd
@@ -77,17 +71,46 @@ def _perm_params(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def minhash_signature(text: str, num_perm: int = 64, k: int = 5, seed: int = 1) -> np.ndarray:
-    """Vectorized minhash: multiply-shift universal hashing in wrapping
-    uint64 (`(a*h+b)` with odd multiplier — Dietzfelbinger et al.), no
-    big-int math; deterministic for fixed seed."""
+def minhash_signatures(texts, num_perm: int = 64, k: int = 5, seed: int = 1) -> np.ndarray:
+    """(n, num_perm) uint64 minhash signatures for a string column/array.
+
+    Shingle hashing is one numpy pass over the flat byte buffer
+    (:func:`shingle_hashes_flat`); each permutation is a multiply-shift remap
+    + segmented ``minimum.reduceat`` — no per-shingle Python anywhere.
+    """
+    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = pa.array(list(texts), type=pa.string())
+    lower = pc.utf8_lower(pc.fill_null(texts, ""))
+    flat, off = _flat_bytes(lower)
+    h, doc_of = shingle_hashes_flat(flat, off, k)
+    n = len(off) - 1
+    counts = np.bincount(doc_of, minlength=n)
+    starts = _cumsum0(counts)  # every doc has >=1 shingle by construction
     a, b = _perm_params(num_perm, seed)
-    h = _shingle_hashes(text, k)
-    if len(h) == 0:
-        return np.zeros(num_perm, dtype=np.uint64)
+    sig = np.empty((num_perm, n), dtype=np.uint64)
     with np.errstate(over="ignore"):
-        vals = a[:, None] * h[None, :] + b[:, None]  # uint64 wraparound
-    return vals.min(axis=1)
+        for p in range(num_perm):
+            sig[p] = np.minimum.reduceat(a[p] * h + b[p], starts)
+    return sig.T.copy()
+
+
+def minhash_signature(text: str, num_perm: int = 64, k: int = 5, seed: int = 1) -> np.ndarray:
+    """Single-text signature (oracle/test convenience)."""
+    return minhash_signatures([text], num_perm, k, seed)[0]
+
+
+def band_keys(sig: np.ndarray, bands: int) -> np.ndarray:
+    """(n, bands) int64 LSH keys: polynomial combine of each band's rows,
+    salted by band index (so identical values in different bands never
+    collide), masked to non-negative int64 for cheap int groupbys."""
+    n, num_perm = sig.shape
+    rpb = num_perm // bands
+    seg = sig[:, : bands * rpb].reshape(n, bands, rpb)
+    pw = _powers(rpb)
+    with np.errstate(over="ignore"):
+        hb = (seg * pw[:rpb][None, None, :]).sum(axis=2, dtype=np.uint64)
+        hb = (hb + np.arange(bands, dtype=np.uint64)[None, :]) * _MIX
+    return (hb >> np.uint64(1)).astype(np.int64)
 
 
 def minhash_bands_batch(
@@ -99,209 +122,374 @@ def minhash_bands_batch(
     bands: int = 16,
     k: int = 5,
 ) -> pa.Table:
-    """-> (doc_id, band, band_hash) rows — the LSH shuffle payload."""
-    rows_per_band = num_perm // bands
-    ids, bnds, hashes = [], [], []
-    for doc_id, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-        sig = minhash_signature(text, num_perm, k)
-        segs = sig.reshape(bands, rows_per_band)
-        for b in range(bands):
-            ids.append(doc_id)
-            bnds.append(b)
-            # int64 band key (int groupby keys sort ~10x faster than strings)
-            hashes.append(
-                int.from_bytes(
-                    hashlib.blake2b(segs[b].tobytes(), digest_size=8).digest(), "big"
-                )
-                >> 1
-            )
+    """-> (doc_id, band_hash, label) rows — the LSH shuffle payload.
+
+    ``label`` starts as the doc id (min-label propagation seed)."""
+    sig = minhash_signatures(batch[text_col], num_perm=num_perm, k=k)
+    keys = band_keys(sig, bands)
+    ids = np.asarray(batch[id_col], dtype=np.int64)
+    rep_ids = np.repeat(ids, bands)
     return pa.table(
         {
-            id_col: pa.array(ids, type=pa.int64()),
-            "band": pa.array(bnds, type=pa.int32()),
-            "band_hash": pa.array(hashes, type=pa.int64()),
+            id_col: pa.array(rep_ids, type=pa.int64()),
+            "band_hash": pa.array(keys.ravel(), type=pa.int64()),
+            "label": pa.array(rep_ids, type=pa.int64()),
+        }
+    )
+
+
+def _min_label_by(key_col: str, id_col: str):
+    """Vectorized within-group min-label broadcast: for every distinct value
+    of ``key_col`` in the group, set label = min(label) over its rows.
+    Emits a ``changed`` count column for convergence detection."""
+
+    def fn(group: pa.Table) -> pa.Table:
+        key = np.asarray(group[key_col], dtype=np.int64)
+        lab = np.asarray(group["label"], dtype=np.int64)
+        order = np.lexsort((lab, key))
+        k_s = key[order]
+        first = np.ones(len(k_s), dtype=bool)
+        first[1:] = k_s[1:] != k_s[:-1]
+        gid = np.cumsum(first) - 1
+        new_sorted = lab[order][first][gid]
+        new = np.empty_like(lab)
+        new[order] = new_sorted
+        cols = {c: group[c] for c in group.column_names if c not in ("label", "changed", "__b")}
+        cols["label"] = pa.array(new, type=pa.int64())
+        cols["changed"] = pa.array((new != lab).astype(np.int64), type=pa.int64())
+        return pa.table(cols)
+
+    return fn
+
+
+def _with_bucket(col: str, buckets: int):
+    def fn(t: pa.Table) -> pa.Table:
+        v = np.asarray(t[col]).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            b = ((v * _MIX) % np.uint64(buckets)).astype(np.int64)
+        if "__b" in t.column_names:
+            t = t.drop_columns(["__b"])
+        return t.append_column("__b", pa.array(b, type=pa.int64()))
+
+    return fn
+
+
+def _components_table(t: pa.Table, id_col: str) -> pa.Table:
+    """Connected components of one in-memory (doc, band_hash, label) table:
+    alternate vectorized bucket-min / doc-min (two lexsorts per round) until
+    converged, then emit one (doc_id, cluster_id) row per doc."""
+    ids = np.asarray(t[id_col], dtype=np.int64)
+    key = np.asarray(t["band_hash"], dtype=np.int64)
+    lab = ids.copy()
+    k_order = np.argsort(key, kind="stable")
+    k_s = key[k_order]
+    k_first = np.ones(len(k_s), dtype=bool)
+    k_first[1:] = k_s[1:] != k_s[:-1]
+    k_gid = np.cumsum(k_first) - 1
+    d_order = np.argsort(ids, kind="stable")
+    d_s = ids[d_order]
+    d_first = np.ones(len(d_s), dtype=bool)
+    d_first[1:] = d_s[1:] != d_s[:-1]
+    d_gid = np.cumsum(d_first) - 1
+    k_starts = np.flatnonzero(k_first)
+    d_starts = np.flatnonzero(d_first)
+    while True:
+        # bucket-min: every row takes the min label within its band bucket
+        m = np.minimum.reduceat(lab[k_order], k_starts)
+        new = np.empty_like(lab)
+        new[k_order] = m[k_gid]
+        # doc-min
+        m = np.minimum.reduceat(new[d_order], d_starts)
+        new2 = np.empty_like(lab)
+        new2[d_order] = m[d_gid]
+        if np.array_equal(new2, lab):
+            break
+        lab = new2
+    u = d_order[d_first]
+    return pa.table(
+        {
+            id_col: pa.array(ids[u], type=pa.int64()),
+            "cluster_id": pa.array(lab[u], type=pa.int64()),
         }
     )
 
 
 def minhash_clusters(ds, *, text_col: str = "text", id_col: str = "doc_id",
-                     num_perm: int = 64, bands: int = 16, k: int = 5, rounds: int = 3):
+                     num_perm: int = 64, bands: int = 16, k: int = 5,
+                     rounds: int | None = None, max_rounds: int = 16,
+                     shuffle_buckets: int = 64, small_rows: int = 8_000_000):
     """-> Dataset[(doc_id, cluster_id)]; cluster_id = min doc_id reachable
-    through shared LSH buckets (min-label propagation, `rounds` iterations).
+    through shared LSH buckets (connected components of the candidate graph).
 
-    Each iteration is a pair of small groupbys over (doc, band) rows —
-    O(docs*bands) shuffle rows, never text payloads.  ``rounds=3`` closes
-    chains of length 2^3; raise for pathological chaining.
+    Two regimes (sparse/dense-counter-style dispatch, identical results):
+
+    * band table <= ``small_rows`` (rows = docs x bands, ~24 B each): the
+      skinny table collapses into ONE worker task that runs vectorized
+      in-memory min-label rounds to convergence — no shuffle at all.
+    * larger: each round = TWO bucketed shuffles over (doc, band_hash,
+      label) int rows — never texts, never driver state: labels flow
+      bucket-min -> doc-min inside ``map_groups`` (vectorized per coarse
+      bucket).  ``rounds=None`` iterates to convergence (component diameters
+      double per round, so #rounds ~ log2(longest chain), capped at
+      ``max_rounds``); the driver reads ONE integer per round.
+      ``shuffle_buckets`` bounds group count and scales with the cluster.
     """
-    from ray.data.aggregate import Min
-
-    bands_ds = ds.map_batches(
+    state = ds.map_batches(
         minhash_bands_batch,
         batch_format="pyarrow",
-        fn_kwargs={"text_col": text_col, "id_col": id_col, "num_perm": num_perm, "bands": bands, "k": k},
+        fn_kwargs={"text_col": text_col, "id_col": id_col, "num_perm": num_perm,
+                   "bands": bands, "k": k},
     ).materialize()
 
-    # label <- min(doc_id) within bucket; doc label <- min over its buckets
-    labels = None
-    for _ in range(rounds):
-        if labels is None:
-            with_labels = bands_ds
-            lab_col = id_col
-        else:
-            # join current labels onto band rows (broadcast: labels are tiny
-            # (doc_id,label) pairs relative to corpus text)
-            lab_map = {r[id_col]: r["label"] for r in labels.take_all()}
-            import ray
-
-            ref = ray.put(lab_map)
-
-            def attach(t: pa.Table) -> pa.Table:
-                import ray as _ray
-
-                m = _ray.get(ref)
-                lab = [m[i] for i in t[id_col].to_pylist()]
-                return t.append_column("label", pa.array(lab, type=pa.int64()))
-
-            with_labels = bands_ds.map_batches(attach, batch_format="pyarrow")
-            lab_col = "label"
-        bucket_min = with_labels.groupby(["band", "band_hash"]).aggregate(
-            Min(lab_col, alias_name="bucket_label")
+    if state.count() <= small_rows:
+        return state.repartition(1).map_batches(
+            lambda t: _components_table(t, id_col),
+            batch_format="pyarrow",
+            batch_size=None,
         )
-        bm = {
-            (r["band"], r["band_hash"]): r["bucket_label"] for r in bucket_min.take_all()
-        }
-        import ray
 
-        bm_ref = ray.put(bm)
-
-        def doc_label(t: pa.Table) -> pa.Table:
-            import ray as _ray
-
-            m = _ray.get(bm_ref)
-            lab = [
-                m[(b, h)]
-                for b, h in zip(t["band"].to_pylist(), t["band_hash"].to_pylist())
-            ]
-            return pa.table(
-                {
-                    id_col: t[id_col],
-                    "label": pa.array(lab, type=pa.int64()),
-                }
-            )
-
-        labels = (
-            bands_ds.map_batches(doc_label, batch_format="pyarrow")
-            .groupby(id_col)
-            .aggregate(Min("label", alias_name="label"))
+    n_rounds = max_rounds if rounds is None else rounds
+    for _ in range(n_rounds):
+        state = (
+            state.map_batches(_with_bucket("band_hash", shuffle_buckets), batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(_min_label_by("band_hash", id_col), batch_format="pyarrow")
+            .map_batches(_with_bucket(id_col, shuffle_buckets), batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(_min_label_by(id_col, id_col), batch_format="pyarrow")
         ).materialize()
-    return labels.map_batches(
-        lambda t: pa.table({id_col: t[id_col], "cluster_id": t["label"]}),
-        batch_format="pyarrow",
+        if rounds is None:
+            changed = state.sum("changed")
+            if not changed:
+                break
+
+    def finalize(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group[id_col], dtype=np.int64)
+        lab = np.asarray(group["label"], dtype=np.int64)
+        order = np.lexsort((lab, ids))
+        i_s = ids[order]
+        first = np.ones(len(i_s), dtype=bool)
+        first[1:] = i_s[1:] != i_s[:-1]
+        return pa.table(
+            {
+                id_col: pa.array(i_s[first], type=pa.int64()),
+                "cluster_id": pa.array(lab[order][first], type=pa.int64()),
+            }
+        )
+
+    return (
+        state.map_batches(_with_bucket(id_col, shuffle_buckets), batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(finalize, batch_format="pyarrow")
     )
 
 
 def minhash_dedup(ds, **kw):
-    """Keep one representative (min doc_id) per near-dup cluster."""
+    """Keep one representative (min doc_id = cluster_id) per near-dup cluster.
+
+    The loser set (duplicate rate x corpus) is broadcast as ONE Arrow array
+    and filtered with the C++ ``is_in`` kernel; at extreme duplicate rates
+    swap in the partitioned anti-join over the clusters Dataset."""
+    from .joins import broadcast_semi_join
+
     id_col = kw.get("id_col", "doc_id")
     clusters = minhash_clusters(ds, **kw)
-    keep = {r[id_col] for r in clusters.take_all() if r[id_col] == r["cluster_id"]}
-    import ray
-
-    ref = ray.put(keep)
-
-    def filt(t: pa.Table) -> pa.Table:
-        import ray as _ray
-
-        s = _ray.get(ref)
-        mask = pa.array([i in s for i in t[id_col].to_pylist()], type=pa.bool_())
-        return t.filter(mask)
-
-    return ds.map_batches(filt, batch_format="pyarrow")
+    losers = clusters.map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(t[id_col], t["cluster_id"]))).select([id_col]),
+        batch_format="pyarrow",
+    )
+    loser_ids = [r[id_col] for r in losers.take_all()]
+    return broadcast_semi_join(ds, loser_ids, id_col, anti=True)
 
 
 # ---- simhash ----------------------------------------------------------------
 
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
-def simhash64(text: str) -> int:
-    """64-bit SimHash over word unigrams weighted by tf."""
-    toks = simple_tokenize(text or "")
-    if not toks:
-        return 0
-    freqs: dict[str, int] = {}
-    for t in toks:
-        freqs[t] = freqs.get(t, 0) + 1
-    acc = np.zeros(64, dtype=np.int64)
-    for t, f in freqs.items():
-        h = int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
-        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-        acc += np.where(bits == 1, f, -f)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
+
+def simhash_signatures(texts) -> np.ndarray:
+    """(n,) uint64 SimHash over word unigrams weighted by tf — vectorized:
+    token split via Arrow regex kernels, token hashes via the polynomial
+    string hash, per-bit accumulation via unpackbits + segmented sums."""
+    from .textstats import _token_lists
+
+    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = pa.array(list(texts), type=pa.string())
+    flat, row_of, tok_len = _token_lists(texts)
+    n = len(texts)
+    keep = tok_len > 0
+    h = hash_strings_u64(flat)[keep]
+    rows = row_of[keep]
+    out = np.zeros(n, dtype=np.uint64)
+    if len(h) == 0:
+        return out
+    bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    contrib = bits.astype(np.int32) * 2 - 1  # (S, 64) in {-1, +1}
+    counts = np.bincount(rows, minlength=n)
+    nz = counts > 0
+    starts = np.concatenate(([0], np.cumsum(counts)))[:-1][nz]
+    acc = np.add.reduceat(contrib, starts, axis=0)  # (nnz, 64)
+    packed = np.packbits(acc > 0, axis=1, bitorder="little")  # (nnz, 8)
+    out[nz] = packed.view(np.uint64).ravel()
     return out
 
 
+def simhash64(text: str) -> int:
+    return int(simhash_signatures([text])[0])
+
+
 def simhash_batch(batch: pa.Table, *, text_col: str = "text", out: str = "simhash") -> pa.Table:
-    sigs = [simhash64(t) for t in batch[text_col].to_pylist()]
-    return batch.append_column(out, pa.array(np.array(sigs, dtype=np.uint64), type=pa.uint64()))
+    sigs = simhash_signatures(batch[text_col])
+    return batch.append_column(out, pa.array(sigs, type=pa.uint64()))
 
 
-def simhash_near_dup_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3):
-    """Candidate near-dup pairs via 4×16-bit band buckets + exact Hamming
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    return _POP8[x.view(np.uint8).reshape(*x.shape, 8)].sum(axis=-1).astype(np.int64)
+
+
+def _emit_pairs(ids: np.ndarray, sigs: np.ndarray, max_hamming: int,
+                used_lo: int, used_width: int, depth: int, cap: int,
+                out: list) -> None:
+    """All near-dup pairs within one candidate bucket.
+
+    <= ``cap`` rows: XOR + popcount matrix (chunked to bound memory).
+    Larger: recursive pigeonhole — a pair with <= max_hamming total errors
+    and an exact match on the already-used key bits has <= max_hamming
+    errors in the REMAINING bits, so it matches one of (max_hamming+1)
+    sub-bands of those bits exactly; recurse per sub-bucket.  Duplicated
+    pairs across sub-buckets are deduped downstream.
+    """
+    m = len(ids)
+    if m < 2:
+        return
+    if m > cap and depth < 3:
+        # split the remaining bits (everything outside [used_lo, used_lo+used_width))
+        # into max_hamming+1 contiguous sub-bands
+        rem_bits = [b for b in range(64) if not (used_lo <= b < used_lo + used_width)]
+        nb = max_hamming + 1
+        per = len(rem_bits) // nb
+        if per >= 4:
+            sub_id = np.zeros(m, dtype=np.int64)
+            for s in range(nb):
+                bits = rem_bits[s * per : (s + 1) * per]
+                sub = np.zeros(m, dtype=np.uint64)
+                for j, b in enumerate(bits):
+                    sub |= ((sigs >> np.uint64(b)) & np.uint64(1)) << np.uint64(j)
+                order = np.argsort(sub, kind="stable")
+                s_s = sub[order]
+                bound = np.ones(m, dtype=bool)
+                bound[1:] = s_s[1:] != s_s[:-1]
+                starts = np.flatnonzero(bound)
+                ends = np.append(starts[1:], m)
+                for st, en in zip(starts.tolist(), ends.tolist()):
+                    if en - st >= 2:
+                        sel = order[st:en]
+                        _emit_pairs(ids[sel], sigs[sel], max_hamming,
+                                    used_lo, used_width, depth + 1, cap, out)
+            return
+    # vectorized all-pairs, chunked rows to bound the XOR matrix
+    step = max(1, min(m, (1 << 22) // max(m, 1)))  # ~4M-cell chunks
+    for i0 in range(0, m, step):
+        i1 = min(i0 + step, m)
+        with np.errstate(over="ignore"):
+            x = sigs[i0:i1, None] ^ sigs[None, :]
+        d = _popcount64(x)
+        ii, jj = np.nonzero(d <= max_hamming)
+        gi = ii + i0
+        keep = ids[gi] < ids[jj]  # strict order: each pair once, no self
+        if keep.any():
+            out.append(
+                (ids[gi][keep], ids[jj][keep], d[ii[keep], jj[keep]])
+            )
+
+
+def simhash_near_dup_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                           max_hamming: int = 3, bands: int = 4,
+                           shuffle_buckets: int = 64, bucket_cap: int = 4096):
+    """Candidate near-dup pairs via 4x16-bit band buckets + exact Hamming
     verify (any pair within Hamming<=3 of 64 bits shares at least one of 4
-    16-bit bands exactly — pigeonhole)."""
+    16-bit bands exactly — pigeonhole).  Oversized buckets recursively
+    sub-band the remaining bits (same pigeonhole argument), so no group is
+    ever processed with a Python double loop: pair scoring is XOR +
+    popcount-table matrices.  Output: (a, b, hamming), a < b, deduped.
+    """
     sigs = ds.map_batches(
         simhash_batch, batch_format="pyarrow", fn_kwargs={"text_col": text_col}
     ).select_columns([id_col, "simhash"])
 
+    width = 64 // bands
+
     def explode(t: pa.Table) -> pa.Table:
-        ids, band, key, sig = [], [], [], []
-        for i, s in zip(t[id_col].to_pylist(), t["simhash"].to_pylist()):
-            for b in range(4):
-                ids.append(i)
-                band.append(b)
-                key.append((int(s) >> (16 * b)) & 0xFFFF)
-                sig.append(int(s))
+        s = np.asarray(t["simhash"]).astype(np.uint64)
+        ids = np.asarray(t[id_col], dtype=np.int64)
+        n = len(ids)
+        keys = np.empty((n, bands), dtype=np.int64)
+        for b in range(bands):
+            band_val = (s >> np.uint64(b * width)) & np.uint64((1 << width) - 1)
+            with np.errstate(over="ignore"):
+                keys[:, b] = (((band_val + np.uint64(b << width)) * _MIX) >> np.uint64(1)).astype(np.int64)
         return pa.table(
             {
-                id_col: pa.array(ids, type=pa.int64()),
-                "band": pa.array(band, type=pa.int32()),
-                "key": pa.array(key, type=pa.int32()),
-                "simhash": pa.array(np.array(sig, dtype=np.uint64), type=pa.uint64()),
+                id_col: pa.array(np.repeat(ids, bands), type=pa.int64()),
+                "band": pa.array(np.tile(np.arange(bands, dtype=np.int64), n), type=pa.int64()),
+                "key": pa.array(keys.ravel(), type=pa.int64()),
+                "simhash": pa.array(np.repeat(s, bands), type=pa.uint64()),
             }
         )
 
-    def pairs(group: pa.Table) -> pa.Table:
-        ids = group[id_col].to_pylist()
-        sigs_ = [int(x) for x in group["simhash"].to_pylist()]
-        a_l, b_l, d_l = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                d = bin(sigs_[i] ^ sigs_[j]).count("1")
-                if d <= max_hamming and ids[i] != ids[j]:
-                    a, b = sorted((ids[i], ids[j]))
-                    a_l.append(a)
-                    b_l.append(b)
-                    d_l.append(d)
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        key = np.asarray(group["key"], dtype=np.int64)
+        band = np.asarray(group["band"], dtype=np.int64)
+        ids = np.asarray(group[id_col], dtype=np.int64)
+        s = np.asarray(group["simhash"]).astype(np.uint64)
+        order = np.lexsort((ids, key))
+        k_s = key[order]
+        bound = np.ones(len(k_s), dtype=bool)
+        bound[1:] = k_s[1:] != k_s[:-1]
+        starts = np.flatnonzero(bound)
+        ends = np.append(starts[1:], len(k_s))
+        out: list = []
+        for st, en in zip(starts.tolist(), ends.tolist()):
+            if en - st >= 2:
+                sel = order[st:en]
+                b = int(band[sel[0]])
+                _emit_pairs(ids[sel], s[sel], max_hamming,
+                            b * width, width, 0, bucket_cap, out)
+        if not out:
+            return pa.table(
+                {
+                    "a": pa.array([], type=pa.int64()),
+                    "b": pa.array([], type=pa.int64()),
+                    "hamming": pa.array([], type=pa.int64()),
+                }
+            )
         return pa.table(
             {
-                "a": pa.array(a_l, type=pa.int64()),
-                "b": pa.array(b_l, type=pa.int64()),
-                "hamming": pa.array(d_l, type=pa.int32()),
+                "a": pa.array(np.concatenate([a for a, _, _ in out]), type=pa.int64()),
+                "b": pa.array(np.concatenate([b for _, b, _ in out]), type=pa.int64()),
+                "hamming": pa.array(np.concatenate([d for _, _, d in out]), type=pa.int64()),
             }
         )
 
-    out = sigs.map_batches(explode, batch_format="pyarrow").groupby(["band", "key"]).map_groups(
-        pairs, batch_format="pyarrow"
+    from ray.data.aggregate import Min
+
+    pairs = (
+        sigs.map_batches(explode, batch_format="pyarrow")
+        .map_batches(_with_bucket("key", shuffle_buckets), batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
     )
-    return out.groupby(["a", "b"]).map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    # a pair found through several bands appears several times: dedupe
+    return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
 
 
 # ---- n-gram jaccard ---------------------------------------------------------
 
 
 def ngram_set(text: str, n: int = 3) -> set:
+    """Exact token-n-gram set (oracle/test use)."""
+    from ..analysis.tokenizer import simple_tokenize
+
     toks = simple_tokenize(text or "")
     return {tuple(toks[i : i + n]) for i in range(max(0, len(toks) - n + 1))}
 
@@ -312,32 +500,127 @@ def jaccard(a: set, b: set) -> float:
     return len(a & b) / len(a | b)
 
 
+def _ngram_hashes_batch(batch: pa.Table, *, text_col: str, id_col: str, n: int) -> pa.Table:
+    """-> distinct (doc_id, gram) rows; gram = polynomial combine of n
+    consecutive token hashes (u64 -> int64)."""
+    from .textstats import _token_lists
+
+    col = batch[text_col]
+    flat, row_of, tok_len = _token_lists(col)
+    keep = tok_len > 0
+    h = hash_strings_u64(flat)[keep]
+    rows = row_of[keep]
+    ids = np.asarray(batch[id_col], dtype=np.int64)
+    if len(h) < 1:
+        return pa.table({id_col: pa.array([], type=pa.int64()), "gram": pa.array([], type=pa.int64())})
+    pw = _powers(n)
+    nh = len(h)
+    # sliding window over token hashes, masked to windows within one doc
+    with np.errstate(over="ignore"):
+        acc = np.zeros(max(nh - n + 1, 0), dtype=np.uint64)
+        for j in range(n):
+            acc = acc + h[j : nh - n + 1 + j] * pw[n - 1 - j]
+        acc = acc * _MIX
+    win_row = rows[: max(nh - n + 1, 0)]
+    valid = rows[: max(nh - n + 1, 0)] == rows[n - 1 :] if nh >= n else np.empty(0, bool)
+    g = (acc[valid] >> np.uint64(1)).astype(np.int64)
+    r = win_row[valid]
+    did = ids[r]
+    # distinct (doc, gram)
+    key = np.stack([did, g], axis=1)
+    uniq = np.unique(key, axis=0)
+    return pa.table({id_col: pa.array(uniq[:, 0], type=pa.int64()), "gram": pa.array(uniq[:, 1], type=pa.int64())})
+
+
 def verify_pairs_jaccard(ds, pairs, *, text_col: str = "text", id_col: str = "doc_id",
-                         n: int = 3, threshold: float = 0.8):
-    """Exact n-gram Jaccard verification of candidate pairs.
+                         n: int = 3, threshold: float = 0.8,
+                         shuffle_buckets: int = 64):
+    """Exact n-gram Jaccard verification of candidate pairs — distributed.
 
-    The pair set is small (LSH output); texts for pair members are fetched
-    with a semi-join filter on the corpus, then verified in one task."""
-    import ray
+    n-gram hash sets are computed per doc inside ``map_batches``; a bucketed
+    shuffle join on pair membership co-locates each pair's two gram sets;
+    intersection/union sizes are computed vectorized per bucket.  The only
+    driver materialization is the pair list itself (LSH output, small by
+    contract) and the verified output.
+    """
+    import ray.data as rd
 
-    pair_rows = pairs.take_all()
-    need = {r["a"] for r in pair_rows} | {r["b"] for r in pair_rows}
-    ref = ray.put(need)
+    from .joins import broadcast_semi_join
 
-    def filt(t: pa.Table) -> pa.Table:
-        s = ray.get(ref)
-        mask = pa.array([i in s for i in t[id_col].to_pylist()], type=pa.bool_())
-        return t.filter(mask)
+    pair_rows = pairs.take_all() if hasattr(pairs, "take_all") else list(pairs)
+    if not pair_rows:
+        return []
+    members = []
+    for pid, r in enumerate(pair_rows):
+        members.append({"pair_id": pid, id_col: int(r["a"]), "side": 0})
+        members.append({"pair_id": pid, id_col: int(r["b"]), "side": 1})
+    need = {m[id_col] for m in members}
 
-    texts = {
-        r[id_col]: r[text_col]
-        for r in ds.map_batches(filt, batch_format="pyarrow")
-        .select_columns([id_col, text_col])
-        .take_all()
-    }
+    grams = broadcast_semi_join(
+        ds.select_columns([id_col, text_col]), need, id_col
+    ).map_batches(
+        _ngram_hashes_batch, batch_format="pyarrow",
+        fn_kwargs={"text_col": text_col, "id_col": id_col, "n": n},
+    )
+
+    from .joins import hash_join
+
+    mem_ds = rd.from_items(members)
+    joined = hash_join(grams, mem_ds, id_col, id_col, buckets=shuffle_buckets)
+
+    def per_pair(group) -> pa.Table:
+        pid = group["pair_id"].to_numpy().astype(np.int64)
+        if len(pid) == 0:
+            return pa.table(
+                {
+                    "pair_id": pa.array([], type=pa.int64()),
+                    "inter": pa.array([], type=pa.int64()),
+                    "union_": pa.array([], type=pa.int64()),
+                }
+            )
+        side = group["side"].to_numpy().astype(np.int64)
+        gram = group["gram"].to_numpy().astype(np.int64)
+        order = np.lexsort((side, gram, pid))
+        p, s, g = pid[order], side[order], gram[order]
+        # distinct (pair, gram) runs; a run spanning both sides = intersection
+        new_g = np.ones(len(p), dtype=bool)
+        new_g[1:] = (p[1:] != p[:-1]) | (g[1:] != g[:-1])
+        run_id = np.cumsum(new_g) - 1
+        n_runs = int(run_id[-1]) + 1
+        # a run has both sides iff it contains side 0 and side 1
+        has0 = np.zeros(n_runs, dtype=bool)
+        has1 = np.zeros(n_runs, dtype=bool)
+        has0[run_id[s == 0]] = True
+        has1[run_id[s == 1]] = True
+        run_pair = p[new_g]
+        inter = np.bincount(run_pair[has0 & has1], minlength=0)
+        union = np.bincount(run_pair)
+        up = np.flatnonzero(union)
+        inter_full = np.zeros(len(union), dtype=np.int64)
+        inter_full[: len(inter)] = inter
+        return pa.table(
+            {
+                "pair_id": pa.array(up, type=pa.int64()),
+                "inter": pa.array(inter_full[up], type=pa.int64()),
+                "union_": pa.array(union[up], type=pa.int64()),
+            }
+        )
+
+    # pair_id is the colocation key for the per-pair reduction
+    stats = (
+        joined.map_batches(_with_bucket("pair_id", shuffle_buckets), batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(per_pair, batch_format="pandas")
+    )
     out = []
-    for r in pair_rows:
-        j = jaccard(ngram_set(texts.get(r["a"], ""), n), ngram_set(texts.get(r["b"], ""), n))
+    j_by_pair: dict[int, float] = {}
+    for r in stats.take_all():
+        j_by_pair[r["pair_id"]] = r["inter"] / r["union_"] if r["union_"] else 1.0
+    for pid, r in enumerate(pair_rows):
+        j = j_by_pair.get(pid)
+        if j is None:
+            # neither doc produced grams (both too short): exact sets empty
+            j = 1.0
         if j >= threshold:
-            out.append({"a": r["a"], "b": r["b"], "jaccard": j})
+            out.append({"a": int(r["a"]), "b": int(r["b"]), "jaccard": float(j)})
     return out

@@ -1,0 +1,308 @@
+"""Differential oracles for the LLM-data extension operators.
+
+MinHash clustering vs a pure-Python union-find over the SAME band rows;
+SimHash pairs vs brute-force all-pairs Hamming; distributed Jaccard verify
+vs exact set arithmetic; IVF vs probe-restricted brute force.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i:03d}" for i in range(200)]
+    texts, ids = [], []
+    for i in range(120):
+        n = rng.integers(20, 60)
+        texts.append(" ".join(rng.choice(vocab, size=n)))
+        ids.append(i)
+    # exact duplicates
+    for j, src in enumerate([3, 17, 42]):
+        texts.append(texts[src])
+        ids.append(200 + j)
+    # near duplicates (one-word edits) + a chain a~b~c
+    for j, src in enumerate([5, 5, 60]):
+        toks = texts[src].split()
+        toks[rng.integers(0, len(toks))] = "zzchanged%d" % j
+        texts.append(" ".join(toks))
+        ids.append(300 + j)
+    chain = texts[80].split()
+    for j in range(3):
+        chain = list(chain)
+        chain[j] = f"chain{j}"
+        texts.append(" ".join(chain))
+        ids.append(400 + j)
+    return pa.table({"doc_id": pa.array(ids, type=pa.int64()), "text": pa.array(texts)})
+
+
+def _union_find_clusters(tbl, num_perm=64, bands=16, k=5):
+    """Driver-side oracle: union-find over (doc, band_key) incidences."""
+    from lucene_solr_ray.stages.dedup import band_keys, minhash_signatures
+
+    ids = tbl["doc_id"].to_pylist()
+    sig = minhash_signatures(tbl["text"], num_perm=num_perm, k=k)
+    keys = band_keys(sig, bands)
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra > rb:
+                ra, rb = rb, ra
+            parent[rb] = ra
+
+    first_in_bucket: dict[int, int] = {}
+    for i, did in enumerate(ids):
+        for b in range(bands):
+            key = int(keys[i, b])
+            if key in first_in_bucket:
+                union(did, first_in_bucket[key])
+            else:
+                first_in_bucket[key] = did
+    # min-id representative per component
+    comp: dict[int, list] = {}
+    for d in ids:
+        comp.setdefault(find(d), []).append(d)
+    out = {}
+    for members in comp.values():
+        m = min(members)
+        for d in members:
+            out[d] = m
+    return out
+
+
+class TestMinhash:
+    @pytest.mark.parametrize("small_rows", [8_000_000, 0])
+    def test_clusters_match_union_find(self, ray_session, corpus, small_rows):
+        """Both regimes (single-task components / shuffle-round propagation)
+        must equal the driver union-find oracle."""
+        import ray.data as rd
+
+        from lucene_solr_ray.stages.dedup import minhash_clusters
+
+        want = _union_find_clusters(corpus)
+        got_rows = minhash_clusters(
+            rd.from_arrow(corpus).repartition(5), rounds=None, shuffle_buckets=8,
+            small_rows=small_rows,
+        ).take_all()
+        got = {r["doc_id"]: r["cluster_id"] for r in got_rows}
+        assert got == want
+        # exact duplicates clustered with their source
+        assert got[200] == got[3] and got[201] == got[17] and got[202] == got[42]
+
+    def test_clusters_closed_under_buckets(self, ray_session, corpus):
+        """Self-consistency: docs sharing any LSH bucket share a cluster."""
+        import ray.data as rd
+
+        from lucene_solr_ray.stages.dedup import band_keys, minhash_clusters, minhash_signatures
+
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in minhash_clusters(rd.from_arrow(corpus), rounds=None).take_all()
+        }
+        sig = minhash_signatures(corpus["text"])
+        keys = band_keys(sig, 16)
+        ids = corpus["doc_id"].to_pylist()
+        by_bucket: dict[int, set] = {}
+        for i, did in enumerate(ids):
+            for b in range(keys.shape[1]):
+                by_bucket.setdefault(int(keys[i, b]), set()).add(got[did])
+        assert all(len(cl) == 1 for cl in by_bucket.values())
+        # representative is the min member id
+        comp: dict[int, list] = {}
+        for d, c in got.items():
+            comp.setdefault(c, []).append(d)
+        assert all(c == min(ms) for c, ms in comp.items())
+
+    def test_dedup_keeps_representatives(self, ray_session, corpus):
+        import ray.data as rd
+
+        from lucene_solr_ray.stages.dedup import minhash_dedup
+
+        kept = minhash_dedup(rd.from_arrow(corpus), rounds=None).take_all()
+        kept_ids = sorted(r["doc_id"] for r in kept)
+        want = sorted(set(_union_find_clusters(corpus).values()))
+        assert kept_ids == want
+
+    def test_signature_batch_independence(self, corpus):
+        from lucene_solr_ray.stages.dedup import minhash_signature, minhash_signatures
+
+        sig_all = minhash_signatures(corpus["text"])
+        texts = corpus["text"].to_pylist()
+        for i in [0, 7, 121, 125]:
+            assert np.array_equal(sig_all[i], minhash_signature(texts[i])), i
+
+
+def _brute_simhash_pairs(sigs, ids, max_hamming=3):
+    out = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            d = bin(int(sigs[i]) ^ int(sigs[j])).count("1")
+            if d <= max_hamming:
+                a, b = sorted((ids[i], ids[j]))
+                out.add((a, b, d))
+    return out
+
+
+class TestSimhash:
+    def test_signature_matches_slow_path(self, corpus):
+        from lucene_solr_ray.hashing import hash_strings_u64
+        from lucene_solr_ray.stages.dedup import simhash_signatures
+
+        got = simhash_signatures(corpus["text"])
+        texts = corpus["text"].to_pylist()
+        import re
+
+        for i in [0, 5, 123, 125]:
+            toks = re.findall(r"[a-z0-9]+", texts[i].lower())
+            if not toks:
+                assert got[i] == 0
+                continue
+            acc = np.zeros(64, dtype=np.int64)
+            for t in toks:
+                h = int(hash_strings_u64(pa.array([t]))[0])
+                for b in range(64):
+                    acc[b] += 1 if (h >> b) & 1 else -1
+            want = 0
+            for b in range(64):
+                if acc[b] > 0:
+                    want |= 1 << b
+            assert int(got[i]) == want, i
+
+    def test_pairs_match_bruteforce(self, ray_session, corpus):
+        import ray.data as rd
+
+        from lucene_solr_ray.stages.dedup import simhash_near_dup_pairs, simhash_signatures
+
+        sigs = simhash_signatures(corpus["text"])
+        ids = corpus["doc_id"].to_pylist()
+        # candidate completeness only holds for pairs sharing a band, which
+        # pigeonhole guarantees for hamming <= 3 — so the sets are EQUAL
+        want = _brute_simhash_pairs(sigs, ids, 3)
+        got_rows = simhash_near_dup_pairs(
+            rd.from_arrow(corpus).repartition(4), shuffle_buckets=8
+        ).take_all()
+        got = {(r["a"], r["b"], r["hamming"]) for r in got_rows}
+        assert got == want
+        assert len(got_rows) == len(got)  # deduped
+
+    def test_recursive_subsplit_equivalent(self, ray_session, corpus):
+        import ray.data as rd
+
+        from lucene_solr_ray.stages.dedup import simhash_near_dup_pairs
+
+        big = simhash_near_dup_pairs(rd.from_arrow(corpus), bucket_cap=4096).take_all()
+        small = simhash_near_dup_pairs(rd.from_arrow(corpus), bucket_cap=2).take_all()
+        key = lambda rows: sorted((r["a"], r["b"], r["hamming"]) for r in rows)
+        assert key(big) == key(small)
+
+
+class TestJaccard:
+    def test_distributed_verify_matches_exact(self, ray_session, corpus):
+        import ray.data as rd
+
+        from lucene_solr_ray.stages.dedup import (
+            jaccard,
+            ngram_set,
+            simhash_near_dup_pairs,
+            verify_pairs_jaccard,
+        )
+
+        ds = rd.from_arrow(corpus)
+        pairs = simhash_near_dup_pairs(ds)
+        got = verify_pairs_jaccard(ds, pairs, threshold=0.3)
+        texts = dict(zip(corpus["doc_id"].to_pylist(), corpus["text"].to_pylist()))
+        want = []
+        for r in pairs.take_all():
+            j = jaccard(ngram_set(texts[r["a"]]), ngram_set(texts[r["b"]]))
+            if j >= 0.3:
+                want.append((r["a"], r["b"], j))
+        got_t = sorted((r["a"], r["b"]) for r in got)
+        want_t = sorted((a, b) for a, b, _ in want)
+        assert got_t == want_t
+        want_j = {(a, b): j for a, b, j in want}
+        for r in got:
+            assert abs(r["jaccard"] - want_j[(r["a"], r["b"])]) < 1e-12
+
+
+@pytest.fixture(scope="module")
+def vectors():
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(16, 16)).astype(np.float32)
+    vecs, ids = [], []
+    for i in range(400):
+        c = base[i % 16]
+        vecs.append((c + 0.15 * rng.normal(size=16)).astype(np.float32))
+        ids.append(i)
+    return pa.table(
+        {"vec_id": pa.array(ids, type=pa.int64()), "embedding": pa.array([v.tolist() for v in vecs])}
+    )
+
+
+class TestIVF:
+    def test_ivf_equals_probe_restricted_brute(self, ray_session, vectors):
+        import ray.data as rd
+
+        from lucene_solr_ray.stages.ann import (
+            _normalize,
+            ivf_assign,
+            ivf_topk,
+            kmeans_centroids,
+        )
+
+        ds = rd.from_arrow(vectors).repartition(4)
+        q = np.asarray(vectors["embedding"].to_pylist()[:4], dtype=np.float32)
+        got = ivf_topk(ds, q, k=5, n_clusters=8, nprobe=3)
+        # oracle: exact cosine over only the clusters each query probed
+        cent = kmeans_centroids(ds, n_clusters=8)
+        qn = _normalize(q)
+        probes = np.argsort(-(qn @ cent.T), axis=1)[:, :3]
+        mat = _normalize(np.asarray(vectors["embedding"].to_pylist(), dtype=np.float32))
+        assign = np.argmax(mat @ cent.T, axis=1)
+        ids = np.asarray(vectors["vec_id"].to_pylist())
+        want = []
+        for qi in range(len(q)):
+            ok = np.isin(assign, probes[qi])
+            sims = (qn[qi] @ mat[ok].T).astype(np.float64)
+            sel_ids = ids[ok]
+            order = np.lexsort((sel_ids, -sims))[:5]
+            for rank, oi in enumerate(order):
+                want.append((qi, rank, int(sel_ids[oi])))
+        got_t = [(r["query_id"], r["rank"], r["vec_id"]) for r in got]
+        assert got_t == want
+
+    def test_ivf_build_query_roundtrip(self, ray_session, vectors, tmp_path):
+        import ray.data as rd
+
+        from lucene_solr_ray.stages.ann import ivf_build, ivf_query, ivf_topk
+
+        ds = rd.from_arrow(vectors)
+        q = np.asarray(vectors["embedding"].to_pylist()[:3], dtype=np.float32)
+        ivf_build(ds, str(tmp_path / "ivf"), n_clusters=8)
+        got = ivf_query(str(tmp_path / "ivf"), q, k=5, nprobe=3)
+        want = ivf_topk(ds, q, k=5, n_clusters=8, nprobe=3)
+        key = lambda rows: [(r["query_id"], r["rank"], r["vec_id"]) for r in rows]
+        assert key(got) == key(want)
+
+    def test_brute_tie_break_batch_independent(self, ray_session):
+        import ray.data as rd
+
+        from lucene_solr_ray.stages.ann import brute_force_topk
+
+        vec = np.ones(8, dtype=np.float32)
+        tbl = pa.table(
+            {"vec_id": pa.array(range(40), type=pa.int64()), "embedding": pa.array([vec.tolist()] * 40)}
+        )
+        rows = brute_force_topk(rd.from_arrow(tbl).repartition(8), vec[None, :], k=10)
+        assert [r["vec_id"] for r in rows] == list(range(10))
