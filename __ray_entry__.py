@@ -68,6 +68,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_must_not": ft.search_must_not,
         "search_phrase": ft.search_phrase,
         "search_msm": ft.search_msm,
+        "search_span_near_ordered": ft.search_span_near_ordered,
+        "search_span_near_unordered": ft.search_span_near_unordered,
+        "search_span_first": ft.search_span_first,
         "parsed_query_search": ft.parsed_query_search,
         # -- BM25 ranking (rows-only; rank-identity tested vs Python oracle) --
         "bm25_topk": ft.bm25_topk,
@@ -153,6 +156,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE CAST({_HAS.format(t='join')} AS INT) + CAST({_HAS.format(t='vector')} AS INT)
                 + CAST({_HAS.format(t='stream')} AS INT) >= 2
+            ORDER BY doc_id""",
+        "search_span_near_ordered": """
+            SELECT doc_id FROM documents
+            WHERE regexp_matches(lower(text),
+              '(^|[^a-z0-9])join([^a-z0-9]+[a-z0-9]+){0,3}[^a-z0-9]+hash([^a-z0-9]|$)')
+            ORDER BY doc_id""",
+        "search_span_near_unordered": """
+            SELECT doc_id FROM documents
+            WHERE regexp_matches(lower(text),
+              '(^|[^a-z0-9])join([^a-z0-9]+[a-z0-9]+){0,2}[^a-z0-9]+vector([^a-z0-9]|$)')
+               OR regexp_matches(lower(text),
+              '(^|[^a-z0-9])vector([^a-z0-9]+[a-z0-9]+){0,2}[^a-z0-9]+join([^a-z0-9]|$)')
+            ORDER BY doc_id""",
+        "search_span_first": """
+            SELECT doc_id FROM documents
+            WHERE regexp_matches(lower(text),
+              '^([^a-z0-9]*[a-z0-9]+){0,19}[^a-z0-9]*join([^a-z0-9]|$)')
             ORDER BY doc_id""",
         "parsed_query_search": f"""
             SELECT doc_id FROM documents

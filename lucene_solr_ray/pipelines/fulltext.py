@@ -158,6 +158,33 @@ def search_msm(sf_dir: str) -> pa.Table:
     )
 
 
+def search_span_near_ordered(sf_dir: str) -> pa.Table:
+    """SpanNearQuery(in_order=True, slop=3): 'join' then 'hash' with at most
+    3 intervening tokens (`spans/SpanNearQuery.java` / NearSpansOrdered)."""
+    from ..query.spans import SpanNearQ, SpanTermQ
+
+    return _search_docs(
+        sf_dir, SpanNearQ((SpanTermQ("join"), SpanTermQ("hash")), slop=3, in_order=True)
+    )
+
+
+def search_span_near_unordered(sf_dir: str) -> pa.Table:
+    """SpanNearQuery(in_order=False, slop=2): 'join' and 'vector' within a
+    2-token gap in either order (NearSpansUnordered)."""
+    from ..query.spans import SpanNearQ, SpanTermQ
+
+    return _search_docs(
+        sf_dir, SpanNearQ((SpanTermQ("join"), SpanTermQ("vector")), slop=2, in_order=False)
+    )
+
+
+def search_span_first(sf_dir: str) -> pa.Table:
+    """SpanFirstQuery: 'join' within the first 20 token positions."""
+    from ..query.spans import SpanFirstQ, SpanTermQ
+
+    return _search_docs(sf_dir, SpanFirstQ(SpanTermQ("join"), 20))
+
+
 def parsed_query_search(sf_dir: str) -> pa.Table:
     """End-to-end through the classic query parser: parse a query string,
     evaluate against the index — the parser itself sits inside the SQL gate."""

@@ -303,6 +303,12 @@ class Evaluator:
             docs, scores = self.scored(q.child)
             return docs, (scores * np.float32(q.boost)).astype(np.float32)
 
+        from .spans import SPAN_NODES, span_matching_docs
+
+        if isinstance(q, SPAN_NODES):
+            docs = span_matching_docs(self.src, q)
+            return docs, np.full(len(docs), np.float32(1.0), dtype=np.float32)
+
         raise TypeError(f"unknown query node {type(q)}")
 
     # -- boolean composition --------------------------------------------------

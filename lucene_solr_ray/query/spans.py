@@ -1,0 +1,185 @@
+"""Span queries over the positions codec.
+
+Re-specification of the span operator family
+(`lucene/core/src/java/org/apache/lucene/search/spans/SpanTermQuery.java`,
+`SpanNearQuery.java` / ``NearSpansOrdered`` / ``NearSpansUnordered``,
+`SpanOrQuery.java`, `SpanNotQuery.java`) over this engine's per-term position
+lists.  A span is a half-open token interval ``(start, end)``.
+
+Matching semantics:
+
+* term -> one unit span per occurrence;
+* near(in_order=True): one span per clause, each starting at or after the
+  previous clause's end; total inter-clause gap <= slop.  Enumeration is
+  greedy earliest-completion per first-clause span (exact for unit/term
+  clauses; for nested variable-length clause spans the greedy choice is a
+  documented deviation from NearSpansOrdered's backtracking);
+* near(in_order=False): a window containing one span per clause (pairwise
+  non-overlapping), width - sum(span lengths) <= slop; minimal-window sweep;
+* or -> union of clause spans; not -> include spans overlapping no exclude
+  span.
+
+Evaluation contract: span queries contribute CONSTANT score 1.0 per matching
+doc (the doc-set semantics the DuckDB regexp oracle can check); Lucene's
+sloppyFreq-weighted span scoring is a documented non-goal.
+"""
+
+from __future__ import annotations
+
+from bisect import bisect_left
+from dataclasses import dataclass
+
+import numpy as np
+
+DEFAULT_FIELD = "text"
+
+
+@dataclass(frozen=True)
+class SpanTermQ:
+    term: str
+    field: str = DEFAULT_FIELD
+
+
+@dataclass(frozen=True)
+class SpanNearQ:
+    clauses: tuple
+    slop: int = 0
+    in_order: bool = True
+    field: str = DEFAULT_FIELD
+
+
+@dataclass(frozen=True)
+class SpanOrQ:
+    clauses: tuple
+    field: str = DEFAULT_FIELD
+
+
+@dataclass(frozen=True)
+class SpanNotQ:
+    include: object
+    exclude: object
+    field: str = DEFAULT_FIELD
+
+
+@dataclass(frozen=True)
+class SpanFirstQ:
+    """Spans of ``match`` ending within the first ``end`` positions
+    (`SpanFirstQuery.java`)."""
+
+    match: object
+    end: int
+    field: str = DEFAULT_FIELD
+
+
+SPAN_NODES = (SpanTermQ, SpanNearQ, SpanOrQ, SpanNotQ, SpanFirstQ)
+
+
+def _near_ordered(lists: list[list[tuple[int, int]]], slop: int) -> list[tuple[int, int]]:
+    out = []
+    starts = [[s for s, _ in L] for L in lists]
+    for s0, e0 in lists[0]:
+        cur = e0
+        gap = 0
+        ok = True
+        for li in range(1, len(lists)):
+            i = bisect_left(starts[li], cur)
+            if i == len(lists[li]):
+                ok = False
+                break
+            s, e = lists[li][i]
+            gap += s - cur
+            cur = e
+        if ok and gap <= slop:
+            out.append((s0, cur))
+    return out
+
+
+def _near_unordered(lists: list[list[tuple[int, int]]], slop: int) -> list[tuple[int, int]]:
+    """Minimal-window sweep: repeatedly measure the window covering the
+    current earliest span of each clause, emit if it fits, advance the
+    earliest pointer."""
+    k = len(lists)
+    ptr = [0] * k
+    out = []
+    while True:
+        s_min, e_max, i_min = None, None, -1
+        lens = 0
+        for i in range(k):
+            s, e = lists[i][ptr[i]]
+            lens += e - s
+            if s_min is None or s < s_min:
+                s_min, i_min = s, i
+            if e_max is None or e > e_max:
+                e_max = e
+        width = e_max - s_min
+        if width - lens >= 0 and width - lens <= slop:
+            # reject overlapping picks (SpanNearQuery disallows overlap)
+            iv = sorted(lists[i][ptr[i]] for i in range(k))
+            if all(iv[j][1] <= iv[j + 1][0] for j in range(k - 1)):
+                out.append((s_min, e_max))
+        ptr[i_min] += 1
+        if ptr[i_min] == len(lists[i_min]):
+            return sorted(set(out))
+
+
+def _overlaps(span: tuple[int, int], excl: list[tuple[int, int]]) -> bool:
+    s, e = span
+    return any(xs < e and xe > s for xs, xe in excl)
+
+
+def eval_spans(src, q) -> dict[int, list[tuple[int, int]]]:
+    """-> {doc_id: sorted span list} for a span-query subtree over one
+    TermSource scope."""
+    if isinstance(q, SpanTermQ):
+        docs, _, pls = src.positions(q.field, q.term)
+        return {
+            int(d): [(int(p), int(p) + 1) for p in pl.tolist()]
+            for d, pl in zip(docs.tolist(), pls)
+        }
+    if isinstance(q, SpanOrQ):
+        acc: dict[int, list] = {}
+        for c in q.clauses:
+            for d, spans in eval_spans(src, c).items():
+                acc.setdefault(d, []).extend(spans)
+        return {d: sorted(set(v)) for d, v in acc.items()}
+    if isinstance(q, SpanNearQ):
+        per = [eval_spans(src, c) for c in q.clauses]
+        if not per:
+            return {}
+        docs = set(per[0])
+        for m in per[1:]:
+            docs &= set(m)
+        out: dict[int, list] = {}
+        fn = _near_ordered if q.in_order else _near_unordered
+        for d in sorted(docs):
+            spans = fn([m[d] for m in per], q.slop)
+            if spans:
+                out[d] = spans
+        return out
+    if isinstance(q, SpanFirstQ):
+        inc = eval_spans(src, q.match)
+        out = {}
+        for d, spans in inc.items():
+            keep = [sp for sp in spans if sp[1] <= q.end]
+            if keep:
+                out[d] = keep
+        return out
+    if isinstance(q, SpanNotQ):
+        inc = eval_spans(src, q.include)
+        exc = eval_spans(src, q.exclude)
+        out = {}
+        for d, spans in inc.items():
+            ex = exc.get(d)
+            if not ex:
+                out[d] = spans
+                continue
+            keep = [sp for sp in spans if not _overlaps(sp, ex)]
+            if keep:
+                out[d] = keep
+        return out
+    raise TypeError(f"not a span query: {type(q)}")
+
+
+def span_matching_docs(src, q) -> np.ndarray:
+    """Sorted doc_ids with at least one matching span."""
+    return np.array(sorted(eval_spans(src, q)), dtype=np.int64)
