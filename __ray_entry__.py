@@ -72,7 +72,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_span_near_unordered": ft.search_span_near_unordered,
         "search_span_first": ft.search_span_first,
         "parsed_query_search": ft.parsed_query_search,
-        # -- BM25 ranking (rows-only; rank-identity tested vs Python oracle) --
+        # -- BM25 ranking --
+        # simple-analyzer entries are S-gated (full float32 BM25 in SQL);
+        # standard-analyzer entries stay rows-only (UAX#29 not SQL-expressible)
+        # with rank-identity tested vs the Python oracle in pytest
+        "bm25_topk_simple": ft.bm25_topk_simple,
+        "bm25_and_topk_simple": ft.bm25_and_topk_simple,
         "bm25_topk": ft.bm25_topk,
         "bm25_and_topk": ft.bm25_and_topk,
         # -- faceting --
@@ -99,7 +104,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": rl.ann_ivf_topk,
         # -- events / relational --
         "events_hourly_counts": rl.events_hourly_counts,
+        "facet_range_events_datemath": rl.facet_range_events_datemath,
+        "interval_facets_quantity": rl.interval_facets_quantity,
         "group_top1_orders": rl.group_top1_orders,
+        "group_topk_orders": rl.group_topk_orders,
+        "expand_orders": rl.expand_orders,
         "export_sorted_lineitem": rl.export_sorted_lineitem,
         "semi_join_customers": rl.semi_join_customers,
         "hash_join_orders_customer": rl.hash_join_orders_customer,
@@ -110,11 +119,77 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _norm_case_sql() -> str:
+    """dl -> decoded NORM_TABLE value as a SQL step function: the byte315
+    quantization (`SmallFloat.floatToByte315`) collapses document lengths to
+    ~40 buckets, so the full decode is a static CASE over dl thresholds."""
+    import numpy as np
+
+    from lucene_solr_ray.smallfloat import NORM_TABLE, encode_norm
+
+    dls = np.arange(1, 100001, dtype=np.int64)
+    bts = encode_norm(dls)
+    change = np.ones(len(dls), dtype=bool)
+    change[1:] = bts[1:] != bts[:-1]
+    parts = [
+        f"WHEN dl >= {int(dls[i])} THEN CAST({float(NORM_TABLE[bts[i]])!r} AS FLOAT)"
+        for i in np.flatnonzero(change)[::-1]
+    ]
+    return "CASE " + " ".join(parts) + " ELSE CAST('Infinity' AS FLOAT) END"
+
+
+def _bm25_scored_sql(terms_values: str) -> str:
+    """CTE set computing float32-faithful BM25 per (qid, doc): every
+    intermediate is CAST to FLOAT at the same points the engine's float32
+    evaluation rounds (idf, weight*(k1+1), norm cache, final division)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter({_TOK}, t -> t != '') AS tk FROM documents
+),
+stats AS (SELECT CAST(count(*) AS BIGINT) n, CAST(sum(len(tk)) AS BIGINT) sttf FROM toks),
+qterms(qid, term) AS (VALUES {terms_values}),
+hits AS (
+  SELECT q.qid, q.term, d.doc_id, len(list_filter(d.tk, x -> x = q.term)) AS tf, len(d.tk) AS dl
+  FROM toks d CROSS JOIN qterms q
+),
+hits2 AS (SELECT * FROM hits WHERE tf > 0),
+dfs AS (SELECT qid, term, CAST(count(*) AS BIGINT) df FROM hits2 GROUP BY qid, term),
+scored AS (
+  SELECT h.qid, h.doc_id,
+    CAST(
+      CAST(CAST(CAST(CAST(ln(1 + (s.n - f.df + 0.5)/(f.df + 0.5)) AS FLOAT) AS FLOAT) * CAST(2.2 AS FLOAT) AS FLOAT) * CAST(h.tf AS FLOAT) AS FLOAT)
+      /
+      CAST(CAST(h.tf AS FLOAT) + CAST(CAST(1.2 AS FLOAT) * CAST(CAST(CAST(1.0 AS FLOAT) - CAST(0.75 AS FLOAT) AS FLOAT) + CAST(CAST(CAST(0.75 AS FLOAT) * ({_norm_case_sql()}) AS FLOAT) / CAST(s.sttf / s.n AS FLOAT) AS FLOAT) AS FLOAT) AS FLOAT) AS FLOAT)
+    AS FLOAT) AS score
+  FROM hits2 h, stats s, dfs f WHERE f.qid = h.qid AND f.term = h.term
+)"""
+
+
 def oracle_sql() -> dict[str, str]:
     tok_terms = (
         "SELECT doc_id, unnest(" + _TOK + ") AS term FROM documents"
     )
+    from lucene_solr_ray.pipelines.fulltext import SEARCH_TERMS
+
+    bm25_terms = ", ".join(f"({i}, '{t}')" for i, t in enumerate(SEARCH_TERMS))
+    bm25_pairs = [("join", "hash"), ("window", "stream"), ("vector", "customer")]
+    pair_values = ", ".join(
+        f"({i}, '{a}'), ({i}, '{b}')" for i, (a, b) in enumerate(bm25_pairs)
+    )
     return {
+        "bm25_topk_simple": _bm25_scored_sql(bm25_terms) + """
+            SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS rank, doc_id
+            FROM scored
+            QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) <= 10
+            ORDER BY qid, rank""",
+        "bm25_and_topk_simple": _bm25_scored_sql(pair_values) + """
+            , conj AS (
+              SELECT qid, doc_id, CAST(sum(CAST(score AS DOUBLE)) AS FLOAT) AS score
+              FROM scored GROUP BY qid, doc_id HAVING count(*) = 2)
+            SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS rank, doc_id
+            FROM conj
+            QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) <= 10
+            ORDER BY qid, rank""",
         "term_df_top100": f"""
             SELECT CAST(row_number() OVER (ORDER BY df DESC, term) - 1 AS BIGINT) AS rank, term, df
             FROM (SELECT term, CAST(count(*) AS BIGINT) AS df
@@ -232,6 +307,27 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_counts": """
             SELECT event_type, date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS n
             FROM events GROUP BY event_type, hour ORDER BY event_type, hour""",
+        "facet_range_events_datemath": """
+            WITH edges AS (
+              SELECT unnest(generate_series(
+                date_trunc('month', TIMESTAMP '2023-12-15 10:30:00') + INTERVAL 2 DAY,
+                date_trunc('month', TIMESTAMP '2024-02-15 00:00:00') - INTERVAL 1 MICROSECOND,
+                INTERVAL 7 DAY)) AS bucket_start)
+            SELECT bucket_start,
+                   CAST((SELECT count(*) FROM events e
+                         WHERE e.ts >= bucket_start
+                           AND e.ts < bucket_start + INTERVAL 7 DAY) AS BIGINT) AS n
+            FROM edges ORDER BY bucket_start""",
+        "interval_facets_quantity": """
+            SELECT 0 AS iv, '[1,10)' AS interval,
+                   CAST(count(*) FILTER (l_quantity >= 1 AND l_quantity < 10) AS BIGINT) AS n FROM lineitem
+            UNION ALL
+            SELECT 1, '[10,25)', CAST(count(*) FILTER (l_quantity >= 10 AND l_quantity < 25) AS BIGINT) FROM lineitem
+            UNION ALL
+            SELECT 2, '[25,45]', CAST(count(*) FILTER (l_quantity >= 25 AND l_quantity <= 45) AS BIGINT) FROM lineitem
+            UNION ALL
+            SELECT 3, '(45,*]', CAST(count(*) FILTER (l_quantity > 45) AS BIGINT) FROM lineitem
+            ORDER BY iv""",
         "export_sorted_lineitem": """
             SELECT CAST(row_number() OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber) - 1 AS BIGINT) AS rank,
                    l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity
@@ -240,6 +336,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey, o_orderkey, o_totalprice FROM orders
             QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) = 1
             ORDER BY o_custkey""",
+        "group_topk_orders": """
+            SELECT o_custkey,
+                   CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) - 1 AS BIGINT) AS rk,
+                   o_orderkey, o_totalprice
+            FROM orders
+            QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) <= 3
+            ORDER BY o_custkey, rk""",
+        "expand_orders": """
+            SELECT o_custkey,
+                   CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) - 1 AS BIGINT) AS rk,
+                   o_orderkey, o_totalprice
+            FROM orders
+            QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) BETWEEN 2 AND 3
+            ORDER BY o_custkey, rk""",
         "hash_join_orders_customer": """
             SELECT o_orderkey, c_name, o_totalprice
             FROM orders JOIN customer ON o_custkey = c_custkey

@@ -91,6 +91,21 @@ def bucket_ints(vals: np.ndarray, buckets: int) -> np.ndarray:
     return (h % np.uint64(buckets)).astype(np.int64)
 
 
+def with_bucket(col: str, buckets: int):
+    """map_batches fn factory: appends ``__b`` = hash bucket of an int64
+    column (the shuffle-prep step of every bucketed groupby pattern)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        v = np.asarray(t[col]).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            b = ((v * _MIX) % np.uint64(buckets)).astype(np.int64)
+        if "__b" in t.column_names:
+            t = t.drop_columns(["__b"])
+        return t.append_column("__b", pa.array(b, type=pa.int64()))
+
+    return fn
+
+
 def bucket_column(col, buckets: int) -> np.ndarray:
     """Bucket ids for an arbitrary Arrow column (ints fast path, else bytes)."""
     if isinstance(col, pa.ChunkedArray):

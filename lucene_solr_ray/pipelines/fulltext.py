@@ -223,6 +223,55 @@ def bm25_topk(sf_dir: str) -> pa.Table:
         s.shutdown()
 
 
+def bm25_topk_simple(sf_dir: str) -> pa.Table:
+    """BM25 top-10 per query term over the simple-analyzer index, THROUGH the
+    distributed actor pool (WAND path) — S-gated: the DuckDB oracle recomputes
+    the full float32 BM25 (idf, byte315 norm quantization, float32 op order)
+    natively in SQL and must produce identical (qid, rank, doc_id) triples."""
+    ix = documents_index(sf_dir)
+    s = RayIndexSearcher(ix, num_actors=2)
+    try:
+        qids, ranks, dids = [], [], []
+        for qid, term in enumerate(SEARCH_TERMS):
+            res = s.search(TermQ(term), k=10)
+            for rank, (_score, doc) in enumerate(res["topk"]):
+                qids.append(qid)
+                ranks.append(rank)
+                dids.append(doc)
+        return pa.table(
+            {
+                "qid": pa.array(qids, type=pa.int64()),
+                "rank": pa.array(ranks, type=pa.int64()),
+                "doc_id": pa.array(dids, type=pa.int64()),
+            }
+        )
+    finally:
+        s.shutdown()
+
+
+def bm25_and_topk_simple(sf_dir: str) -> pa.Table:
+    """Conjunctive BM25 (float32 sum of per-term scores) top-10 for 3 term
+    pairs — S-gated like :func:`bm25_topk_simple`."""
+    ix = documents_index(sf_dir)
+    loc = LocalIndex(ix)
+    ev = Evaluator(loc)
+    out = {"qid": [], "rank": [], "doc_id": []}
+    pairs = [("join", "hash"), ("window", "stream"), ("vector", "customer")]
+    for qid, (a, b) in enumerate(pairs):
+        docs, scores = ev.scored(BoolQ(must=(TermQ(a), TermQ(b))))
+        for rank, (_score, doc) in enumerate(top_k(docs, scores, 10)):
+            out["qid"].append(qid)
+            out["rank"].append(rank)
+            out["doc_id"].append(doc)
+    return pa.table(
+        {
+            "qid": pa.array(out["qid"], type=pa.int64()),
+            "rank": pa.array(out["rank"], type=pa.int64()),
+            "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+        }
+    )
+
+
 def bm25_and_topk(sf_dir: str) -> pa.Table:
     ix = documents_index(sf_dir, analyzer="standard")
     loc = LocalIndex(ix)

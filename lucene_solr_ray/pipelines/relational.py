@@ -224,24 +224,165 @@ def events_hourly_counts(sf_dir: str) -> pa.Table:
     )
 
 
+def facet_range_events_datemath(sf_dir: str) -> pa.Table:
+    """Date-math range facet (`DateMathParser.java` + ``facet.range``):
+    start/end from date-math expressions (calendar rounding + offsets), fixed
+    +7DAYS gap, ALL buckets emitted including empty ones.  Vectorized:
+    timestamp->int64 searchsorted against the bucket edges, partial counts
+    pre-aggregated per batch, one tiny groupby-sum."""
+    from datetime import datetime, timedelta
+
+    from ..functions.datemath import parse_datemath
+
+    start = parse_datemath("2023-12-15T10:30:00Z/MONTH+2DAYS")
+    end = parse_datemath("2024-02-15T00:00:00Z/MONTH")
+    gap = timedelta(days=7)
+    edges = []
+    e = start
+    while e < end:
+        edges.append(e)
+        e = e + gap
+    epoch = datetime(1970, 1, 1)
+    edges_us = np.array([int((x - epoch).total_seconds() * 1e6) for x in edges], dtype=np.int64)
+    gap_us = np.int64(gap.total_seconds() * 1e6)
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+
+    def count_batch(t: pa.Table) -> pa.Table:
+        ts = np.asarray(pc.cast(t["ts"], pa.int64()))
+        idx = np.searchsorted(edges_us, ts, side="right") - 1
+        ok = (idx >= 0) & (ts - edges_us[np.maximum(idx, 0)] < gap_us)
+        counts = np.bincount(idx[ok], minlength=len(edges)).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(np.arange(len(edges), dtype=np.int64), type=pa.int64()),
+                "n": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(count_batch, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    full = np.zeros(len(edges), dtype=np.int64)
+    full[agg["bucket"].to_numpy()] = agg["n"].to_numpy()
+    return pa.table(
+        {
+            "bucket_start": pa.array(edges, type=pa.timestamp("us")),
+            "n": pa.array(full, type=pa.int64()),
+        }
+    )
+
+
+def interval_facets_quantity(sf_dir: str) -> pa.Table:
+    """IntervalFacets analog (`solr/core/src/java/org/apache/solr/request/
+    IntervalFacets.java`): arbitrary [a,b) / (a,b] intervals over a numeric
+    doc-values column, one count per interval, intervals may overlap."""
+    from ..functions.datemath import parse_interval
+
+    specs = ["[1,10)", "[10,25)", "[25,45]", "(45,*]"]
+    parsed = [parse_interval(s) for s in specs]
+    ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"), columns=["l_quantity"])
+
+    def count_batch(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["l_quantity"], dtype=np.float64)
+        counts = []
+        for lo, hi, ilo, ihi in parsed:
+            m = np.ones(len(v), dtype=bool)
+            if lo is not None:
+                m &= (v >= lo) if ilo else (v > lo)
+            if hi is not None:
+                m &= (v <= hi) if ihi else (v < hi)
+            counts.append(int(m.sum()))
+        return pa.table(
+            {
+                "iv": pa.array(np.arange(len(specs), dtype=np.int64), type=pa.int64()),
+                "n": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(count_batch, batch_format="pyarrow")
+        .groupby("iv")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("iv")
+    )
+    return pa.table(
+        {
+            "iv": pa.array(agg["iv"].astype("int64").tolist(), type=pa.int64()),
+            "interval": pa.array([specs[i] for i in agg["iv"]], type=pa.string()),
+            "n": pa.array(agg["n"].astype("int64").tolist(), type=pa.int64()),
+        }
+    )
+
+
 # ---- grouping / joins (TPC-H-ish) -------------------------------------------
+
+
+def _orders_ds(sf_dir: str):
+    return rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+    )
 
 
 def group_top1_orders(sf_dir: str) -> pa.Table:
     """Grouping/collapse analog: best order per customer
     (o_totalprice desc, o_orderkey asc tie-break)."""
-    ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    from ..stages.grouping import grouped_topk
 
-    def top1(group: pa.Table) -> pa.Table:
-        tp = group["o_totalprice"].to_pylist()
-        ok = group["o_orderkey"].to_pylist()
-        best = min(range(len(tp)), key=lambda i: (-tp[i], ok[i]))
-        return group.slice(best, 1)
-
-    out = ds.groupby("o_custkey").map_groups(top1, batch_format="pyarrow").to_pandas().sort_values("o_custkey")
+    out = (
+        grouped_topk(_orders_ds(sf_dir), "o_custkey", "o_totalprice", "o_orderkey", 1)
+        .to_pandas()
+        .sort_values("o_custkey")
+    )
     return pa.table(
         {
             "o_custkey": out["o_custkey"].astype("int64").tolist(),
+            "o_orderkey": out["o_orderkey"].astype("int64").tolist(),
+            "o_totalprice": out["o_totalprice"].astype("float64").tolist(),
+        }
+    )
+
+
+def group_topk_orders(sf_dir: str) -> pa.Table:
+    """Grouping with top-k per group (TermSecondPassGroupingCollector):
+    top-3 orders per customer by (o_totalprice desc, o_orderkey asc)."""
+    from ..stages.grouping import grouped_topk
+
+    out = (
+        grouped_topk(_orders_ds(sf_dir), "o_custkey", "o_totalprice", "o_orderkey", 3)
+        .to_pandas()
+        .sort_values(["o_custkey", "rk"])
+    )
+    return pa.table(
+        {
+            "o_custkey": out["o_custkey"].astype("int64").tolist(),
+            "rk": out["rk"].astype("int64").tolist(),
+            "o_orderkey": out["o_orderkey"].astype("int64").tolist(),
+            "o_totalprice": out["o_totalprice"].astype("float64").tolist(),
+        }
+    )
+
+
+def expand_orders(sf_dir: str) -> pa.Table:
+    """ExpandComponent analog: the collapse keeps each group's head (rank 0);
+    expand returns the next 2 rows per group (ranks 1-2) in group order."""
+    from ..stages.grouping import grouped_topk
+
+    out = (
+        grouped_topk(_orders_ds(sf_dir), "o_custkey", "o_totalprice", "o_orderkey", 3, min_rank=1)
+        .to_pandas()
+        .sort_values(["o_custkey", "rk"])
+    )
+    return pa.table(
+        {
+            "o_custkey": out["o_custkey"].astype("int64").tolist(),
+            "rk": out["rk"].astype("int64").tolist(),
             "o_orderkey": out["o_orderkey"].astype("int64").tolist(),
             "o_totalprice": out["o_totalprice"].astype("float64").tolist(),
         }

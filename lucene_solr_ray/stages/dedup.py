@@ -162,16 +162,7 @@ def _min_label_by(key_col: str, id_col: str):
     return fn
 
 
-def _with_bucket(col: str, buckets: int):
-    def fn(t: pa.Table) -> pa.Table:
-        v = np.asarray(t[col]).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            b = ((v * _MIX) % np.uint64(buckets)).astype(np.int64)
-        if "__b" in t.column_names:
-            t = t.drop_columns(["__b"])
-        return t.append_column("__b", pa.array(b, type=pa.int64()))
-
-    return fn
+from ..hashing import with_bucket as _with_bucket  # bucketed-shuffle prep step
 
 
 def _components_table(t: pa.Table, id_col: str) -> pa.Table:
