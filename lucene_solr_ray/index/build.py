@@ -88,6 +88,53 @@ def _mark_stage(index_dir: str, stage: str, **info) -> None:
         json.dump({"stage": stage, "completed_at": time.time(), **info}, f)
 
 
+def _build_dict_sharded(tokenized_dir: str, dicts_dir: str, field: str, *, multi: bool) -> None:
+    """Distributed sorted-dictionary build for high-cardinality fields
+    (the 640M-ordinal `links` regime of SOLR-5894): per-block unique ->
+    distinct shuffle -> global sort -> shard files whose zero-padded names
+    preserve the sort order, so readers reconstruct global ordinals by
+    concatenating shards in filename order.  No driver set-union anywhere."""
+    from ray.data.aggregate import Count
+    from ray.data.datasource.filename_provider import FilenameProvider
+
+    def to_values(t: pa.Table) -> pa.Table:
+        col = t[field].combine_chunks()
+        if multi:
+            col = pc.list_flatten(col)
+        u = pc.unique(col.drop_null())
+        return pa.table({"value": pc.cast(u, pa.string())})
+
+    class _Ordered(FilenameProvider):
+        def get_filename_for_block(self, block, write_uuid, task_index, block_index):
+            return f"shard-{task_index:06d}-{block_index:06d}.parquet"
+
+    out_dir = os.path.join(dicts_dir, field)
+    (
+        _read_sized(tokenized_dir, columns=[field])
+        .map_batches(to_values, batch_format="pyarrow")
+        .groupby("value")
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["value"])
+        .sort("value")
+        .write_parquet(out_dir, filename_provider=_Ordered(), mode="overwrite")
+    )
+
+
+def read_dict_table(index_dir: str, field: str):
+    """Facet dictionary as one Arrow table: single-file (driver-union) or
+    sharded (distributed build, shards concatenated in filename order)."""
+    import glob as _g
+
+    p = os.path.join(index_dir, "dicts", f"{field}.parquet")
+    if os.path.exists(p):
+        return pq.read_table(p)
+    d = os.path.join(index_dir, "dicts", field)
+    files = sorted(_g.glob(os.path.join(d, "*.parquet")))
+    if files:
+        return pq.read_table(files)
+    return None
+
+
 def _dedup_losers(input_paths, input_columns) -> set:
     """doc_ids of rows SUPERSEDED by a newer row for the same url.
 
@@ -136,6 +183,7 @@ def build_index(
     resume: bool = True,
     tokenize_batch_size: int = 512,
     input_columns: tuple | None = None,
+    dict_shard_threshold: int = 5_000_000,
 ) -> dict:
     """Build all index artifacts under ``index_dir``; returns the manifest."""
     os.makedirs(index_dir, exist_ok=True)
@@ -211,11 +259,12 @@ def build_index(
         if not (resume and _stage_done(index_dir, "dicts")):
             t0 = time.time()
             os.makedirs(dicts_dir, exist_ok=True)
-            # per-block unique (Arrow C++), then a driver-side set union: the
-            # dictionary is bounded by field cardinality, which is what also makes
-            # it loadable at query time.  (The 640M-value `links` histogram of the
-            # reference would instead use a distributed sorted-dict build; the
-            # per-block-unique stage is the same, only the union shards.)
+            # per-block unique (Arrow C++) first; then either a driver-side set
+            # union (cardinality-bounded fields) or, above
+            # ``dict_shard_threshold`` distinct values, a fully distributed
+            # sorted-dictionary build (the SOLR-5894 640M-value `links`
+            # regime): distinct via a value shuffle, global sort, sharded
+            # write with order-preserving zero-padded filenames.
             all_fields = [*facet_fields, *multi_facet_fields]
             if all_fields:
 
@@ -233,6 +282,14 @@ def build_index(
                     .take_all()
                 )
                 for f in all_fields:
+                    # upper bound on distinct count without a driver union
+                    ub = sum(len(b[f]) for b in blocks)
+                    if ub > dict_shard_threshold:
+                        _build_dict_sharded(
+                            tokenized_dir, dicts_dir, f,
+                            multi=f in multi_facet_fields,
+                        )
+                        continue
                     seen: set = set()
                     for b in blocks:
                         seen.update(v for v in b[f] if v is not None)
@@ -247,7 +304,7 @@ def build_index(
         if not (resume and _stage_done(index_dir, "docmap")):
             t0 = time.time()
             dict_arrays = {
-                f: pq.read_table(os.path.join(dicts_dir, f"{f}.parquet"))["value"].combine_chunks()
+                f: read_dict_table(index_dir, f)["value"].combine_chunks()
                 for f in (*facet_fields, *multi_facet_fields)
             }
             dicts_ref = ray.put(dict_arrays)

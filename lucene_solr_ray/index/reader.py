@@ -72,10 +72,12 @@ class GlobalStats:
         self.df = SortedKeyMap(self.terms, self._df)
         self.ttf = SortedKeyMap(self.terms, self._ttf)
         self.dicts: dict[str, SortedStrings] = {}
+        from .build import read_dict_table
+
         for f in (*self.manifest["facet_fields"], *self.manifest["multi_facet_fields"]):
-            p = os.path.join(index_dir, "dicts", f"{f}.parquet")
-            if os.path.exists(p):
-                self.dicts[f] = SortedStrings(pq.read_table(p)["value"])
+            t_dict = read_dict_table(index_dir, f)
+            if t_dict is not None:
+                self.dicts[f] = SortedStrings(t_dict["value"])
         # union-manifest support (incremental ingest): member roots + the
         # per-member old_ord -> global_ord OrdinalMaps (MultiDocValues analog)
         self._members: list[str] = self.manifest.get("members", [])

@@ -55,11 +55,13 @@ def union_indexes(member_dirs: list[str], out_dir: str) -> dict:
     os.makedirs(dicts_dir, exist_ok=True)
     os.makedirs(remaps_dir, exist_ok=True)
     fields = [*m0["facet_fields"], *m0["multi_facet_fields"]]
+    from .build import read_dict_table
+
     for f in fields:
         member_vals = []
         for d in members:
-            p = os.path.join(d, "dicts", f"{f}.parquet")
-            member_vals.append(pq.read_table(p)["value"].to_pylist() if os.path.exists(p) else [])
+            t = read_dict_table(d, f)
+            member_vals.append(t["value"].to_pylist() if t is not None else [])
         global_vals = sorted(set().union(*member_vals), key=lambda s: s.encode())
         pq.write_table(
             pa.table({"value": pa.array(global_vals, type=pa.string())}),
