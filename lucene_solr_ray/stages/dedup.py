@@ -396,7 +396,8 @@ def _emit_pairs(ids: np.ndarray, sigs: np.ndarray, max_hamming: int,
 
 def simhash_near_dup_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
                            max_hamming: int = 3, bands: int = 4,
-                           shuffle_buckets: int = 64, bucket_cap: int = 4096):
+                           shuffle_buckets: int = 64, bucket_cap: int = 4096,
+                           small_rows: int = 8_000_000):
     """Candidate near-dup pairs via 4x16-bit band buckets + exact Hamming
     verify (any pair within Hamming<=3 of 64 bits shares at least one of 4
     16-bit bands exactly — pigeonhole).  Oversized buckets recursively
@@ -462,16 +463,45 @@ def simhash_near_dup_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id"
             }
         )
 
-    from ray.data.aggregate import Min
+    def dedupe_pairs(t: pa.Table) -> pa.Table:
+        """(a,b)-distinct, vectorized (pairs found through several bands)."""
+        a = np.asarray(t["a"], dtype=np.int64)
+        b = np.asarray(t["b"], dtype=np.int64)
+        h = np.asarray(t["hamming"], dtype=np.int64)
+        order = np.lexsort((h, b, a))
+        a_s, b_s = a[order], b[order]
+        first = np.ones(len(a_s), dtype=bool)
+        first[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+        keep = order[first]
+        return pa.table(
+            {
+                "a": pa.array(a[keep], type=pa.int64()),
+                "b": pa.array(b[keep], type=pa.int64()),
+                "hamming": pa.array(h[keep], type=pa.int64()),
+            }
+        )
 
+    exploded = sigs.map_batches(explode, batch_format="pyarrow").materialize()
+    if exploded.count() <= small_rows:
+        # small regime: one task holds the whole (id, band, key, sig) table —
+        # no shuffle at all (same dispatch as minhash_clusters)
+        def all_pairs(t: pa.Table) -> pa.Table:
+            return dedupe_pairs(bucket_pairs(t))
+
+        return exploded.repartition(1).map_batches(
+            all_pairs, batch_format="pyarrow", batch_size=None
+        )
     pairs = (
-        sigs.map_batches(explode, batch_format="pyarrow")
-        .map_batches(_with_bucket("key", shuffle_buckets), batch_format="pyarrow")
+        exploded.map_batches(_with_bucket("key", shuffle_buckets), batch_format="pyarrow")
         .groupby("__b")
         .map_groups(bucket_pairs, batch_format="pyarrow")
     )
-    # a pair found through several bands appears several times: dedupe
-    return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
+    # pair rows colocate by `a` for the distributed dedupe
+    return (
+        pairs.map_batches(_with_bucket("a", shuffle_buckets), batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(lambda g: dedupe_pairs(g.drop_columns(["__b"])), batch_format="pyarrow")
+    )
 
 
 # ---- n-gram jaccard ---------------------------------------------------------

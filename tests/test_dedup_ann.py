@@ -180,7 +180,8 @@ class TestSimhash:
                     want |= 1 << b
             assert int(got[i]) == want, i
 
-    def test_pairs_match_bruteforce(self, ray_session, corpus):
+    @pytest.mark.parametrize("small_rows", [8_000_000, 0])
+    def test_pairs_match_bruteforce(self, ray_session, corpus, small_rows):
         import ray.data as rd
 
         from lucene_solr_ray.stages.dedup import simhash_near_dup_pairs, simhash_signatures
@@ -191,7 +192,8 @@ class TestSimhash:
         # pigeonhole guarantees for hamming <= 3 — so the sets are EQUAL
         want = _brute_simhash_pairs(sigs, ids, 3)
         got_rows = simhash_near_dup_pairs(
-            rd.from_arrow(corpus).repartition(4), shuffle_buckets=8
+            rd.from_arrow(corpus).repartition(4), shuffle_buckets=8,
+            small_rows=small_rows,
         ).take_all()
         got = {(r["a"], r["b"], r["hamming"]) for r in got_rows}
         assert got == want
