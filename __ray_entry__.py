@@ -106,6 +106,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_counts": rl.events_hourly_counts,
         "facet_range_events_datemath": rl.facet_range_events_datemath,
         "interval_facets_quantity": rl.interval_facets_quantity,
+        "stats_facet_price_by_priority": rl.stats_facet_price_by_priority,
+        "cardinality_custkey_hll": rl.cardinality_custkey_hll,
         "group_top1_orders": rl.group_top1_orders,
         "group_topk_orders": rl.group_topk_orders,
         "expand_orders": rl.expand_orders,
@@ -364,6 +366,13 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
             GROUP BY l_orderkey ORDER BY o_orderkey""",
+        "stats_facet_price_by_priority": """
+            SELECT o_orderpriority,
+                   min(o_totalprice) AS min_p, max(o_totalprice) AS max_p,
+                   sum(o_totalprice) AS sum_p, CAST(count(*) AS BIGINT) AS cnt,
+                   avg(o_totalprice) AS mean_p,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
         "function_query_part": """
             SELECT p_partkey, sqrt(p_retailprice) AS sqrt_price,
                    abs(p_retailprice - 1000.0) AS abs_shift,

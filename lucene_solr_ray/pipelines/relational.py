@@ -320,6 +320,85 @@ def interval_facets_quantity(sf_dir: str) -> pa.Table:
     )
 
 
+def stats_facet_price_by_priority(sf_dir: str) -> pa.Table:
+    """Per-facet-bucket stats + exact countDistinct (StatsComponent
+    ``stats.facet`` + ``countDistinct``, `StatsValuesFactory.java:84-302`):
+    o_totalprice stats per o_orderpriority plus distinct o_custkey count.
+    countDistinct = per-batch Arrow distinct (combiner) -> pair shuffle ->
+    per-bucket count — never a driver value set."""
+    from ray.data.aggregate import Mean
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderpriority", "o_totalprice", "o_custkey"],
+    )
+    base = (
+        ds.groupby("o_orderpriority")
+        .aggregate(
+            Min("o_totalprice", alias_name="min_p"),
+            Max("o_totalprice", alias_name="max_p"),
+            Sum("o_totalprice", alias_name="sum_p"),
+            Count(alias_name="cnt"),
+            Mean("o_totalprice", alias_name="mean_p"),
+        )
+        .to_pandas()
+    )
+
+    def uniq_pairs(t: pa.Table) -> pa.Table:
+        return (
+            t.select(["o_orderpriority", "o_custkey"])
+            .group_by(["o_orderpriority", "o_custkey"])
+            .aggregate([])
+        )
+
+    dpairs = (
+        ds.map_batches(uniq_pairs, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "o_custkey"])
+        .aggregate(Count(alias_name="_c"))
+    )
+    dcount = (
+        dpairs.map_batches(
+            lambda t: t.select(["o_orderpriority"]), batch_format="pyarrow"
+        )
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_cust"))
+        .to_pandas()
+    )
+    out = base.merge(dcount, on="o_orderpriority").sort_values("o_orderpriority")
+    return pa.table(
+        {
+            "o_orderpriority": out["o_orderpriority"].tolist(),
+            "min_p": out["min_p"].astype("float64").tolist(),
+            "max_p": out["max_p"].astype("float64").tolist(),
+            "sum_p": out["sum_p"].astype("float64").tolist(),
+            "cnt": out["cnt"].astype("int64").tolist(),
+            "mean_p": out["mean_p"].astype("float64").tolist(),
+            "n_cust": out["n_cust"].astype("int64").tolist(),
+        }
+    )
+
+
+def cardinality_custkey_hll(sf_dir: str) -> pa.Table:
+    """Approximate cardinality via HyperLogLog (StatsComponent
+    ``cardinality``): per-batch register partials, elementwise-max merge —
+    only (2^p)-byte arrays leave the workers (rows-only oracle; accuracy is
+    pytest-gated)."""
+    from ..state.hll import HyperLogLog
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = HyperLogLog(12).add_ints(np.asarray(t["o_custkey"]))
+        return pa.table({"registers": pa.array([h.registers.tobytes()], type=pa.binary())})
+
+    acc = HyperLogLog(12)
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        acc.merge(HyperLogLog(12, np.frombuffer(r["registers"], np.uint8).copy()))
+    return pa.table(
+        {"field": pa.array(["o_custkey"]), "estimate": pa.array([acc.estimate()], type=pa.float64())}
+    )
+
+
 # ---- grouping / joins (TPC-H-ish) -------------------------------------------
 
 
