@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # with rank-identity tested vs the Python oracle in pytest
         "bm25_topk_simple": ft.bm25_topk_simple,
         "bm25_and_topk_simple": ft.bm25_and_topk_simple,
+        "edismax_topk": ft.edismax_topk,
         "bm25_topk": ft.bm25_topk,
         "bm25_and_topk": ft.bm25_and_topk,
         # -- faceting --
@@ -116,8 +117,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_join_orders_customer": rl.hash_join_orders_customer,
         "block_join_orders": rl.block_join_orders,
         "function_query_part": rl.function_query_part,
+        "strdist_customers": rl.strdist_customers,
+        "function_query_events_ms": rl.function_query_events_ms,
+        "joindf_docs": rl.joindf_docs,
         # -- multimodal plumbing --
         "multimodal_decode": rl.multimodal_decode,
+        # -- suggest / spellcheck (added below if present) --
     }
 
 
@@ -192,6 +197,14 @@ def oracle_sql() -> dict[str, str]:
             FROM conj
             QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) <= 10
             ORDER BY qid, rank""",
+        "edismax_topk": _bm25_scored_sql("(0, 'join'), (0, 'vector')") + """
+            , disj AS (
+              SELECT doc_id, CAST(sum(CAST(score AS DOUBLE)) AS FLOAT) AS score
+              FROM scored GROUP BY doc_id)
+            SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS rank, doc_id
+            FROM disj
+            QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 20
+            ORDER BY rank""",
         "term_df_top100": f"""
             SELECT CAST(row_number() OVER (ORDER BY df DESC, term) - 1 AS BIGINT) AS rank, term, df
             FROM (SELECT term, CAST(count(*) AS BIGINT) AS df
@@ -378,4 +391,16 @@ def oracle_sql() -> dict[str, str]:
                    abs(p_retailprice - 1000.0) AS abs_shift,
                    floor(p_retailprice / 100.0) AS floor_div
             FROM part ORDER BY p_partkey""",
+        "strdist_customers": """
+            SELECT c_custkey, CAST(levenshtein(c_name, 'Customer#000000500') AS BIGINT) AS dist
+            FROM customer ORDER BY c_custkey""",
+        "function_query_events_ms": """
+            SELECT event_id,
+                   CAST(epoch_ms(ts) - epoch_ms(TIMESTAMP '2024-01-15 00:00:00') AS BIGINT) AS ms_diff
+            FROM events ORDER BY event_id""",
+        "joindf_docs": f"""
+            SELECT d.doc_id,
+                   CAST((SELECT count(*) FROM documents d2
+                         WHERE list_contains(regexp_split_to_array(lower(d2.text), '[^a-z0-9]+'), d.lang)) AS BIGINT) AS joindf
+            FROM documents d ORDER BY d.doc_id""",
     }

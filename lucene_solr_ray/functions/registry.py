@@ -76,9 +76,11 @@ def _register_builtins() -> None:
     register("stage", "quality_score", textstats.quality_score_batch)
     register("stage", "fingerprint", textstats.fingerprint_batch)
 
+    from ..query.edismax import EDisMaxParser
     from ..query.parser import QueryParser
 
     register("query_parser", "classic", QueryParser)
+    register("query_parser", "edismax", EDisMaxParser)
 
     import numpy as np
     import pyarrow.compute as pc

@@ -1,0 +1,86 @@
+"""Function-query value sources beyond plain math kernels.
+
+Reference registry: `solr/core/src/java/org/apache/solr/search/
+ValueSourceParser.java` — ``strdist`` (:359), ``ms`` (:574), ``joindf``
+(:295, `JoinDocFreqValueSource.java`).  All vectorized: strdist is a
+whole-column Wagner-Fischer DP (numpy ops over all rows per cell), ms is
+Arrow timestamp arithmetic, joindf is a broadcast value->df dictionary
+lookup inside ``map_batches``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..hashing import _flat_bytes
+
+
+def levenshtein_to(col, target: str) -> np.ndarray:
+    """Edit distance of every string in an Arrow column to ``target``.
+
+    Byte-level Wagner-Fischer, vectorized ACROSS rows: the DP table is
+    (rows, maxlen+1) and each cell update is one numpy op — ~|target|*maxlen
+    vector ops total, no per-row Python."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat, off = _flat_bytes(col)
+    lens = np.diff(off)
+    n = len(lens)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    L = int(lens.max()) if len(lens) else 0
+    t = np.frombuffer(target.encode("utf-8"), dtype=np.uint8)
+    T = len(t)
+    mat = np.zeros((n, max(L, 1)), dtype=np.uint8)
+    if len(flat):
+        row_of = np.repeat(np.arange(n), lens)
+        local = np.arange(len(flat)) - np.repeat(off[:-1], lens)
+        mat[row_of, local] = flat
+    dp = np.tile(np.arange(L + 1, dtype=np.int64), (n, 1))
+    for i in range(1, T + 1):
+        new = np.empty_like(dp)
+        new[:, 0] = i
+        for j in range(1, L + 1):
+            cost = (mat[:, j - 1] != t[i - 1]).astype(np.int64)
+            new[:, j] = np.minimum(
+                np.minimum(dp[:, j] + 1, new[:, j - 1] + 1), dp[:, j - 1] + cost
+            )
+        dp = new
+    return dp[np.arange(n), lens]
+
+
+def ms_between(ts_col, anchor_iso: str) -> pa.Array:
+    """``ms(a, b)`` value source: milliseconds between a timestamp column and
+    a fixed anchor (column minus anchor, the Solr argument order)."""
+    from datetime import datetime
+
+    fmt = "%Y-%m-%dT%H:%M:%S" if "T" in anchor_iso else "%Y-%m-%d"
+    anchor = datetime.strptime(anchor_iso.rstrip("Z"), fmt)
+    us = np.asarray(pc.cast(ts_col, pa.int64()))
+    epoch_us = int((anchor - datetime(1970, 1, 1)).total_seconds() * 1e6)
+    # floor division: millisecond epochs round toward -inf (Date semantics)
+    return pa.array(np.floor_divide(us - epoch_us, 1000), type=pa.int64())
+
+
+def joindf_lookup(values_to_df: dict):
+    """``joindf(field, dict_field)``: per-doc docfreq of the doc's field
+    value as a term elsewhere (`JoinDocFreqValueSource.java`).  The bounded
+    value->df map is broadcast once via ``ray.put``; the per-batch lookup is
+    the vectorized ``index_in`` kernel."""
+    import ray
+
+    vals = pa.array(sorted(values_to_df), type=pa.string())
+    dfs = pa.array([values_to_df[v] for v in sorted(values_to_df)], type=pa.int64())
+    ref = ray.put((vals, dfs))
+
+    def fn(t: pa.Table, *, value_col: str, out: str = "joindf") -> pa.Table:
+        v, d = ray.get(ref)
+        idx = pc.index_in(t[value_col].combine_chunks(), value_set=v)
+        looked = pc.fill_null(pc.take(d, pc.fill_null(idx, 0)), 0)
+        # values absent from the dictionary get df 0
+        looked = pc.if_else(pc.is_null(idx), pa.scalar(0, type=pa.int64()), looked)
+        return t.append_column(out, looked)
+
+    return fn

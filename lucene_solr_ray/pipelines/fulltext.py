@@ -272,6 +272,27 @@ def bm25_and_topk_simple(sf_dir: str) -> pa.Table:
     )
 
 
+def edismax_topk(sf_dir: str) -> pa.Table:
+    """edismax end-to-end under the SQL gate: 'join vector' with mm=1 over
+    the text field — disjunction of BM25 term scores (float64 accumulation
+    cast to float32), rank order checked against the SQL recomputation."""
+    from ..query.edismax import EDisMaxParser
+
+    ast = EDisMaxParser(qf=(("text", 1.0),), mm=1).parse("join vector")
+    ix = documents_index(sf_dir)
+    docs, scores = Evaluator(LocalIndex(ix)).scored(ast)
+    out = {"rank": [], "doc_id": []}
+    for rank, (_s, doc) in enumerate(top_k(docs, scores, 20)):
+        out["rank"].append(rank)
+        out["doc_id"].append(doc)
+    return pa.table(
+        {
+            "rank": pa.array(out["rank"], type=pa.int64()),
+            "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+        }
+    )
+
+
 def bm25_and_topk(sf_dir: str) -> pa.Table:
     ix = documents_index(sf_dir, analyzer="standard")
     loc = LocalIndex(ix)

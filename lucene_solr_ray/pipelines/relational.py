@@ -586,6 +586,75 @@ def function_query_part(sf_dir: str) -> pa.Table:
     )
 
 
+def strdist_customers(sf_dir: str) -> pa.Table:
+    """strdist value source (`ValueSourceParser.java:359`): edit distance of
+    every c_name to a fixed target, whole-column vectorized DP."""
+    from ..functions.valuesources import levenshtein_to
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"])
+
+    def dist(t: pa.Table) -> pa.Table:
+        d = levenshtein_to(t["c_name"], "Customer#000000500")
+        return pa.table({"c_custkey": t["c_custkey"], "dist": pa.array(d, type=pa.int64())})
+
+    out = ds.map_batches(dist, batch_format="pyarrow").to_pandas().sort_values("c_custkey")
+    return pa.table(
+        {
+            "c_custkey": out["c_custkey"].astype("int64").tolist(),
+            "dist": out["dist"].astype("int64").tolist(),
+        }
+    )
+
+
+def function_query_events_ms(sf_dir: str) -> pa.Table:
+    """ms value source (`ValueSourceParser.java:574`): milliseconds between
+    each event timestamp and a fixed anchor instant."""
+    from ..functions.valuesources import ms_between
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_id", "ts"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_id": t["event_id"], "ms_diff": ms_between(t["ts"], "2024-01-15T00:00:00Z")}
+        )
+
+    out = ds.map_batches(fn, batch_format="pyarrow").to_pandas().sort_values("event_id")
+    return pa.table(
+        {
+            "event_id": out["event_id"].astype("int64").tolist(),
+            "ms_diff": out["ms_diff"].astype("int64").tolist(),
+        }
+    )
+
+
+def joindf_docs(sf_dir: str) -> pa.Table:
+    """joindf value source (`JoinDocFreqValueSource.java`): per doc, the
+    docfreq of its ``lang`` value as a term in the text field — a broadcast
+    value->df dictionary lookup, vectorized per batch."""
+    from ..functions.valuesources import joindf_lookup
+    from ..index.reader import GlobalStats
+    from ..pipelines.fulltext import documents_index
+
+    ix = documents_index(sf_dir)
+    stats = GlobalStats(ix)
+    vals = list(stats.dicts["lang"])
+    df_map = {v: stats.df.get(v, 0) for v in vals}
+    fn = joindf_lookup(df_map)
+    out = (
+        _docs(sf_dir, ["doc_id", "lang"])
+        .map_batches(fn, batch_format="pyarrow", fn_kwargs={"value_col": "lang"})
+        .select_columns(["doc_id", "joindf"])
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    return pa.table(
+        {
+            "doc_id": out["doc_id"].astype("int64").tolist(),
+            "joindf": out["joindf"].astype("int64").tolist(),
+        }
+    )
+
+
 def multimodal_decode(sf_dir: str) -> pa.Table:
     """Actor-pool binary-decode plumbing over synthetic payloads derived
     deterministically from documents (fake codec; rows-only oracle)."""

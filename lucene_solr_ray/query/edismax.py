@@ -1,0 +1,99 @@
+"""Extended DisMax (edismax) query parser.
+
+Re-specification of the user-facing surface of
+`solr/core/src/java/org/apache/solr/search/ExtendedDismaxQParser.java` (+
+``DisMaxQParser.java``): a lenient user query is decomposed into clauses,
+each scored as a DisjunctionMax over the ``qf`` field/boost list, with
+
+* ``qf``  — (field, boost) pairs; every term/phrase clause becomes
+  ``DisMaxQ(TermQ(t, field, boost) per qf, tiebreak=tie)``;
+* ``mm``  — minimum-should-match for the optional clauses (int or "N%");
+* ``pf``  — phrase-boost fields: the WHOLE query as a phrase on each pf
+  field, added as an optional boosted clause (``pf``/``pf2`` family);
+* ``tie`` — DisjunctionMax tiebreaker;
+* ``+`` / ``-`` prefixes and quoted phrases as in the classic parser.
+
+The output is an ordinary AST (BoolQ/DisMaxQ/TermQ/PhraseQ/BoostQ), so the
+same evaluator/oracle machinery scores it.
+"""
+
+from __future__ import annotations
+
+import re
+
+from ..analysis.tokenizer import analyze
+from .ast import BoolQ, BoostQ, DisMaxQ, MatchAllQ, PhraseQ, TermQ
+
+_CLAUSE_RE = re.compile(r'([+-]?)(?:"([^"]*)"|(\S+))')
+
+
+class EDisMaxParser:
+    def __init__(
+        self,
+        qf: tuple = (("text", 1.0),),
+        pf: tuple = (),
+        tie: float = 0.0,
+        mm: int | str = 0,
+    ):
+        self.qf = tuple(qf)
+        self.pf = tuple(pf)
+        self.tie = float(tie)
+        self.mm = mm
+
+    def _field_clauses(self, terms: tuple, is_phrase: bool):
+        out = []
+        for f, boost in self.qf:
+            if is_phrase and len(terms) > 1:
+                out.append(PhraseQ(terms, field=f, boost=boost))
+            else:
+                out.append(TermQ(terms[0], field=f, boost=boost))
+        return tuple(out)
+
+    def _resolve_mm(self, n_should: int) -> int:
+        mm = self.mm
+        if isinstance(mm, str) and mm.endswith("%"):
+            return int(n_should * int(mm[:-1]) / 100)
+        return int(mm)
+
+    def parse(self, q: str):
+        if q.strip() in ("", "*", "*:*"):
+            return MatchAllQ()
+        must, must_not, should = [], [], []
+        all_terms: list[str] = []
+        for sign, phrase, word in _CLAUSE_RE.findall(q):
+            body = phrase if phrase else word
+            terms = tuple(t for t, _ in analyze(body))
+            if not terms:
+                continue
+            if sign != "-":
+                all_terms.extend(terms)
+            node = self._dismax(self._field_clauses(terms, is_phrase=bool(phrase)))
+            if sign == "+":
+                must.append(node)
+            elif sign == "-":
+                must_not.append(node)
+            else:
+                should.append(node)
+        # pf: whole-query phrase boost per phrase field
+        if len(all_terms) > 1:
+            for f, boost in self.pf:
+                should.append(BoostQ(PhraseQ(tuple(all_terms), field=f), boost))
+        n_scoring_should = len(should) - (len(self.pf) if len(all_terms) > 1 else 0)
+        msm = self._resolve_mm(n_scoring_should) if not must else 0
+        if not must and not should and must_not:
+            return BoolQ(must=(MatchAllQ(),), must_not=tuple(must_not))
+        if len(should) == 1 and not must and not must_not:
+            return should[0]
+        if len(must) == 1 and not should and not must_not:
+            return must[0]
+        return BoolQ(
+            must=tuple(must),
+            should=tuple(should),
+            must_not=tuple(must_not),
+            minimum_should_match=msm,
+        )
+
+    def _dismax(self, clauses: tuple):
+        if len(clauses) == 1:
+            return clauses[0]
+        return DisMaxQ(clauses, tiebreak=self.tie)
