@@ -61,6 +61,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_df_top100": ft.term_df_top100,
         "term_ttf_top100": ft.term_ttf_top100,
         "terms_component_prefix": ft.terms_component_prefix,
+        "suggest_prefix": ft.suggest_prefix,
+        "spellcheck_terms": ft.spellcheck_terms,
         "incremental_union_term_df": ft.incremental_union_term_df,
         # -- boolean / phrase search --
         "search_and": ft.search_and,
@@ -226,6 +228,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, CAST(count(*) AS BIGINT) AS df
             FROM (SELECT DISTINCT doc_id, term FROM ({tok_terms}) WHERE term != '')
             WHERE term LIKE 'c%' GROUP BY term ORDER BY term LIMIT 50""",
+        "suggest_prefix": f"""
+            WITH t AS (SELECT term, CAST(count(*) AS BIGINT) AS weight
+                       FROM ({tok_terms}) WHERE term != '' GROUP BY term)
+            SELECT p.prefix,
+                   CAST(row_number() OVER (PARTITION BY p.prefix ORDER BY weight DESC, term) - 1 AS BIGINT) AS rank,
+                   term, weight
+            FROM (VALUES ('co'), ('pre'), ('st')) p(prefix)
+            JOIN t ON t.term LIKE p.prefix || '%'
+            QUALIFY row_number() OVER (PARTITION BY p.prefix ORDER BY weight DESC, term) <= 10
+            ORDER BY p.prefix, rank""",
+        "spellcheck_terms": f"""
+            WITH t AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                       FROM (SELECT DISTINCT doc_id, term FROM ({tok_terms}) WHERE term != '')
+                       GROUP BY term)
+            SELECT w.word,
+                   CAST(row_number() OVER (PARTITION BY w.word ORDER BY levenshtein(w.word, t.term), df DESC, term) - 1 AS BIGINT) AS rank,
+                   term AS suggestion,
+                   CAST(levenshtein(w.word, t.term) AS BIGINT) AS dist, df
+            FROM (VALUES ('joyn'), ('vectr'), ('strem')) w(word)
+            JOIN t ON levenshtein(w.word, t.term) BETWEEN 1 AND 2
+            QUALIFY row_number() OVER (PARTITION BY w.word ORDER BY levenshtein(w.word, t.term), df DESC, term) <= 5
+            ORDER BY w.word, rank""",
         "search_and": f"""
             SELECT doc_id FROM documents
             WHERE {_HAS.format(t='join')} AND {_HAS.format(t='vector')}

@@ -309,6 +309,58 @@ def bm25_and_topk(sf_dir: str) -> pa.Table:
     return pa.table(out)
 
 
+def suggest_prefix(sf_dir: str) -> pa.Table:
+    """AnalyzingSuggester analog: top-10 completions per prefix, weighted by
+    total term frequency — a sorted-dictionary range scan per prefix."""
+    from ..index.reader import GlobalStats
+    from ..query.suggest import PrefixSuggester
+
+    ix = documents_index(sf_dir)
+    sg = PrefixSuggester(GlobalStats(ix))
+    out = {"prefix": [], "rank": [], "term": [], "weight": []}
+    for pref in ["co", "pre", "st"]:
+        for rank, (term, w) in enumerate(sg.suggest(pref, top=10)):
+            out["prefix"].append(pref)
+            out["rank"].append(rank)
+            out["term"].append(term)
+            out["weight"].append(w)
+    return pa.table(
+        {
+            "prefix": pa.array(out["prefix"], type=pa.string()),
+            "rank": pa.array(out["rank"], type=pa.int64()),
+            "term": pa.array(out["term"], type=pa.string()),
+            "weight": pa.array(out["weight"], type=pa.int64()),
+        }
+    )
+
+
+def spellcheck_terms(sf_dir: str) -> pa.Table:
+    """DirectSpellChecker analog: corrections within 2 edits ranked
+    (distance asc, df desc, term asc), top 5 per misspelling."""
+    from ..index.reader import GlobalStats
+    from ..query.suggest import spellcheck
+
+    ix = documents_index(sf_dir)
+    stats = GlobalStats(ix)
+    out = {"word": [], "rank": [], "suggestion": [], "dist": [], "df": []}
+    for word in sorted(["joyn", "vectr", "strem"]):
+        for rank, (sug, d, df) in enumerate(spellcheck(stats, word, top=5)):
+            out["word"].append(word)
+            out["rank"].append(rank)
+            out["suggestion"].append(sug)
+            out["dist"].append(d)
+            out["df"].append(df)
+    return pa.table(
+        {
+            "word": pa.array(out["word"], type=pa.string()),
+            "rank": pa.array(out["rank"], type=pa.int64()),
+            "suggestion": pa.array(out["suggestion"], type=pa.string()),
+            "dist": pa.array(out["dist"], type=pa.int64()),
+            "df": pa.array(out["df"], type=pa.int64()),
+        }
+    )
+
+
 # ---- faceting ---------------------------------------------------------------
 
 

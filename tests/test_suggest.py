@@ -1,0 +1,71 @@
+"""Suggester + spellcheck vs brute-force recomputation from raw texts."""
+
+from __future__ import annotations
+
+import pytest
+
+from lucene_solr_ray.analysis.tokenizer import analyze
+from lucene_solr_ray.index.reader import GlobalStats
+from lucene_solr_ray.query.suggest import PrefixSuggester, spellcheck
+
+
+@pytest.fixture(scope="module")
+def term_stats(oracle_rows):
+    """{term: (df, ttf)} recomputed from the raw fixture texts."""
+    df: dict[str, int] = {}
+    ttf: dict[str, int] = {}
+    for r in oracle_rows:
+        toks = [t for t, _ in analyze(r["text"])]
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+        for t in toks:
+            ttf[t] = ttf.get(t, 0) + 1
+    return df, ttf
+
+
+class TestSuggest:
+    def test_prefix_suggestions_match_brute(self, pages_corpus, term_stats):
+        _, ttf = term_stats
+        sg = PrefixSuggester(GlobalStats(pages_corpus["index_dir"]))
+        for pref in ["lu", "ka", "z", "ta", "nosuchprefix"]:
+            got = sg.suggest(pref, top=10)
+            want = sorted(
+                ((t, w) for t, w in ttf.items() if t.startswith(pref)),
+                key=lambda tw: (-tw[1], tw[0]),
+            )[:10]
+            assert got == want, pref
+
+    def test_spellcheck_matches_brute(self, pages_corpus, term_stats):
+        df, _ = term_stats
+        stats = GlobalStats(pages_corpus["index_dir"])
+
+        def brute(word, max_edits=2, top=5):
+            import itertools
+
+            def dist(a, b):
+                prev = list(range(len(b) + 1))
+                for i, ca in enumerate(a, 1):
+                    cur = [i] + [0] * len(b)
+                    for j, cb in enumerate(b, 1):
+                        cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                    prev = cur
+                return prev[-1]
+
+            cands = []
+            for t, d_ in df.items():
+                d = dist(t, word)
+                if 1 <= d <= max_edits:
+                    cands.append((d, -d_, t))
+            cands.sort()
+            return [(t, d, -nd) for d, nd, t in cands[:top]]
+
+        # take some real terms and perturb them
+        some = sorted(df)[:4]
+        for w in [t[:-1] + "x" for t in some if len(t) > 3] + ["zzzzzz"]:
+            assert spellcheck(stats, w) == brute(w), w
+
+    def test_existing_word_not_suggested(self, pages_corpus, term_stats):
+        df, _ = term_stats
+        stats = GlobalStats(pages_corpus["index_dir"])
+        word = sorted(df)[0]
+        assert all(s != word for s, _, _ in spellcheck(stats, word))
