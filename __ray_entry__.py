@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_ttf_top100": ft.term_ttf_top100,
         "terms_component_prefix": ft.terms_component_prefix,
         "suggest_prefix": ft.suggest_prefix,
+        "shingle_top_bigrams": ft.shingle_top_bigrams,
         "spellcheck_terms": ft.spellcheck_terms,
         "incremental_union_term_df": ft.incremental_union_term_df,
         # -- boolean / phrase search --
@@ -228,6 +229,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, CAST(count(*) AS BIGINT) AS df
             FROM (SELECT DISTINCT doc_id, term FROM ({tok_terms}) WHERE term != '')
             WHERE term LIKE 'c%' GROUP BY term ORDER BY term LIMIT 50""",
+        "shingle_top_bigrams": f"""
+            WITH toks AS (SELECT list_filter({_TOK}, t -> t != '') AS tk FROM documents),
+            big AS (SELECT unnest([tk[i] || '_' || tk[i+1] for i in generate_series(1, len(tk)-1)]) AS bigram
+                    FROM toks WHERE len(tk) >= 2)
+            SELECT CAST(row_number() OVER (ORDER BY n DESC, bigram) - 1 AS BIGINT) AS rank, bigram, n
+            FROM (SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM big GROUP BY bigram)
+            ORDER BY n DESC, bigram LIMIT 20""",
         "suggest_prefix": f"""
             WITH t AS (SELECT term, CAST(count(*) AS BIGINT) AS weight
                        FROM ({tok_terms}) WHERE term != '' GROUP BY term)

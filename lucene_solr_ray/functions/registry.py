@@ -16,6 +16,7 @@ from collections.abc import Callable
 
 _REGISTRY: dict[str, dict[str, object]] = {
     "tokenizer": {},
+    "token_filter": {},
     "stage": {},
     "query_parser": {},
     "scalar_fn": {},
@@ -64,6 +65,17 @@ def _register_builtins() -> None:
 
     register("tokenizer", "standard", tok.analyze)
     register("tokenizer", "simple", tok.simple_tokenize)
+
+    from ..analysis import filters as flt
+
+    # TokenFilterFactory analog (loadable-by-name filter library)
+    register("token_filter", "ascii_folding", flt.ascii_fold)
+    register("token_filter", "porter_stem", flt.porter_stem)
+    register("token_filter", "shingle", flt.shingle_tokens)
+    register("token_filter", "ngram", flt.ngram_terms)
+    register("token_filter", "edge_ngram", flt.edge_ngram_terms)
+    register("token_filter", "synonym", flt.synonym_expand)
+    register("token_filter", "stop", flt.stop_filter)
     register("stage", "extract_html", extract.extract_batch)
     register("stage", "tokenize", tokenize.tokenize_batch)
     register("stage", "signature_md5", signatures.md5_signature_batch)

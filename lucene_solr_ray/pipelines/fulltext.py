@@ -309,6 +309,49 @@ def bm25_and_topk(sf_dir: str) -> pa.Table:
     return pa.table(out)
 
 
+def shingle_top_bigrams(sf_dir: str) -> pa.Table:
+    """ShingleFilter as a corpus statistic: top-20 adjacent-word bigrams.
+
+    Vectorized: one token flatten per batch, Arrow binary_join of shifted
+    token arrays masked to same-document pairs, per-batch Arrow group_by
+    partial counts (combiner), one tiny groupby-sum."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    from ..stages.textstats import _token_lists
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+
+    def bigram_counts(t: pa.Table) -> pa.Table:
+        flat, row_of, tok_len = _token_lists(t["text"])
+        keep = tok_len > 0
+        toks = flat.filter(pa.array(keep))
+        rows = row_of[keep]
+        if len(toks) < 2:
+            return pa.table({"bigram": pa.array([], type=pa.string()), "n": pa.array([], type=pa.int64())})
+        joined = pc.binary_join_element_wise(
+            toks.slice(0, len(toks) - 1), toks.slice(1), "_"
+        )
+        same_row = rows[:-1] == rows[1:]
+        pairs = joined.filter(pa.array(same_row))
+        return (
+            pa.table({"bigram": pairs})
+            .group_by("bigram")
+            .aggregate([("bigram", "count")])
+            .rename_columns(["bigram", "n"])
+        )
+
+    out = (
+        ds.map_batches(bigram_counts, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["n", "bigram"], ascending=[False, True])
+        .head(20)
+    )
+    return _rank_table({"bigram": out["bigram"].tolist(), "n": out["n"].astype("int64").tolist()})
+
+
 def suggest_prefix(sf_dir: str) -> pa.Table:
     """AnalyzingSuggester analog: top-10 completions per prefix, weighted by
     total term frequency — a sorted-dictionary range scan per prefix."""
