@@ -218,9 +218,46 @@ def run_bench() -> dict:
     return result
 
 
+def _machine_ceilings() -> dict:
+    """Microbenchmark ceilings of THIS VM (single shared memory bus): how an
+    embarrassingly-parallel ALU-bound job and a numpy bandwidth-bound job
+    scale 8->32 processes.  Reported alongside the build numbers so the
+    scaling claim is self-contained: on real 4x nodes each node brings its
+    own memory bus; this box cannot, so bandwidth-bound stages cap below 1.
+    """
+    import multiprocessing as mp
+
+    import numpy as np
+
+    def alu(n):
+        x = 1
+        for i in range(n):
+            x = (x * 1103515245 + 12345) & 0xFFFFFFFF
+        return x
+
+    def bw(_):
+        a = np.random.default_rng(0).random(20_000_000)
+        s = 0.0
+        for _i in range(6):
+            s += float((a * 1.0001).sum())
+        return s
+
+    out = {}
+    for name, fn, arg in [("alu", alu, 6_000_000), ("numpy_bw", bw, 0)]:
+        per = {}
+        for n in (8, 32):
+            with mp.Pool(n) as pool:
+                t0 = time.time()
+                pool.map(fn, [arg] * (n * 2))
+                per[n] = (n * 2) / (time.time() - t0)  # tasks/sec
+        out[f"ceiling_{name}_8_32"] = round((per[32] / per[8]) / 4.0, 3)
+    return out
+
+
 def run_scaling() -> dict:
-    """Two fresh processes (num_cpus=8, 32) on the same input; efficiency =
-    (T32/T8)/(32/8) measured on build_pages docs/s."""
+    """Three fresh processes (num_cpus=2, 8, 32) on the same input;
+    efficiency pairs (2->8, 8->32, 2->32) on build_pages docs/s, plus this
+    VM's microbenchmark ceilings (see BASELINE.md for interpretation)."""
 
     def run(ncpu: int) -> dict:
         env = dict(
@@ -240,8 +277,8 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     def drain():
-        # isolate the two measurements: flush page cache and let the previous
-        # Ray session's workers/object store tear down fully
+        # isolate measurements: flush page cache and let the previous Ray
+        # session's workers/object store tear down fully
         os.system("sync")
         try:
             with open("/proc/sys/vm/drop_caches", "w") as f:
@@ -250,26 +287,30 @@ def run_scaling() -> dict:
             pass
         time.sleep(15)
 
-    pair = os.environ.get("BENCH_SCALING_CPUS", "2,8").split(",")
-    lo, hi = int(pair[0]), int(pair[1])
-    drain()
-    r_lo = run(lo)
-    drain()
-    r_hi = run(hi)
-    t_lo = r_lo["docs_per_sec"]
-    t_hi = r_hi["docs_per_sec"]
-    eff = (t_hi / t_lo) / (hi / lo)
-    return {
-        "metric": f"scaling efficiency (build_pages docs/s, {lo} vs {hi} CPUs, fresh processes)",
-        f"docs_per_sec_{lo}": t_lo,
-        f"docs_per_sec_{hi}": t_hi,
-        f"build_sec_{lo}": r_lo["queries"]["build_pages"],
-        f"build_sec_{hi}": r_hi["queries"]["build_pages"],
-        "cpus_lo": lo,
-        "cpus_hi": hi,
-        "scaling_efficiency": round(eff, 3),
-        "pages_n": r_lo["pages_n"],
+    levels = [int(c) for c in os.environ.get("BENCH_SCALING_CPUS", "2,8,32").split(",")]
+    runs: dict[int, dict] = {}
+    for c in levels:
+        drain()
+        runs[c] = run(c)
+    result = {
+        "metric": f"scaling efficiency (build_pages docs/s, fresh processes, CPUs {levels})",
+        "pages_n": runs[levels[0]]["pages_n"],
     }
+    for c in levels:
+        result[f"docs_per_sec_{c}"] = runs[c]["docs_per_sec"]
+        result[f"build_sec_{c}"] = runs[c]["queries"]["build_pages"]
+    for lo, hi in zip(levels, levels[1:]):
+        eff = (runs[hi]["docs_per_sec"] / runs[lo]["docs_per_sec"]) / (hi / lo)
+        result[f"eff_{lo}_{hi}"] = round(eff, 3)
+    if len(levels) > 2:
+        lo, hi = levels[0], levels[-1]
+        eff = (runs[hi]["docs_per_sec"] / runs[lo]["docs_per_sec"]) / (hi / lo)
+        result[f"eff_{lo}_{hi}"] = round(eff, 3)
+    result["scaling_efficiency"] = result.get(
+        f"eff_{levels[0]}_{levels[1]}", next(v for k, v in result.items() if k.startswith("eff_"))
+    )
+    result.update(_machine_ceilings())
+    return result
 
 
 if __name__ == "__main__":

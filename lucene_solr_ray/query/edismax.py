@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import re
 
-from ..analysis.tokenizer import analyze
+from ..stages.tokenize import query_analyzer
 from .ast import BoolQ, BoostQ, DisMaxQ, MatchAllQ, PhraseQ, TermQ
 
 _CLAUSE_RE = re.compile(r'([+-]?)(?:"([^"]*)"|(\S+))')
@@ -34,11 +34,13 @@ class EDisMaxParser:
         pf: tuple = (),
         tie: float = 0.0,
         mm: int | str = 0,
+        analyzer: str = "standard",
     ):
         self.qf = tuple(qf)
         self.pf = tuple(pf)
         self.tie = float(tie)
         self.mm = mm
+        self._analyze = query_analyzer(analyzer)
 
     def _field_clauses(self, terms: tuple, is_phrase: bool):
         out = []
@@ -62,7 +64,7 @@ class EDisMaxParser:
         all_terms: list[str] = []
         for sign, phrase, word in _CLAUSE_RE.findall(q):
             body = phrase if phrase else word
-            terms = tuple(t for t, _ in analyze(body))
+            terms = tuple(t for t, _ in self._analyze(body))
             if not terms:
                 continue
             if sign != "-":

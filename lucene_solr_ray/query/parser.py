@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import re
 
-from ..analysis.tokenizer import analyze
+from ..stages.tokenize import query_analyzer
 from .ast import BoolQ, BoostQ, FilterQ, MatchAllQ, MultiTermQ, PhraseQ, RangeQ, TermQ
 
 _TOKEN_RE = re.compile(
@@ -64,10 +64,12 @@ class QueryParser:
         default_field: str = "text",
         keyword_fields: tuple = ("host", "tld", "lang", "source"),
         text_fields: tuple = ("title",),
+        analyzer: str = "standard",
     ):
         self.default_field = default_field
         self.keyword_fields = set(keyword_fields)
         self.text_fields = set(text_fields)  # analyzed fields -> scored TermQ
+        self._analyze = query_analyzer(analyzer)  # same chain as the index
 
     def parse(self, q: str):
         self._toks = self._lex(q)
@@ -208,7 +210,7 @@ class QueryParser:
         if kind == "phrase":
             self._i += 1
             body, slop = val
-            terms = tuple(t for t, _ in analyze(body))
+            terms = tuple(t for t, _ in self._analyze(body))
             if not terms:
                 return None
             node = PhraseQ(terms, slop=slop) if len(terms) > 1 else TermQ(terms[0])
@@ -221,7 +223,7 @@ class QueryParser:
             f, body = val
             if f in self.keyword_fields:
                 return self._maybe_boost(FilterQ(f, body))
-            terms = tuple(t for t, _ in analyze(body))
+            terms = tuple(t for t, _ in self._analyze(body))
             if not terms:
                 return None
             target = f if f in self.text_fields else self.default_field
@@ -249,7 +251,7 @@ class QueryParser:
             f, v = val
             if f in self.keyword_fields:
                 return self._maybe_boost(FilterQ(f, v))
-            terms = [t for t, _ in analyze(v)]
+            terms = [t for t, _ in self._analyze(v)]
             if not terms:
                 return None
             target = f if f in self.text_fields else self.default_field
@@ -268,7 +270,7 @@ class QueryParser:
                 if w.endswith("*") and "*" not in w[:-1] and "?" not in w:
                     return self._maybe_boost(MultiTermQ("prefix", w[:-1]))
                 return self._maybe_boost(MultiTermQ("wildcard", w))
-            terms = [t for t, _ in analyze(val)]
+            terms = [t for t, _ in self._analyze(val)]
             if not terms:
                 return None  # pure stopword — dropped like an empty clause
             node = TermQ(terms[0]) if len(terms) == 1 else PhraseQ(tuple(terms))

@@ -34,6 +34,32 @@ def field_term_key(field: str, term: str) -> str:
     return term if field == "text" else f"{field}{FIELD_SEP}{term}"
 
 
+def query_analyzer(analyzer: str):
+    """-> ``fn(text) -> iterable[(term, pos)]`` for a named analysis chain —
+    the ONE routing both the index build and query-time parsing use, so the
+    two sides can never diverge.
+
+    * ``standard`` — the StandardAnalyzer-equivalent chain;
+    * ``simple``   — lowercase + ``[a-z0-9]+`` runs (DuckDB-oracle parity);
+    * ``english``  — standard chain + ASCII folding + Porter stemming
+      (``EnglishAnalyzer``'s stem step; its possessive/keyword filters are
+      subsumed/not applicable).
+    """
+    if analyzer == "simple":
+        return lambda text: ((t, p) for p, t in enumerate(simple_tokenize(text)))
+    if analyzer == "standard":
+        return analyze
+    if analyzer == "english":
+        from ..analysis.filters import ascii_fold, porter_stem
+
+        def en(text):
+            for term, pos in analyze(text):
+                yield porter_stem(ascii_fold(term)), pos
+
+        return en
+    raise ValueError(analyzer)
+
+
 def tokenize_batch(
     batch: pa.Table,
     *,
@@ -56,12 +82,7 @@ def tokenize_batch(
     Null/missing text → empty token list, dl=0 (norm byte 255 = inf norm,
     matching Java boost/sqrt(0)=inf — such docs match nothing).
     """
-    if analyzer == "simple":
-        tok_iter = lambda text: ((t, p) for p, t in enumerate(simple_tokenize(text)))  # noqa: E731
-    elif analyzer == "standard":
-        tok_iter = analyze
-    else:
-        raise ValueError(analyzer)
+    tok_iter = query_analyzer(analyzer)
 
     n_rows = batch.num_rows
     field_texts = {"text": batch.column("text").to_pylist()}

@@ -1,0 +1,90 @@
+"""Response writers (JSON/XML/CSV round-trips) + english analyzer chain."""
+
+from __future__ import annotations
+
+import csv
+import io
+import json
+import xml.etree.ElementTree as ET
+
+import pyarrow as pa
+import pytest
+
+from lucene_solr_ray.sources.writers import to_csv_response, to_json_response, to_xml_response
+
+TBL = pa.table(
+    {
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "title": pa.array(['say "hi" <b>', "plain"]),
+        "score": pa.array([1.5, 0.25], type=pa.float64()),
+        "tags": pa.array([["a", "b"], []]),
+    }
+)
+
+
+class TestWriters:
+    def test_json_shape(self):
+        p = json.loads(to_json_response(TBL, num_found=10, start=2, qtime_ms=7))
+        assert p["responseHeader"] == {"status": 0, "QTime": 7}
+        assert p["response"]["numFound"] == 10 and p["response"]["start"] == 2
+        assert p["response"]["docs"][0]["doc_id"] == 1
+        assert p["response"]["docs"][0]["tags"] == ["a", "b"]
+
+    def test_xml_parses_and_types(self):
+        x = to_xml_response(TBL)
+        root = ET.fromstring(x)
+        result = root.find("result")
+        assert result.get("numFound") == "2"
+        doc = result.findall("doc")[0]
+        by_name = {e.get("name"): e for e in doc}
+        assert by_name["doc_id"].tag == "long" and by_name["doc_id"].text == "1"
+        assert by_name["score"].tag == "double"
+        assert by_name["title"].text == 'say "hi" <b>'  # escaped then unescaped
+        assert [e.text for e in by_name["tags"]] == ["a", "b"]
+
+    def test_csv_round_trip(self):
+        c = to_csv_response(TBL)
+        rows = list(csv.reader(io.StringIO(c)))
+        assert rows[0] == ["doc_id", "title", "score", "tags"]
+        assert rows[1][0] == "1" and rows[1][1] == 'say "hi" <b>'
+        assert rows[1][3] == "a|b" and rows[2][3] == ""
+
+
+class TestEnglishAnalyzer:
+    def test_query_analyzer_chain(self):
+        from lucene_solr_ray.stages.tokenize import query_analyzer
+
+        en = query_analyzer("english")
+        assert [t for t, _ in en("Running cafés")] == ["run", "cafe"]
+        # stopwords removed before stemming, positions keep gaps
+        assert [(t, p) for t, p in en("the runner is running")] == [("runner", 1), ("run", 3)]
+
+    def test_index_build_with_english_analyzer(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from lucene_solr_ray.index.build import build_index
+        from lucene_solr_ray.index.reader import LocalIndex
+        from lucene_solr_ray.query.ast import Evaluator
+        from lucene_solr_ray.query.parser import QueryParser
+
+        rows = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                "text": pa.array(
+                    ["running fast", "he runs daily", "unrelated words here"]
+                ),
+            }
+        )
+        src = str(tmp_path / "docs.parquet")
+        pq.write_table(rows, src)
+        ix = str(tmp_path / "ix")
+        build_index([src], ix, rows_per_partition=8, extract_html=False,
+                    dedup_url=False, analyzer="english", facet_fields=(), resume=False)
+        loc = LocalIndex(ix)
+        # "running" and "runs" both stem to "run": df(run) == 2
+        docs, tfs = loc.postings("text", "run")
+        assert docs.tolist() == [0, 1]
+        # parser with the same analyzer finds them from the surface form
+        ast = QueryParser(analyzer="english").parse("Running")
+        got, _ = Evaluator(loc).scored(ast)
+        assert got.tolist() == [0, 1]
