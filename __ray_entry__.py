@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_join_orders_customer": rl.hash_join_orders_customer,
         "block_join_orders": rl.block_join_orders,
         "function_query_part": rl.function_query_part,
+        "update_processors_docs": rl.update_processors_docs,
         "strdist_customers": rl.strdist_customers,
         "function_query_events_ms": rl.function_query_events_ms,
         "joindf_docs": rl.joindf_docs,
@@ -423,6 +424,11 @@ def oracle_sql() -> dict[str, str]:
                    abs(p_retailprice - 1000.0) AS abs_shift,
                    floor(p_retailprice / 100.0) AS floor_div
             FROM part ORDER BY p_partkey""",
+        "update_processors_docs": """
+            SELECT doc_id, substr(text, 1, 40) AS text,
+                   CAST(length(regexp_replace(substr(text, 1, 40), '[0-9]+', '#', 'g')) AS BIGINT) AS nd_len,
+                   lang || '|' || source AS lang_source
+            FROM documents ORDER BY doc_id""",
         "strdist_customers": """
             SELECT c_custkey, CAST(levenshtein(c_name, 'Customer#000000500') AS BIGINT) AS dist
             FROM customer ORDER BY c_custkey""",

@@ -218,6 +218,23 @@ def run_bench() -> dict:
     return result
 
 
+def _ceil_alu(n):
+    x = 1
+    for _i in range(n):
+        x = (x * 1103515245 + 12345) & 0xFFFFFFFF
+    return x
+
+
+def _ceil_bw(_):
+    import numpy as np
+
+    a = np.random.default_rng(0).random(20_000_000)
+    s = 0.0
+    for _i in range(6):
+        s += float((a * 1.0001).sum())
+    return s
+
+
 def _machine_ceilings() -> dict:
     """Microbenchmark ceilings of THIS VM (single shared memory bus): how an
     embarrassingly-parallel ALU-bound job and a numpy bandwidth-bound job
@@ -227,23 +244,8 @@ def _machine_ceilings() -> dict:
     """
     import multiprocessing as mp
 
-    import numpy as np
-
-    def alu(n):
-        x = 1
-        for i in range(n):
-            x = (x * 1103515245 + 12345) & 0xFFFFFFFF
-        return x
-
-    def bw(_):
-        a = np.random.default_rng(0).random(20_000_000)
-        s = 0.0
-        for _i in range(6):
-            s += float((a * 1.0001).sum())
-        return s
-
     out = {}
-    for name, fn, arg in [("alu", alu, 6_000_000), ("numpy_bw", bw, 0)]:
+    for name, fn, arg in [("alu", _ceil_alu, 6_000_000), ("numpy_bw", _ceil_bw, 0)]:
         per = {}
         for n in (8, 32):
             with mp.Pool(n) as pool:

@@ -84,6 +84,17 @@ def _register_builtins() -> None:
     register("stage", "content_hash", dedup.add_content_hash)
     register("stage", "simhash", dedup.simhash_batch)
     register("stage", "language_id", textstats.LanguageId)
+
+    from ..stages import processors as up
+
+    # field-mutating update processors (UpdateRequestProcessorFactory battery)
+    for pname in (
+        "trim_fields", "regex_replace", "truncate_field", "concat_fields",
+        "field_length", "parse_numeric", "parse_date", "clone_field",
+        "count_field_values", "first_field_value", "max_field_value",
+        "min_field_value", "remove_blank", "default_value", "content_uuid",
+    ):
+        register("stage", pname, getattr(up, pname))
     register("stage", "token_count", textstats.token_count_batch)
     register("stage", "quality_score", textstats.quality_score_batch)
     register("stage", "fingerprint", textstats.fingerprint_batch)
@@ -105,6 +116,12 @@ def _register_builtins() -> None:
         "div": pc.divide, "max": pc.max_element_wise, "min": pc.min_element_wise,
     }.items():
         register("scalar_fn", name, fn)
+
+    from . import valuesources as vs
+
+    register("scalar_fn", "strdist", vs.levenshtein_to)
+    register("scalar_fn", "ms", vs.ms_between)
+    register("scalar_fn", "geodist", vs.geodist_km)
 
 
 _register_builtins()

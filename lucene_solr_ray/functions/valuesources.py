@@ -64,6 +64,21 @@ def ms_between(ts_col, anchor_iso: str) -> pa.Array:
     return pa.array(np.floor_divide(us - epoch_us, 1000), type=pa.int64())
 
 
+def geodist_km(lat_col, lon_col, lat0: float, lon0: float) -> pa.Array:
+    """``geodist`` value source (`ValueSourceParser.java:304`,
+    `HaversineConstFunction`): great-circle distance in km from a fixed
+    point, vectorized haversine over numpy."""
+    lat = np.radians(np.asarray(lat_col, dtype=np.float64))
+    lon = np.radians(np.asarray(lon_col, dtype=np.float64))
+    la0 = np.radians(lat0)
+    lo0 = np.radians(lon0)
+    dlat = lat - la0
+    dlon = lon - lo0
+    a = np.sin(dlat / 2) ** 2 + np.cos(la0) * np.cos(lat) * np.sin(dlon / 2) ** 2
+    d = 2 * 6371.0087714 * np.arcsin(np.sqrt(a))  # GeoUtils.EARTH_MEAN_RADIUS
+    return pa.array(d, type=pa.float64())
+
+
 def joindf_lookup(values_to_df: dict):
     """``joindf(field, dict_field)``: per-doc docfreq of the doc's field
     value as a term elsewhere (`JoinDocFreqValueSource.java`).  The bounded

@@ -586,6 +586,37 @@ def function_query_part(sf_dir: str) -> pa.Table:
     )
 
 
+def update_processors_docs(sf_dir: str) -> pa.Table:
+    """UpdateRequestProcessorChain end-to-end: truncate + regex-replace +
+    field-length + concat + default-value composed through ingest_chain,
+    checked against the equivalent DuckDB expressions."""
+    from ..functions.registry import ingest_chain
+
+    ds = _docs(sf_dir, ["doc_id", "text", "lang", "source"])
+    out_ds = ingest_chain(
+        ds,
+        [
+            ("truncate_field", {"field": "text", "max_length": 40}),
+            ("regex_replace", {"field": "text", "pattern": "[0-9]+", "replacement": "#", "out": "no_digits"}),
+            ("field_length", {"field": "no_digits", "out": "nd_len"}),
+            ("concat_fields", {"fields": ("lang", "source"), "out": "lang_source", "sep": "|"}),
+        ],
+    )
+    out = (
+        out_ds.select_columns(["doc_id", "text", "nd_len", "lang_source"])
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    return pa.table(
+        {
+            "doc_id": out["doc_id"].astype("int64").tolist(),
+            "text": out["text"].tolist(),
+            "nd_len": out["nd_len"].astype("int64").tolist(),
+            "lang_source": out["lang_source"].tolist(),
+        }
+    )
+
+
 def strdist_customers(sf_dir: str) -> pa.Table:
     """strdist value source (`ValueSourceParser.java:359`): edit distance of
     every c_name to a fixed target, whole-column vectorized DP."""

@@ -190,6 +190,39 @@ def _edit_distance_le(a: str, b: str, k: int) -> bool:
     return prev[-1] <= k
 
 
+def _literal_prefix(q: "MultiTermQ") -> str:
+    """Longest literal prefix of a wildcard/regexp pattern (empty if none)."""
+    if q.kind == "wildcard":
+        out = []
+        for ch in q.arg:
+            if ch in "*?":
+                break
+            out.append(ch)
+        return "".join(out)
+    if q.kind == "regexp":
+        out = []
+        for ch in q.arg:
+            if not (ch.isalnum() and ch.isascii()) and ch != "_":
+                break
+            out.append(ch)
+        rest = q.arg[len(out):]
+        # a literal char followed by a quantifier is not a fixed prefix
+        if out and rest[:1] in ("*", "?", "{", "+"):
+            out.pop()
+            rest = q.arg[len(out):]
+        # a top-level alternation can bypass the prefix entirely
+        depth = 0
+        for ch in rest:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "|" and depth == 0:
+                return ""
+        return "".join(out)
+    return ""
+
+
 def expand_multiterm(q: "MultiTermQ", vocabulary) -> list[str]:
     """Dictionary expansion for MultiTermQ (shared by oracle and engine)."""
     import re as _re
@@ -287,6 +320,16 @@ class Evaluator:
                 # sorted-dictionary range scan (BlockTree prefix seek) — no
                 # full-vocabulary materialization
                 terms = self.src.prefix_terms(q.field, q.arg)
+            elif (
+                q.kind in ("wildcard", "regexp")
+                and hasattr(self.src, "prefix_terms")
+                and _literal_prefix(q)
+            ):
+                # bound the scan to the pattern's literal prefix range, then
+                # match the full pattern only within it (a cheap slice of the
+                # automaton intersection the reference performs)
+                cand = self.src.prefix_terms(q.field, _literal_prefix(q))
+                terms = expand_multiterm(q, cand)
             else:
                 terms = expand_multiterm(q, self.src.vocabulary(q.field))
             docs_parts = [self.src.postings(q.field, t)[0] for t in terms]

@@ -82,7 +82,17 @@ def tokenize_batch(
     Null/missing text → empty token list, dl=0 (norm byte 255 = inf norm,
     matching Java boost/sqrt(0)=inf — such docs match nothing).
     """
-    tok_iter = query_analyzer(analyzer)
+    lang_route = None
+    if analyzer == "by_lang":
+        # LanguageIdentifierUpdateProcessor's field-routing shape: each doc's
+        # lang column picks its chain (en -> english stemming chain, all
+        # others -> the Standard chain) — per-row dispatch, chains cached
+        lang_route = {"en": query_analyzer("english")}
+        default_iter = query_analyzer("standard")
+        langs = batch.column("lang").to_pylist()
+        tok_iter = None
+    else:
+        tok_iter = query_analyzer(analyzer)
 
     n_rows = batch.num_rows
     field_texts = {"text": batch.column("text").to_pylist()}
@@ -98,6 +108,8 @@ def tokenize_batch(
         for i, text in enumerate(texts):
             per: dict[str, list[int]] = {}
             n = 0
+            if lang_route is not None:
+                tok_iter = lang_route.get(langs[i], default_iter)
             if text:
                 for term, pos in tok_iter(text):
                     per.setdefault(field_term_key(f, term), []).append(pos)

@@ -59,6 +59,31 @@ class TestEnglishAnalyzer:
         # stopwords removed before stemming, positions keep gaps
         assert [(t, p) for t, p in en("the runner is running")] == [("runner", 1), ("run", 3)]
 
+    def test_lang_aware_routing(self, ray_session, tmp_path):
+        """analyzer='by_lang': en docs stem, others keep the standard chain."""
+        import pyarrow.parquet as pq
+
+        from lucene_solr_ray.index.build import build_index
+        from lucene_solr_ray.index.reader import LocalIndex
+
+        rows = pa.table(
+            {
+                "doc_id": pa.array([0, 1], type=pa.int64()),
+                "lang": pa.array(["en", "de"]),
+                "text": pa.array(["running water", "running wasser"]),
+            }
+        )
+        src = str(tmp_path / "d.parquet")
+        pq.write_table(rows, src)
+        ix = str(tmp_path / "ix")
+        build_index([src], ix, rows_per_partition=8, extract_html=False,
+                    dedup_url=False, analyzer="by_lang", facet_fields=("lang",),
+                    resume=False)
+        loc = LocalIndex(ix)
+        # en doc indexed the stem; de doc the surface form
+        assert loc.postings("text", "run")[0].tolist() == [0]
+        assert loc.postings("text", "running")[0].tolist() == [1]
+
     def test_index_build_with_english_analyzer(self, ray_session, tmp_path):
         import pyarrow.parquet as pq
 
