@@ -148,21 +148,49 @@ def _dedup_losers(input_paths, input_columns) -> set:
 
     from ..hashing import bucket_strings
 
+    # bucket count bounds per-reduce-group memory at scale; at test scale the
+    # cap keeps group count ~ cluster cores so shuffle latency stays flat
+    n_buckets = 512
+    if ray.is_initialized():
+        n_buckets = min(512, max(8, int(ray.cluster_resources().get("CPU", 8)) * 2))
+
     def add_bucket(t: pa.Table) -> pa.Table:
-        h = bucket_strings(t["url"], 512)
+        h = bucket_strings(t["url"], n_buckets)
         return t.append_column("ub", pa.array(h, type=pa.int64()))
 
     def losers(group: pa.Table) -> pa.Table:
-        # all rows whose url has a newer (warc_ts, doc_id) — vectorized pandas
-        df = group.select(["url", "warc_ts", "doc_id"]).to_pandas()
-        df = df.sort_values(["url", "warc_ts", "doc_id"])
-        lose = df.loc[df["url"].duplicated(keep="last"), "doc_id"]
-        return pa.table({"doc_id": pa.array(lose.tolist(), type=pa.int64())})
+        # all rows whose url has a newer (warc_ts, doc_id) — vectorized numpy
+        import numpy as _np
+
+        from ..hashing import hash_strings_u64
+
+        uh = hash_strings_u64(group["url"].combine_chunks()).astype(np.int64)
+        ts = np.asarray(pc.cast(group["warc_ts"], pa.int64()))
+        ids = np.asarray(group["doc_id"], dtype=np.int64)
+        order = _np.lexsort((ids, ts, uh))
+        u_s = uh[order]
+        last = _np.ones(len(u_s), dtype=bool)
+        last[:-1] = u_s[1:] != u_s[:-1]  # last row of each url run wins
+        lose = ids[order][~last]
+        # hash collisions between different urls are possible in theory:
+        # confirm losers share their url with the run winner via pandas only
+        # when a collision is detected in the bucket
+        if len(_np.unique(uh)) != pc.count_distinct(group["url"].combine_chunks()).as_py():
+            df = group.select(["url", "warc_ts", "doc_id"]).to_pandas()
+            df = df.sort_values(["url", "warc_ts", "doc_id"])
+            lose = df.loc[df["url"].duplicated(keep="last"), "doc_id"].to_numpy()
+        return pa.table({"doc_id": pa.array(np.sort(lose), type=pa.int64())})
 
     meta = _read_sized(input_paths, columns=["url", "warc_ts", "doc_id"])
-    out = meta.map_batches(add_bucket, batch_format="pyarrow").groupby("ub").map_groups(
-        losers, batch_format="pyarrow"
-    )
+    # small-table dispatch (Parquet row count is metadata-only): a skinny
+    # metadata table under ~120 MB collapses into one task — no shuffle;
+    # larger corpora run the bucketed exchange
+    if meta.count() <= 5_000_000:
+        out = meta.repartition(1).map_batches(losers, batch_format="pyarrow", batch_size=None)
+    else:
+        out = meta.map_batches(add_bucket, batch_format="pyarrow").groupby("ub").map_groups(
+            losers, batch_format="pyarrow"
+        )
     return {r["doc_id"] for r in out.take_all()}
 
 

@@ -177,7 +177,18 @@ def encode_cell(
         "bm_min_dl": bm_dl,
     }
     if positions is not None:
-        if positions:
+        if isinstance(positions, tuple):
+            # vectorized form: (flat positions in doc order, per-doc counts)
+            flat, counts = positions
+            flat = np.asarray(flat, dtype=np.uint64)
+            if len(flat):
+                pstart = np.concatenate(([0], np.cumsum(np.asarray(counts, dtype=np.int64))[:-1]))
+                deltas_all = flat.copy()
+                deltas_all[1:] -= flat[:-1]
+                deltas_all[pstart] = flat[pstart]
+            else:
+                deltas_all = np.empty(0, dtype=np.uint64)
+        elif positions:
             deltas_all = np.concatenate(
                 [
                     np.diff(np.asarray(p, dtype=np.uint64), prepend=np.uint64(0))
@@ -297,10 +308,11 @@ def encode_cells_columns(
         s, e = int(starts[ci]), int(ends[ci])
         poss = None
         if pos_vals is not None:
-            poss = [
-                pos_vals[pstart[di] : pstart[di] + int(tfs[di])].astype(np.int64)
-                for di in range(s, e)
-            ]
+            # flat position slice + per-doc counts (vectorized delta path)
+            poss = (
+                pos_vals[int(cell_p_start[ci]) : int(cell_p_end[ci])],
+                np.asarray(tfs[s:e], dtype=np.int64),
+            )
         patch[ci] = encode_cell(
             docs[s:e].astype(np.int64), np.asarray(tfs[s:e], dtype=np.int64), dls[s:e], poss
         )
@@ -310,23 +322,28 @@ def encode_cells_columns(
             freqs_col[ci] = row["freqs"]
             if pos_vals is not None:
                 pos_col[ci] = row["positions"]
-        # rebuild the list columns with per-cell block counts
-        def _patched(key, dtype, scalar_vals):
-            vals, offs = [], [0]
-            for ci in range(ncells):
-                v = patch[ci][key] if ci in patch else [scalar_vals[ci]]
-                vals.extend(v)
-                offs.append(offs[-1] + len(v))
-            return pa.ListArray.from_arrays(
-                pa.array(offs, type=pa.int32()), pa.array(vals, type=dtype)
-            )
+        # rebuild the list columns with per-cell block counts — vectorized:
+        # every tail cell contributes one scalar; only the (rare) head cells
+        # are written by a short loop over the patch dict
+        counts = np.ones(ncells, dtype=np.int64)
+        for ci, row in patch.items():
+            counts[ci] = len(row["skip_first_doc"])
+        offs = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
 
-        cols["skip_first_doc"] = _patched("skip_first_doc", pa.int64(), first_docs.tolist())
-        cols["skip_last_doc"] = _patched("skip_last_doc", pa.int64(), last_docs.tolist())
-        cols["skip_docs_off"] = _patched("skip_docs_off", pa.int64(), [0] * ncells)
-        cols["skip_freqs_off"] = _patched("skip_freqs_off", pa.int64(), [0] * ncells)
-        cols["bm_max_tf"] = _patched("bm_max_tf", pa.int64(), max_tfs.tolist())
-        cols["bm_min_dl"] = _patched("bm_min_dl", pa.float32(), min_dls.tolist())
+        def _patched(key, dtype, scalar_vals):
+            np_dtype = np.float32 if dtype == pa.float32() else np.int64
+            vals = np.zeros(int(offs[-1]), dtype=np_dtype)
+            vals[offs[:-1]] = scalar_vals
+            for ci, row in patch.items():
+                vals[offs[ci] : offs[ci] + counts[ci]] = row[key]
+            return pa.ListArray.from_arrays(pa.array(offs), pa.array(vals, type=dtype))
+
+        cols["skip_first_doc"] = _patched("skip_first_doc", pa.int64(), first_docs)
+        cols["skip_last_doc"] = _patched("skip_last_doc", pa.int64(), last_docs)
+        cols["skip_docs_off"] = _patched("skip_docs_off", pa.int64(), np.zeros(ncells, dtype=np.int64))
+        cols["skip_freqs_off"] = _patched("skip_freqs_off", pa.int64(), np.zeros(ncells, dtype=np.int64))
+        cols["bm_max_tf"] = _patched("bm_max_tf", pa.int64(), max_tfs)
+        cols["bm_min_dl"] = _patched("bm_min_dl", pa.float32(), min_dls)
 
     cols["docs"] = pa.array(docs_col, type=pa.binary())
     cols["freqs"] = pa.array(freqs_col, type=pa.binary())
