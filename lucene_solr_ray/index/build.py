@@ -604,12 +604,20 @@ def build_index(
             out = g.group_by("term").aggregate([("df", "sum"), ("ttf", "sum")])
             return out.rename_columns(["term", "df", "ttf"])
 
-        stats = (
-            _read_sized(postings_dir, columns=["term", "df", "ttf"])
-            .map_batches(add_term_bucket, batch_format="pyarrow")
-            .groupby("tb")
-            .map_groups(agg_bucket, batch_format="pyarrow")
-        )
+        cells = _read_sized(postings_dir, columns=["term", "df", "ttf"])
+        # small-table dispatch: per-partition vocab rows under ~10M collapse
+        # into one Arrow C++ hash-aggregate task (no shuffle); larger corpora
+        # run the int-bucketed exchange
+        if cells.count() <= 10_000_000:
+            stats = cells.repartition(1).map_batches(
+                agg_bucket, batch_format="pyarrow", batch_size=None
+            )
+        else:
+            stats = (
+                cells.map_batches(add_term_bucket, batch_format="pyarrow")
+                .groupby("tb")
+                .map_groups(agg_bucket, batch_format="pyarrow")
+            )
         stats.write_parquet(os.path.join(index_dir, "terms_global"), mode="overwrite")
         import glob as _glob2
 
