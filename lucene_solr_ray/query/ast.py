@@ -440,21 +440,32 @@ class Evaluator:
         if len(docs) == 0:
             return _EMPTY_I, _EMPTY_F
         freqs = np.zeros(len(docs), dtype=np.float64)
-        for j, doc in enumerate(docs.tolist()):
-            plists = []
+        if q.slop == 0:
+            # exact phrase, vectorized ACROSS candidate docs: tag each
+            # position with its doc index, shift term i's positions by -i,
+            # and intersect the (doc, shifted-pos) key sets of all terms in
+            # one pass per term — no per-doc Python loop
+            keys = None
+            shift = np.int64(1) << np.int64(33)
             for i, (d, _, pl) in enumerate(per_term):
-                pi = np.searchsorted(d, doc)
-                plists.append(np.asarray(pl[pi], dtype=np.int64))
-            if q.slop == 0:
-                # exact phrase: positions of term i, shifted by -i, intersected
-                base = None
-                for i, p in enumerate(plists):
-                    p = p - i
-                    base = p if base is None else np.intersect1d(base, p, assume_unique=True)
-                    if len(base) == 0:
-                        break
-                freqs[j] = float(len(base))
-            else:
+                idx = np.searchsorted(d, docs)
+                sel = [np.asarray(pl[j], dtype=np.int64) for j in idx.tolist()]
+                lens = np.array([len(x) for x in sel], dtype=np.int64)
+                flat = np.concatenate(sel) if sel else np.empty(0, dtype=np.int64)
+                doc_of = np.repeat(np.arange(len(docs), dtype=np.int64), lens)
+                k = doc_of * shift + (flat - i + 64)
+                keys = k if keys is None else np.intersect1d(keys, k, assume_unique=True)
+                if len(keys) == 0:
+                    break
+            if keys is not None and len(keys):
+                counts = np.bincount((keys // shift).astype(np.int64), minlength=len(docs))
+                freqs = counts.astype(np.float64)
+        else:
+            for j, doc in enumerate(docs.tolist()):
+                plists = []
+                for i, (d, _, pl) in enumerate(per_term):
+                    pi = np.searchsorted(d, doc)
+                    plists.append(np.asarray(pl[pi], dtype=np.int64))
                 freqs[j] = _sloppy_freq(plists, q.slop)
         hit = freqs > 0
         docs, freqs = docs[hit], freqs[hit]
