@@ -126,7 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "joindf_docs": rl.joindf_docs,
         # -- multimodal plumbing --
         "multimodal_decode": rl.multimodal_decode,
-        # -- suggest / spellcheck (added below if present) --
+        "multimodal_frames": rl.multimodal_frames,
     }
 
 

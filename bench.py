@@ -125,6 +125,9 @@ def run_bench() -> dict:
     )
     timings["build_pages"] = time.time() - t0
     extra["docs_per_sec"] = round(man["max_doc"] / timings["build_pages"], 1)
+    extra["build_stage_secs"] = {
+        s: round(info["secs"], 2) for s, info in man.get("lineage", {}).items()
+    }
 
     if os.environ.get("BENCH_ONLY_BUILD"):
         result = {

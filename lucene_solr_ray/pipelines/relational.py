@@ -686,6 +686,39 @@ def joindf_docs(sf_dir: str) -> pa.Table:
     )
 
 
+def multimodal_frames(sf_dir: str) -> pa.Table:
+    """Video frame-sampling plumbing (actor pool, flat_map shape: one row per
+    sampled frame) over synthetic payloads; fake codec, rows-only oracle."""
+    from ..stages.multimodal import FrameSampler
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        payloads = [
+            hashlib.blake2b((x or "").encode(), digest_size=32).digest() * 16
+            for x in t["text"].to_pylist()
+        ]
+        return pa.table({"item_id": t["doc_id"], "payload": pa.array(payloads, type=pa.binary())})
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(to_payload, batch_format="pyarrow")
+    out = (
+        ds.map_batches(
+            FrameSampler,
+            fn_constructor_kwargs={"fake": True, "every_n": 5, "max_frames": 3},
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=2,
+        )
+        .to_pandas()
+        .sort_values(["item_id", "frame_no"])
+    )
+    return pa.table(
+        {
+            "item_id": out["item_id"].astype("int64").tolist(),
+            "frame_no": out["frame_no"].astype("int64").tolist(),
+            "payload_len": pa.array([len(p) for p in out["payload"]], type=pa.int64()),
+        }
+    )
+
+
 def multimodal_decode(sf_dir: str) -> pa.Table:
     """Actor-pool binary-decode plumbing over synthetic payloads derived
     deterministically from documents (fake codec; rows-only oracle)."""
