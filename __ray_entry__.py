@@ -5,10 +5,14 @@ ray.init()/ray.shutdown().  Each ``queries()`` entry is an implemented
 operator/pipeline from SURVEY.md §2 (+ the training-data extensions); every
 SQL-expressible one has a matching DuckDB oracle with IDENTICAL column names
 and tokenization (the engine's "simple" analyzer == the oracle's
-``regexp_split_to_array(lower(text),'[^a-z0-9]+')``).  Non-SQL-expressible
-entries (BM25 float32 ranking, MinHash/SimHash, ANN, language-ID,
-fingerprints, multimodal decode) are rows-only here and verified against the
-pure-Python oracle in pytest instead.
+``regexp_split_to_array(lower(text),'[^a-z0-9]+')``).  Round 2 puts BM25
+ranking itself under the SQL gate: the ``*_simple`` BM25/edismax oracles
+recompute idf, the byte315 norm quantization (a static CASE step table over
+dl), and the engine's float32 rounding points with nested CAST(.. AS FLOAT),
+and must be rank-identical.  Non-SQL-expressible entries (standard-analyzer
+BM25, MinHash/SimHash, ANN, language-ID, fingerprints, HLL estimates,
+multimodal plumbing) are rows-only here and verified against pure-Python
+oracles in pytest instead.
 """
 
 from __future__ import annotations
