@@ -250,11 +250,12 @@ def _machine_ceilings() -> dict:
     out = {}
     for name, fn, arg in [("alu", _ceil_alu, 6_000_000), ("numpy_bw", _ceil_bw, 0)]:
         per = {}
-        for n in (8, 32):
+        for n in (2, 8, 32):
             with mp.Pool(n) as pool:
                 t0 = time.time()
                 pool.map(fn, [arg] * (n * 2))
                 per[n] = (n * 2) / (time.time() - t0)  # tasks/sec
+        out[f"ceiling_{name}_2_8"] = round((per[8] / per[2]) / 4.0, 3)
         out[f"ceiling_{name}_8_32"] = round((per[32] / per[8]) / 4.0, 3)
     return out
 
