@@ -55,6 +55,25 @@ def _wand_eligible(query):
     return None
 
 
+def _conjunction_eligible(query):
+    """-> list of terms when the query is a pure text-term conjunction
+    (BoolQ with only MUST TermQs, no boosts); else None."""
+    from ..query.ast import BoolQ, TermQ
+
+    if (
+        isinstance(query, BoolQ)
+        and query.must
+        and not query.should
+        and not query.must_not
+        and all(
+            isinstance(c, TermQ) and c.field == "text" and c.boost == 1.0
+            for c in query.must
+        )
+    ):
+        return [c.term for c in query.must]
+    return None
+
+
 class SegmentSearcher:
     """Owns a set of partitions; executes queries against each and combines.
 
@@ -144,6 +163,14 @@ class SegmentSearcher:
         complete hit set, so it forces the exhaustive path — same constraint
         as the reference's facet collection.
         """
+        and_terms = _conjunction_eligible(query)
+        if and_terms is not None and not facet_fields and after is None:
+            # block-skipping conjunction: exact top-k AND exact hit count
+            from .wand import conjunction_topk
+
+            topk, total = conjunction_topk(self.parts, self.stats, and_terms, k)
+            return {"topk": topk, "total_hits": total, "facets": {}, "partial": False}
+
         wand_terms = _wand_eligible(query)
         if wand_terms is not None and not facet_fields and after is None:
             from .wand import wand_topk

@@ -43,6 +43,78 @@ def _term_weights(stats, terms: list[str], field: str = "text"):
     return wvs, cache, float(avgdl)
 
 
+def conjunction_topk(
+    parts: list[IndexPartition],
+    stats,
+    terms: list[str],
+    k: int,
+    field: str = "text",
+) -> tuple[list[tuple[float, int]], int]:
+    """Exact top-k + exact hit count for AND(terms) with BLOCK SKIPPING:
+    the rarest term's postings drive; every other term decodes ONLY the
+    blocks whose [first_doc, last_doc] ranges contain surviving candidates
+    (the leapfrog of ``ConjunctionScorer`` + Lucene41 skip lists, expressed
+    as a per-term block gather).  Scores are float32-accumulated in the SAME
+    (local-df asc, stable) clause order as the evaluator, so results are
+    rank-identical to exhaustive evaluation."""
+    wvs, cache, _ = _term_weights(stats, terms, field)
+
+    cand_docs: list[np.ndarray] = []
+    cand_scores: list[np.ndarray] = []
+    total = 0
+    from ..stages.tokenize import field_term_key
+
+    for part in parts:
+        cells = [part.cell(field_term_key(field, t)) for t in terms]
+        if any(c is None for c in cells):
+            continue
+        order = sorted(range(len(terms)), key=lambda i: cells[i]["df"])  # cost asc
+        decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        from .postings import decode_block, decode_docs_freqs
+
+        ci0 = order[0]
+        d0, f0 = decode_docs_freqs(cells[ci0]["docs"], cells[ci0]["freqs"], cells[ci0]["df"])
+        decoded[ci0] = (d0, f0)
+        cand = d0
+        for ci in order[1:]:
+            if len(cand) == 0:
+                break
+            cell = cells[ci]
+            first = np.asarray(cell["skip_first_doc"], dtype=np.int64)
+            last = np.asarray(cell["skip_last_doc"], dtype=np.int64)
+            # blocks that could contain a candidate
+            bi = np.unique(np.searchsorted(last, cand, side="left"))
+            bi = bi[bi < len(first)]
+            pieces = [decode_block(cell, int(b)) for b in bi.tolist()]
+            if pieces:
+                dd = np.concatenate([p[0] for p in pieces])
+                ff = np.concatenate([p[1] for p in pieces])
+            else:
+                dd = np.empty(0, dtype=np.int64)
+                ff = np.empty(0, dtype=np.int64)
+            decoded[ci] = (dd, ff)
+            cand = cand[np.isin(cand, dd, assume_unique=True)]
+        if len(cand) == 0:
+            continue
+        total += len(cand)
+        acc = np.zeros(len(cand), dtype=np.float32)
+        nb = part.norm_bytes(field, cand)
+        for ci in order:  # float32 accumulation in evaluator cost order
+            dd, ff = decoded[ci]
+            idx = np.searchsorted(dd, cand)
+            s = bm25.term_scores(ff[idx], nb, cache, wvs[ci])
+            acc = (acc + s).astype(np.float32)
+        cand_docs.append(cand)
+        cand_scores.append(acc)
+
+    if not cand_docs:
+        return [], 0
+    docs = np.concatenate(cand_docs)
+    scores = np.concatenate(cand_scores)
+    order = np.lexsort((docs, -scores.astype(np.float64)))[:k]
+    return [(float(scores[i]), int(docs[i])) for i in order], total
+
+
 def wand_topk(
     parts: list[IndexPartition],
     stats,

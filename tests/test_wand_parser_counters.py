@@ -31,6 +31,30 @@ class TestWand:
         got = wand_topk(local_index.parts, local_index.stats, ["luko"], 500)
         assert got == oracle_index.search(TermQ("luko"), 500)
 
+    def test_conjunction_rank_identical(self, local_index, oracle_index):
+        from lucene_solr_ray.index.wand import conjunction_topk
+
+        for terms in [["luko", "kalo"], ["luko", "kalo", "zeph"],
+                      ["kibezimi", "luko"], ["luko", "doesnotexist"]]:
+            got, total = conjunction_topk(local_index.parts, local_index.stats, terms, 10)
+            ast = BoolQ(must=tuple(TermQ(t) for t in terms))
+            want = oracle_index.search(ast, 10)
+            assert got == want, terms
+            # exact hit count
+            assert total == len(oracle_index.search(ast, 10**9)), terms
+
+    def test_actor_conjunction_path(self, ray_session, pages_corpus, oracle_index):
+        from lucene_solr_ray.index.searcher import RayIndexSearcher
+
+        s = RayIndexSearcher(pages_corpus["index_dir"], num_actors=2)
+        try:
+            ast = BoolQ(must=(TermQ("luko"), TermQ("kalo")))
+            res = s.search(ast, k=10)
+            assert res["topk"] == oracle_index.search(ast, 10)
+            assert res["total_hits"] == len(oracle_index.search(ast, 10**9))
+        finally:
+            s.shutdown()
+
     def test_actor_path_uses_wand(self, ray_session, pages_corpus, oracle_index):
         from lucene_solr_ray.index.searcher import RayIndexSearcher
 
