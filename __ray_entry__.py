@@ -91,11 +91,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- faceting --
         "facet_lang_for_term": ft.facet_lang_for_term,
         "facet_source_all": ft.facet_source_all,
+        "facet_source_index_order": ft.facet_source_index_order,
         "facet_queries_counts": ft.facet_queries_counts,
         "function_query_index_stats": ft.function_query_index_stats,
         "facet_range_nchars": ft.facet_range_nchars,
         "pivot_lang_source": ft.pivot_lang_source,
         "stats_nchars_by_lang": ft.stats_nchars_by_lang,
+        "stats_full_nchars": ft.stats_full_nchars,
         # -- dedup / signatures --
         "dedup_exact_docs": rl.dedup_exact_docs,
         "signature_md5_docs": rl.signature_md5_docs,
@@ -315,6 +317,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(row_number() OVER (ORDER BY n DESC, source) - 1 AS BIGINT) AS rank, source, n
             FROM (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source)
             ORDER BY n DESC, source""",
+        "facet_source_index_order": """
+            SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents
+            GROUP BY source ORDER BY source""",
+        "stats_full_nchars": """
+            WITH s AS (SELECT CAST(count(*) AS BIGINT) cnt, CAST(sum(n_chars) AS BIGINT) sum_c,
+                              CAST(sum(n_chars * n_chars) AS BIGINT) sumsq_c
+                       FROM documents)
+            SELECT cnt, sum_c, sumsq_c,
+                   sqrt((CAST(sumsq_c AS DOUBLE) - CAST(sum_c AS DOUBLE) * CAST(sum_c AS DOUBLE) / cnt) / (cnt - 1)) AS stddev_c
+            FROM s""",
         "function_query_index_stats": f"""
             SELECT doc_id,
                    CAST(len(list_filter({_TOK}, t -> t = 'join')) AS BIGINT) AS termfreq_join,

@@ -402,6 +402,7 @@ class RayIndexSearcher:
         facet_offset: int = 0,
         facet_mincount: int = 0,
         facet_prefix: str | None = None,
+        facet_sort: str = "count",
         facet_overrequest: bool = False,
         after: tuple | None = None,
         time_allowed_ms: float | None = None,
@@ -461,7 +462,12 @@ class RayIndexSearcher:
                 for o, c in acc.items()
                 if c > 0 and (facet_prefix is None or vocab[o].startswith(facet_prefix))
             ]
-            pos.sort(key=lambda oc: (-oc[1], oc[0]))
+            # facet.sort: "count" = (count desc, ord asc); "index" = ord asc
+            # (`SimpleFacets.java` FacetParams.FACET_SORT_INDEX)
+            if facet_sort == "index":
+                pos.sort(key=lambda oc: oc[0])
+            else:
+                pos.sort(key=lambda oc: (-oc[1], oc[0]))
             if facet_mincount > 0:
                 items = [oc for oc in pos if oc[1] >= facet_mincount]
             else:

@@ -352,6 +352,40 @@ def shingle_top_bigrams(sf_dir: str) -> pa.Table:
     return _rank_table({"bigram": out["bigram"].tolist(), "n": out["n"].astype("int64").tolist()})
 
 
+def stats_full_nchars(sf_dir: str) -> pa.Table:
+    """StatsComponent full surface incl. sumOfSquares and stddev
+    (`StatsValuesFactory.java` NumericStatsValues: stddev =
+    sqrt((sumsq - sum^2/count)/(count-1))) — exact integer partials per
+    batch (combiner), one double formula at the end."""
+    import math
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["n_chars"], dtype=np.int64)
+        return pa.table(
+            {
+                "cnt": pa.array([len(v)], type=pa.int64()),
+                "sum_c": pa.array([int(v.sum())], type=pa.int64()),
+                "sumsq_c": pa.array([int((v * v).sum())], type=pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    cnt = sum(r["cnt"] for r in rows)
+    sum_c = sum(r["sum_c"] for r in rows)
+    sumsq_c = sum(r["sumsq_c"] for r in rows)
+    stddev = math.sqrt((sumsq_c - float(sum_c) * float(sum_c) / cnt) / (cnt - 1))
+    return pa.table(
+        {
+            "cnt": pa.array([cnt], type=pa.int64()),
+            "sum_c": pa.array([sum_c], type=pa.int64()),
+            "sumsq_c": pa.array([sumsq_c], type=pa.int64()),
+            "stddev_c": pa.array([stddev], type=pa.float64()),
+        }
+    )
+
+
 def suggest_prefix(sf_dir: str) -> pa.Table:
     """AnalyzingSuggester analog: top-10 completions per prefix, weighted by
     total term frequency — a sorted-dictionary range scan per prefix."""
@@ -431,6 +465,26 @@ def facet_source_all(sf_dir: str) -> pa.Table:
         vals = [v for v, _ in res["facets"]["source"]]
         cnts = [c for _, c in res["facets"]["source"]]
         return _rank_table({"source": vals, "n": cnts})
+    finally:
+        s.shutdown()
+
+
+def facet_source_index_order(sf_dir: str) -> pa.Table:
+    """facet.sort=index: match-all facet on source in dictionary order."""
+    ix = documents_index(sf_dir)
+    s = RayIndexSearcher(ix, num_actors=2)
+    try:
+        from ..query.ast import MatchAllQ
+
+        res = s.search(
+            MatchAllQ(), k=1, facet_fields=("source",), facet_limit=1000,
+            facet_mincount=1, facet_sort="index",
+        )
+        vals = [v for v, _ in res["facets"]["source"]]
+        cnts = [c for _, c in res["facets"]["source"]]
+        return pa.table(
+            {"source": pa.array(vals, type=pa.string()), "n": pa.array(cnts, type=pa.int64())}
+        )
     finally:
         s.shutdown()
 
