@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_clusters_docs": rl.minhash_clusters_docs,
         "simhash_pairs_docs": rl.simhash_pairs_docs,
         "ngram_jaccard_dups_docs": rl.ngram_jaccard_dups_docs,
+        "embedding_near_dup_docs": rl.embedding_near_dup_docs,
         # -- text stats --
         "token_counts_docs": rl.token_counts_docs,
         "quality_docs": rl.quality_docs,
@@ -114,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": rl.ann_ivf_topk,
         # -- events / relational --
         "events_hourly_counts": rl.events_hourly_counts,
+        "session_windows_events": rl.session_windows_events,
         "facet_range_events_datemath": rl.facet_range_events_datemath,
         "interval_facets_quantity": rl.interval_facets_quantity,
         "stats_facet_price_by_priority": rl.stats_facet_price_by_priority,
@@ -371,6 +373,18 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_counts": """
             SELECT event_type, date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS n
             FROM events GROUP BY event_type, hour ORDER BY event_type, hour""",
+        "session_windows_events": """
+            WITH e AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (SELECT user_id, ts,
+                         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+                  FROM e)
+            SELECT user_id, min(ts) AS session_start, CAST(count(*) AS BIGINT) AS n_events
+            FROM s GROUP BY user_id, session_id
+            ORDER BY user_id, session_start""",
         "facet_range_events_datemath": """
             WITH edges AS (
               SELECT unnest(generate_series(

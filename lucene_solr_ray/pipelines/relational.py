@@ -198,6 +198,53 @@ def ann_ivf_topk(sf_dir: str) -> pa.Table:
     )
 
 
+def embedding_near_dup_docs(sf_dir: str) -> pa.Table:
+    """Embedding-cosine near-dup pairs (random-hyperplane LSH candidates +
+    exact cosine verify; rows-only).  The synthetic embeddings table has no
+    natural near-dups (max pairwise cosine ~0.51), so 20 deterministic
+    perturbed copies are planted (ids 10_000_000+i duplicating vec i) — the
+    operator must recover exactly those plants."""
+    from ..stages.ann import embedding_near_dup_pairs
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["vec_id"], dtype=np.int64)
+        take = ids < 20
+        if not take.any():
+            return t
+        import pyarrow.compute as _pc
+
+        src = t.filter(pa.array(take))
+        rng = np.random.default_rng(99)
+        vecs = np.asarray(src["embedding"].to_pylist(), dtype=np.float32)
+        vecs = vecs + 0.01 * rng.standard_normal(vecs.shape).astype(np.float32)
+        base = t.select(["vec_id", "embedding"])
+        dup = pa.table(
+            {
+                "vec_id": pa.array(
+                    np.asarray(src["vec_id"], dtype=np.int64) + 10_000_000,
+                    type=base.schema.field("vec_id").type,
+                ),
+                "embedding": pa.array([v.tolist() for v in vecs]).cast(
+                    base.schema.field("embedding").type
+                ),
+            }
+        )
+        return pa.concat_tables([base, dup])
+
+    planted = emb.select_columns(["vec_id", "embedding"]).map_batches(plant, batch_format="pyarrow")
+    rows = embedding_near_dup_pairs(planted, threshold=0.95)
+    rows.sort(key=lambda r: (r["a"], r["b"]))
+    return pa.table(
+        {
+            "a": pa.array([r["a"] for r in rows], type=pa.int64()),
+            "b": pa.array([r["b"] for r in rows], type=pa.int64()),
+            "cosine": pa.array([round(r["cosine"], 4) for r in rows], type=pa.float64()),
+        }
+    )
+
+
 # ---- events (windowed aggregate) --------------------------------------------
 
 
@@ -220,6 +267,51 @@ def events_hourly_counts(sf_dir: str) -> pa.Table:
             "event_type": out["event_type"].tolist(),
             "hour": pa.array(out["hour"].tolist(), type=pa.timestamp("us")),
             "n": out["n"].astype("int64").tolist(),
+        }
+    )
+
+
+def session_windows_events(sf_dir: str) -> pa.Table:
+    """Session-window aggregate (the streaming-window family beyond tumbling
+    windows): per user, events within 30-minute gaps form one session.
+    One bucketed shuffle on user_id; sessionization is vectorized inside
+    each bucket (lexsort + gap boundaries + segmented reductions).
+    Output: one row per session (user_id, session_start, n_events)."""
+    from ..hashing import with_bucket
+
+    GAP_US = 30 * 60 * 1_000_000
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"])
+
+    def sessions(group: pa.Table) -> pa.Table:
+        uid = np.asarray(group["user_id"], dtype=np.int64)
+        ts = np.asarray(pc.cast(group["ts"], pa.int64()))
+        order = np.lexsort((ts, uid))
+        u_s, t_s = uid[order], ts[order]
+        new = np.ones(len(u_s), dtype=bool)
+        new[1:] = (u_s[1:] != u_s[:-1]) | (t_s[1:] - t_s[:-1] > GAP_US)
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(u_s)))
+        return pa.table(
+            {
+                "user_id": pa.array(u_s[starts], type=pa.int64()),
+                "session_start": pa.array(t_s[starts], type=pa.timestamp("us")),
+                "n_events": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(with_bucket("user_id", 32), batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(lambda g: sessions(g.drop_columns(["__b"])), batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["user_id", "session_start"])
+    )
+    return pa.table(
+        {
+            "user_id": out["user_id"].astype("int64").tolist(),
+            "session_start": pa.array(out["session_start"].tolist(), type=pa.timestamp("us")),
+            "n_events": out["n_events"].astype("int64").tolist(),
         }
     )
 

@@ -70,6 +70,104 @@ def brute_force_topk(ds, queries: np.ndarray, *, k: int = 10,
     return _merge_topk(parts, k, id_col)
 
 
+def embedding_signature_batch(batch: pa.Table, *, vec_col: str = "embedding",
+                              id_col: str = "vec_id", n_planes: int = 64,
+                              seed: int = 17) -> pa.Table:
+    """64-bit random-hyperplane signature per vector (sign of V @ R packed
+    to uint64; the SimHash-for-cosine of Charikar 2002).  The projection
+    matrix is derived deterministically from (seed, dim), so every batch and
+    every process agrees."""
+    m = _batch_matrix(batch, vec_col)
+    d = m.shape[1] if m.ndim == 2 else 0
+    rng = np.random.default_rng(seed * 100003 + d)
+    R = rng.standard_normal((d, n_planes)).astype(np.float32)
+    bits = (m @ R) > 0  # (n, 64)
+    packed = np.packbits(bits, axis=1, bitorder="little").view(np.uint64).ravel()
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "sig": pa.array(packed, type=pa.uint64()),
+        }
+    )
+
+
+def embedding_near_dup_pairs(ds, *, threshold: float = 0.9,
+                             vec_col: str = "embedding", id_col: str = "vec_id",
+                             bands: int = 8, slack_bits: int = 4,
+                             shuffle_buckets: int = 64):
+    """Embedding-cosine near-duplicate pairs: random-hyperplane LSH
+    candidates (banded signature buckets + popcount filter at the expected
+    Hamming radius for the cosine threshold), then EXACT cosine verification
+    through a bucketed pair-membership join — no O(n^2) scan, no driver
+    vector table.  Returns [(a, b, cosine)], a < b, cosine >= threshold.
+    LSH recall is probabilistic (tested >= 95% on planted near-dups);
+    precision is exact by construction."""
+    import ray.data as rd
+
+    from .dedup import near_dup_pairs_from_signatures
+    from .joins import broadcast_semi_join, hash_join
+
+    # expected differing bits for angle arccos(t): 64 * theta / pi, + slack
+    max_h = int(np.ceil(64 * np.arccos(threshold) / np.pi)) + slack_bits
+
+    sigs = ds.map_batches(
+        embedding_signature_batch, batch_format="pyarrow",
+        fn_kwargs={"vec_col": vec_col, "id_col": id_col},
+    )
+    cand = near_dup_pairs_from_signatures(
+        sigs, id_col=id_col, sig_col="sig", max_hamming=max_h, bands=bands,
+        shuffle_buckets=shuffle_buckets,
+    )
+    cand_rows = cand.take_all()
+    if not cand_rows:
+        return []
+    members = []
+    for pid, r in enumerate(cand_rows):
+        members.append({"pair_id": pid, id_col: int(r["a"]), "side": 0})
+        members.append({"pair_id": pid, id_col: int(r["b"]), "side": 1})
+    need = {m[id_col] for m in members}
+    vecs = broadcast_semi_join(ds.select_columns([id_col, vec_col]), need, id_col)
+    joined = hash_join(vecs, rd.from_items(members), id_col, id_col, buckets=shuffle_buckets)
+
+    def per_pair(group) -> pa.Table:
+        if len(group) == 0:
+            return pa.table({"pair_id": pa.array([], type=pa.int64()),
+                             "cosine": pa.array([], type=pa.float64())})
+        pid = group["pair_id"].to_numpy().astype(np.int64)
+        side = group["side"].to_numpy().astype(np.int64)
+        m = _normalize(np.asarray(list(group[vec_col]), dtype=np.float32))
+        order = np.lexsort((side, pid))
+        p, s2, mm = pid[order], side[order], m[order]
+        # rows come in (pair, side 0), (pair, side 1) adjacent pairs
+        first = np.ones(len(p), dtype=bool)
+        first[1:] = p[1:] != p[:-1]
+        starts = np.flatnonzero(first)
+        complete = np.diff(np.append(starts, len(p))) == 2
+        st = starts[complete]
+        cos = (mm[st] * mm[st + 1]).sum(axis=1).astype(np.float64)
+        return pa.table(
+            {
+                "pair_id": pa.array(p[st], type=pa.int64()),
+                "cosine": pa.array(cos, type=pa.float64()),
+            }
+        )
+
+    from ..hashing import with_bucket
+
+    stats = (
+        joined.map_batches(with_bucket("pair_id", shuffle_buckets), batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(per_pair, batch_format="pandas")
+    )
+    out = []
+    cos_by_pair = {r["pair_id"]: r["cosine"] for r in stats.take_all()}
+    for pid, r in enumerate(cand_rows):
+        c = cos_by_pair.get(pid)
+        if c is not None and c >= threshold:
+            out.append({"a": int(r["a"]), "b": int(r["b"]), "cosine": float(c)})
+    return out
+
+
 def kmeans_centroids(ds, *, n_clusters: int = 16, vec_col: str = "embedding",
                      sample_rows: int = 4096, iters: int = 10, seed: int = 42) -> np.ndarray:
     """Driver-side k-means on a bounded sample (deterministic)."""

@@ -408,11 +408,30 @@ def simhash_near_dup_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id"
     sigs = ds.map_batches(
         simhash_batch, batch_format="pyarrow", fn_kwargs={"text_col": text_col}
     ).select_columns([id_col, "simhash"])
+    return near_dup_pairs_from_signatures(
+        sigs, id_col=id_col, max_hamming=max_hamming, bands=bands,
+        shuffle_buckets=shuffle_buckets, bucket_cap=bucket_cap,
+        small_rows=small_rows,
+    )
+
+
+def near_dup_pairs_from_signatures(sigs, *, id_col: str = "doc_id",
+                                   sig_col: str = "simhash",
+                                   max_hamming: int = 3, bands: int = 4,
+                                   shuffle_buckets: int = 64,
+                                   bucket_cap: int = 4096,
+                                   small_rows: int = 8_000_000):
+    """Banded-LSH near-dup pairs over ANY 64-bit signature Dataset
+    (text SimHash or random-hyperplane embedding signatures): band-bucket
+    shuffle + recursive sub-banding + XOR/popcount matrices; pairs with
+    signature Hamming <= max_hamming, (a, b) deduped.  Completeness is
+    guaranteed only for max_hamming < bands (pigeonhole); larger values
+    trade recall for candidate volume (the standard LSH regime)."""
 
     width = 64 // bands
 
     def explode(t: pa.Table) -> pa.Table:
-        s = np.asarray(t["simhash"]).astype(np.uint64)
+        s = np.asarray(t[sig_col]).astype(np.uint64)
         ids = np.asarray(t[id_col], dtype=np.int64)
         n = len(ids)
         keys = np.empty((n, bands), dtype=np.int64)
@@ -425,7 +444,7 @@ def simhash_near_dup_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id"
                 id_col: pa.array(np.repeat(ids, bands), type=pa.int64()),
                 "band": pa.array(np.tile(np.arange(bands, dtype=np.int64), n), type=pa.int64()),
                 "key": pa.array(keys.ravel(), type=pa.int64()),
-                "simhash": pa.array(np.repeat(s, bands), type=pa.uint64()),
+                "sig": pa.array(np.repeat(s, bands), type=pa.uint64()),
             }
         )
 
@@ -433,7 +452,7 @@ def simhash_near_dup_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id"
         key = np.asarray(group["key"], dtype=np.int64)
         band = np.asarray(group["band"], dtype=np.int64)
         ids = np.asarray(group[id_col], dtype=np.int64)
-        s = np.asarray(group["simhash"]).astype(np.uint64)
+        s = np.asarray(group["sig"]).astype(np.uint64)
         order = np.lexsort((ids, key))
         k_s = key[order]
         bound = np.ones(len(k_s), dtype=bool)

@@ -297,6 +297,50 @@ class TestIVF:
         key = lambda rows: [(r["query_id"], r["rank"], r["vec_id"]) for r in rows]
         assert key(got) == key(want)
 
+    def test_embedding_near_dup_recall_precision(self, ray_session):
+        """Planted near-duplicate vectors: LSH+verify must find >=95% of the
+        true pairs (recall) and every emitted pair must truly pass the
+        threshold (exact precision)."""
+        import ray.data as rd
+
+        from lucene_solr_ray.stages.ann import _normalize, embedding_near_dup_pairs
+
+        rng = np.random.default_rng(5)
+        base = rng.normal(size=(60, 24)).astype(np.float32)
+        vecs, ids = [], []
+        for i, b in enumerate(base):
+            vecs.append(b)
+            ids.append(i)
+        # plant 25 near-duplicates (tiny perturbations)
+        for j in range(25):
+            src = j % len(base)
+            vecs.append((base[src] + 0.02 * rng.normal(size=24)).astype(np.float32))
+            ids.append(100 + j)
+        tbl = pa.table(
+            {"vec_id": pa.array(ids, type=pa.int64()),
+             "embedding": pa.array([v.tolist() for v in vecs])}
+        )
+        got = embedding_near_dup_pairs(
+            rd.from_arrow(tbl).repartition(3), threshold=0.95
+        )
+        got_pairs = {(r["a"], r["b"]) for r in got}
+        # brute-force truth
+        m = _normalize(np.asarray([v for v in vecs], dtype=np.float32))
+        sims = m @ m.T
+        truth = set()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if sims[i, j] >= 0.95:
+                    truth.add(tuple(sorted((ids[i], ids[j]))))
+        assert truth, "fixture must contain true near-dups"
+        recall = len(got_pairs & truth) / len(truth)
+        assert recall >= 0.95, (recall, len(truth))
+        # exact precision: every emitted cosine really is >= threshold
+        for r in got:
+            a, b = ids.index(r["a"]), ids.index(r["b"])
+            assert abs(sims[a, b] - r["cosine"]) < 1e-5
+            assert r["cosine"] >= 0.95
+
     def test_brute_tie_break_batch_independent(self, ray_session):
         import ray.data as rd
 
