@@ -107,6 +107,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_docs": rl.embedding_near_dup_docs,
         # -- text stats --
         "token_counts_docs": rl.token_counts_docs,
+        "bpe_token_counts_docs": rl.bpe_token_counts_docs,
+        "ord_rord_docs": rl.ord_rord_docs,
         "quality_docs": rl.quality_docs,
         "langid_docs": rl.langid_docs,
         "fingerprint_docs": rl.fingerprint_docs,
@@ -363,6 +365,18 @@ def oracle_sql() -> dict[str, str]:
         "token_counts_docs": f"""
             SELECT doc_id, CAST(len(list_filter({_TOK}, t -> t != '')) AS BIGINT) AS n_tokens
             FROM documents ORDER BY doc_id""",
+        "bpe_token_counts_docs": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                     '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+')) AS BIGINT) AS n_bpe_tokens
+            FROM documents ORDER BY doc_id""",
+        "ord_rord_docs": """
+            WITH d AS (SELECT lang AS v, CAST(dense_rank() OVER (ORDER BY lang) - 1 AS BIGINT) AS o
+                       FROM (SELECT DISTINCT lang FROM documents)),
+            nv AS (SELECT CAST(count(*) AS BIGINT) n FROM (SELECT DISTINCT lang FROM documents))
+            SELECT doc_id, d.o AS ord_lang, (nv.n - 1 - d.o) AS rord_lang
+            FROM documents JOIN d ON documents.lang = d.v, nv
+            ORDER BY doc_id""",
         "quality_docs": f"""
             SELECT doc_id,
                    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,

@@ -160,6 +160,52 @@ def fingerprint_docs(sf_dir: str) -> pa.Table:
     )
 
 
+def bpe_token_counts_docs(sf_dir: str) -> pa.Table:
+    """BPE-ish pre-tokenizer token counts (training-cost estimator)."""
+    from ..stages.textstats import bpe_token_count_batch
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(bpe_token_count_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_bpe_tokens"])
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    return pa.table(
+        {
+            "doc_id": out["doc_id"].astype("int64").tolist(),
+            "n_bpe_tokens": out["n_bpe_tokens"].astype("int64").tolist(),
+        }
+    )
+
+
+def ord_rord_docs(sf_dir: str) -> pa.Table:
+    """ord/rord value sources (`ValueSourceParser.java:97,129`): per doc,
+    the ordinal of its ``lang`` value in the sorted dictionary and the
+    reverse ordinal — served straight from the docmap ordinal column."""
+    from ..index.reader import GlobalStats, IndexPartition
+    from ..pipelines.fulltext import documents_index
+
+    ix = documents_index(sf_dir)
+    stats = GlobalStats(ix)
+    n_vals = len(stats.dicts["lang"])
+    rows = {"doc_id": [], "ord_lang": [], "rord_lang": []}
+    for p in stats.manifest["partitions"]:
+        part = IndexPartition(ix, p["partition_id"], stats)
+        ords = part.columns["lang_ord"].astype(np.int64)
+        rows["doc_id"].extend(part.doc_ids.tolist())
+        rows["ord_lang"].extend(ords.tolist())
+        rows["rord_lang"].extend((n_vals - 1 - ords).tolist())
+    order = np.argsort(np.asarray(rows["doc_id"]))
+    return pa.table(
+        {
+            "doc_id": pa.array(np.asarray(rows["doc_id"])[order], type=pa.int64()),
+            "ord_lang": pa.array(np.asarray(rows["ord_lang"])[order], type=pa.int64()),
+            "rord_lang": pa.array(np.asarray(rows["rord_lang"])[order], type=pa.int64()),
+        }
+    )
+
+
 # ---- ANN --------------------------------------------------------------------
 
 

@@ -85,6 +85,26 @@ def token_count_batch(batch: pa.Table, *, text_col: str = "text", out: str = "n_
     return batch.append_column(out, pa.array(counts, type=pa.int64()))
 
 
+BPE_PRETOKEN_RE = (
+    # GPT-2-style pre-tokenizer (Radford et al. 2019), RE2-compatible subset
+    # (no lookahead branches): contractions, optionally-space-prefixed
+    # letter / digit / punctuation runs; pure-whitespace runs are not tokens
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+"
+)
+
+
+def bpe_token_count_batch(batch: pa.Table, *, text_col: str = "text",
+                          out: str = "n_bpe_tokens") -> pa.Table:
+    """BPE-ish pre-tokenizer token count (the GPT-2 pattern family): a
+    training-data cost estimator — one vectorized RE2 count per batch."""
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    text = pc.fill_null(col, "")
+    n = pc.cast(pc.count_substring_regex(text, BPE_PRETOKEN_RE), pa.int64())
+    return batch.append_column(out, n)
+
+
 def quality_score_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
     """Quality heuristics: alpha ratio, stopword ratio, mean token length.
 
