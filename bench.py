@@ -145,10 +145,17 @@ def run_bench() -> dict:
         return result
 
     # ---------- query latency over the built index ----------
+    t0 = time.time()
     s = RayIndexSearcher(ix_pages, num_actors=max(2, NUM_CPUS // 4))
     try:
         qs = [query_to_ast(q) for q in make_query_set(60)]
         s.search(qs[0], k=10)  # actor warmup (loads partitions)
+        extra["searcher_load_sec"] = round(time.time() - t0, 3)
+        import ray as _ray
+
+        extra["actor_rss_mb"] = round(
+            max(_ray.get([a.memory_mb.remote() for a in s.actors])), 1
+        )
         lat = []
         t0 = time.time()
         for ast in qs:

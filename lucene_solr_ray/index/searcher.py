@@ -244,6 +244,17 @@ class SegmentSearcher:
             ords, counts = ords[sel], counts[sel]
         return ords, counts
 
+    def memory_mb(self) -> float:
+        """Resident set size of this searcher's process (telemetry)."""
+        try:
+            with open("/proc/self/statm") as f:
+                pages = int(f.read().split()[1])
+            import os as _os
+
+            return pages * _os.sysconf("SC_PAGE_SIZE") / (1 << 20)
+        except OSError:
+            return -1.0
+
     def fetch_fields(self, doc_ids: list[int], fields: list[str]) -> dict:
         """STAGE_GET_FIELDS: stored/doc-values fields for result ids owned by
         this actor (`QueryComponent.java:656-658` second round-trip)."""
