@@ -60,7 +60,11 @@ def _round_down(dt: datetime, unit: str) -> datetime:
 
 def _add(dt: datetime, n: int, unit: str) -> datetime:
     if unit == "YEAR":
-        return dt.replace(year=dt.year + n)
+        import calendar
+
+        # clamp like Calendar.add: Feb 29 + 1YEAR -> Feb 28
+        day = min(dt.day, calendar.monthrange(dt.year + n, dt.month)[1])
+        return dt.replace(year=dt.year + n, day=day)
     if unit == "MONTH":
         m = dt.month - 1 + n
         year = dt.year + m // 12
@@ -83,6 +87,8 @@ def _add(dt: datetime, n: int, unit: str) -> datetime:
 def parse_datemath(expr: str, now: datetime | None = None) -> datetime:
     """Evaluate a date-math expression to a timezone-naive UTC datetime."""
     expr = expr.strip()
+    if now is not None and now.tzinfo is not None:
+        now = now.astimezone(timezone.utc).replace(tzinfo=None)
     if expr.startswith("NOW"):
         if now is None:
             raise DateMathParseError("NOW requires an explicit anchor (pass now=)")
@@ -96,8 +102,6 @@ def parse_datemath(expr: str, now: datetime | None = None) -> datetime:
             "%Y-%m-%dT%H:%M:%S" if "T" in lit else "%Y-%m-%d"
         )
         anchor, rest = datetime.strptime(lit, fmt), expr[m.end():]
-    if now is not None and now.tzinfo is not None:
-        now = now.astimezone(timezone.utc).replace(tzinfo=None)
     dt = anchor
     pos = 0
     while pos < len(rest):

@@ -58,7 +58,8 @@ def ms_between(ts_col, anchor_iso: str) -> pa.Array:
 
     fmt = "%Y-%m-%dT%H:%M:%S" if "T" in anchor_iso else "%Y-%m-%d"
     anchor = datetime.strptime(anchor_iso.rstrip("Z"), fmt)
-    us = np.asarray(pc.cast(ts_col, pa.int64()))
+    # normalize the column's physical unit before the integer view
+    us = np.asarray(pc.cast(pc.cast(ts_col, pa.timestamp("us")), pa.int64()))
     epoch_us = int((anchor - datetime(1970, 1, 1)).total_seconds() * 1e6)
     # floor division: millisecond epochs round toward -inf (Date semantics)
     return pa.array(np.floor_divide(us - epoch_us, 1000), type=pa.int64())

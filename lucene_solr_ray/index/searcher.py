@@ -479,15 +479,29 @@ class RayIndexSearcher:
                 pos.sort(key=lambda oc: oc[0])
             else:
                 pos.sort(key=lambda oc: (-oc[1], oc[0]))
+            need = facet_offset + facet_limit
             if facet_mincount > 0:
                 items = [oc for oc in pos if oc[1] >= facet_mincount]
+            elif facet_sort == "index":
+                # mincount<=0 + index order: zero-count entries interleave in
+                # ordinal order, so walk the dictionary range and stop at
+                # offset+limit — O(limit + window), never O(dictionary)
+                counts = dict(pos)
+                lo, hi = (
+                    vocab.prefix_range(facet_prefix)
+                    if facet_prefix is not None
+                    else (0, len(vocab))
+                )
+                items = []
+                for o in range(lo, hi):
+                    items.append((o, counts.get(o, 0)))
+                    if len(items) >= need:
+                        break
             else:
-                # mincount<=0 returns zero-count dictionary entries too
-                # (DocValuesFacets counts the full ordinal space); zero-count
-                # ords sort after every positive one in ord order, so only the
-                # first offset+limit are ever materialized — O(nnz + limit),
-                # never O(dictionary) (the 640M-ordinal regime stays safe)
-                need = facet_offset + facet_limit
+                # mincount<=0 + count order: zero-count ords sort after every
+                # positive one in ord order, so only the first offset+limit
+                # are ever materialized — O(nnz + limit), never O(dictionary)
+                # (the 640M-ordinal regime stays safe)
                 items = pos
                 if len(items) < need:
                     have = {o for o, _ in pos}

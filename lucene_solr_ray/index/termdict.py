@@ -31,16 +31,12 @@ class SortedStrings:
     __slots__ = ("arr", "_off", "_data")
 
     def __init__(self, arr):
+        from ..hashing import _flat_bytes
+
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
         self.arr = arr
-        t = arr.type
-        odt = np.int64 if (pa.types.is_large_string(t) or pa.types.is_large_binary(t)) else np.int32
-        bufs = arr.buffers()
-        self._off = np.frombuffer(bufs[1], dtype=odt)[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
-        self._data = (
-            np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
-        )
+        self._data, self._off = _flat_bytes(arr)
 
     def __len__(self) -> int:
         return len(self.arr)

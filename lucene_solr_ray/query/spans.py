@@ -95,31 +95,44 @@ def _near_ordered(lists: list[list[tuple[int, int]]], slop: int) -> list[tuple[i
 
 
 def _near_unordered(lists: list[list[tuple[int, int]]], slop: int) -> list[tuple[int, int]]:
-    """Minimal-window sweep: repeatedly measure the window covering the
-    current earliest span of each clause, emit if it fits, advance the
-    earliest pointer."""
-    k = len(lists)
-    ptr = [0] * k
-    out = []
-    while True:
-        s_min, e_max, i_min = None, None, -1
-        lens = 0
-        for i in range(k):
-            s, e = lists[i][ptr[i]]
-            lens += e - s
-            if s_min is None or s < s_min:
-                s_min, i_min = s, i
-            if e_max is None or e > e_max:
-                e_max = e
-        width = e_max - s_min
-        if width - lens >= 0 and width - lens <= slop:
-            # reject overlapping picks (SpanNearQuery disallows overlap)
-            iv = sorted(lists[i][ptr[i]] for i in range(k))
-            if all(iv[j][1] <= iv[j + 1][0] for j in range(k - 1)):
-                out.append((s_min, e_max))
-        ptr[i_min] += 1
-        if ptr[i_min] == len(lists[i_min]):
-            return sorted(set(out))
+    """Exhaustive branch-and-bound: pick one span per clause (any order),
+    pairwise non-overlapping, window width minus total span length <= slop.
+    Clauses are searched smallest-list-first; a branch is pruned as soon as
+    the width the already-chosen spans force exceeds slop + the chosen+
+    minimum-remaining span lengths.  Exact — the earlier single-pointer
+    sweep missed matches when clause spans coincided or overlapped."""
+    order = sorted(range(len(lists)), key=lambda i: len(lists[i]))
+    ls = [sorted(lists[i]) for i in order]
+    max_len = [max(e - s for s, e in L) for L in ls]
+    out: set[tuple[int, int]] = set()
+
+    def overlaps(sp, chosen):
+        s, e = sp
+        return any(cs < e and ce > s for cs, ce in chosen)
+
+    def rec(ci, chosen, s_min, e_max, lens):
+        if ci == len(ls):
+            if (e_max - s_min) - lens <= slop:
+                out.add((s_min, e_max))
+            return
+        rem_max = sum(max_len[ci + 1 :])
+        for sp in ls[ci]:
+            s, e = sp
+            ns, ne = min(s_min, s), max(e_max, e)
+            # width cannot shrink; remaining spans contribute at most their
+            # max lengths — if even that best case misses, prune the branch
+            if (ne - ns) - (lens + (e - s) + rem_max) > slop:
+                continue
+            if overlaps(sp, chosen):
+                continue
+            chosen.append(sp)
+            rec(ci + 1, chosen, ns, ne, lens + (e - s))
+            chosen.pop()
+
+    first = ls[0]
+    for sp in first:
+        rec(1, [sp], sp[0], sp[1], sp[1] - sp[0])
+    return sorted(out)
 
 
 def _overlaps(span: tuple[int, int], excl: list[tuple[int, int]]) -> bool:

@@ -102,10 +102,8 @@ def embedding_near_dup_pairs(ds, *, threshold: float = 0.9,
     vector table.  Returns [(a, b, cosine)], a < b, cosine >= threshold.
     LSH recall is probabilistic (tested >= 95% on planted near-dups);
     precision is exact by construction."""
-    import ray.data as rd
-
-    from .dedup import near_dup_pairs_from_signatures
-    from .joins import broadcast_semi_join, hash_join
+    from .dedup import near_dup_pairs_from_signatures, pairwise_join_reduce
+    from .joins import broadcast_semi_join
 
     # expected differing bits for angle arccos(t): 64 * theta / pi, + slack
     max_h = int(np.ceil(64 * np.arccos(threshold) / np.pi)) + slack_bits
@@ -121,13 +119,8 @@ def embedding_near_dup_pairs(ds, *, threshold: float = 0.9,
     cand_rows = cand.take_all()
     if not cand_rows:
         return []
-    members = []
-    for pid, r in enumerate(cand_rows):
-        members.append({"pair_id": pid, id_col: int(r["a"]), "side": 0})
-        members.append({"pair_id": pid, id_col: int(r["b"]), "side": 1})
-    need = {m[id_col] for m in members}
+    need = {int(r["a"]) for r in cand_rows} | {int(r["b"]) for r in cand_rows}
     vecs = broadcast_semi_join(ds.select_columns([id_col, vec_col]), need, id_col)
-    joined = hash_join(vecs, rd.from_items(members), id_col, id_col, buckets=shuffle_buckets)
 
     def per_pair(group) -> pa.Table:
         if len(group) == 0:
@@ -152,15 +145,12 @@ def embedding_near_dup_pairs(ds, *, threshold: float = 0.9,
             }
         )
 
-    from ..hashing import with_bucket
-
-    stats = (
-        joined.map_batches(with_bucket("pair_id", shuffle_buckets), batch_format="pyarrow")
-        .groupby("__b")
-        .map_groups(per_pair, batch_format="pandas")
-    )
     out = []
-    cos_by_pair = {r["pair_id"]: r["cosine"] for r in stats.take_all()}
+    cos_by_pair = {
+        r["pair_id"]: r["cosine"]
+        for r in pairwise_join_reduce(vecs, cand_rows, id_col=id_col,
+                                      per_pair=per_pair, shuffle_buckets=shuffle_buckets)
+    }
     for pid, r in enumerate(cand_rows):
         c = cos_by_pair.get(pid)
         if c is not None and c >= threshold:

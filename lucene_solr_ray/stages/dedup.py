@@ -81,9 +81,11 @@ def minhash_signatures(texts, num_perm: int = 64, k: int = 5, seed: int = 1) -> 
     if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
         texts = pa.array(list(texts), type=pa.string())
     lower = pc.utf8_lower(pc.fill_null(texts, ""))
+    n = len(lower)
+    if n == 0:
+        return np.zeros((0, num_perm), dtype=np.uint64)
     flat, off = _flat_bytes(lower)
     h, doc_of = shingle_hashes_flat(flat, off, k)
-    n = len(off) - 1
     counts = np.bincount(doc_of, minlength=n)
     starts = _cumsum0(counts)  # every doc has >=1 shingle by construction
     a, b = _perm_params(num_perm, seed)
@@ -523,6 +525,39 @@ def near_dup_pairs_from_signatures(sigs, *, id_col: str = "doc_id",
     )
 
 
+# ---- pair-verification harness ----------------------------------------------
+
+
+def pairwise_join_reduce(payload_ds, pair_rows, *, id_col: str,
+                         per_pair, shuffle_buckets: int = 64) -> list[dict]:
+    """Co-locate each candidate pair's two payload row sets and reduce.
+
+    ``payload_ds``: any Dataset keyed by ``id_col`` (raw rows, gram rows,
+    vectors...).  Each pair (a, b) becomes two membership rows (pair_id, id,
+    side); a bucketed hash join replicates payloads per membership, a second
+    bucketed shuffle on pair_id co-locates each pair, and ``per_pair``
+    (pandas group -> pa.Table with a pair_id column) reduces it vectorized.
+    Only the pair list and the reduced rows ever reach the driver."""
+    import ray.data as rd
+
+    from .joins import hash_join
+
+    members = []
+    for pid, r in enumerate(pair_rows):
+        members.append({"pair_id": pid, id_col: int(r["a"]), "side": 0})
+        members.append({"pair_id": pid, id_col: int(r["b"]), "side": 1})
+    if not members:
+        return []
+    joined = hash_join(payload_ds, rd.from_items(members), id_col, id_col,
+                       buckets=shuffle_buckets)
+    stats = (
+        joined.map_batches(_with_bucket("pair_id", shuffle_buckets), batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(per_pair, batch_format="pandas")
+    )
+    return stats.take_all()
+
+
 # ---- n-gram jaccard ---------------------------------------------------------
 
 
@@ -583,18 +618,12 @@ def verify_pairs_jaccard(ds, pairs, *, text_col: str = "text", id_col: str = "do
     driver materialization is the pair list itself (LSH output, small by
     contract) and the verified output.
     """
-    import ray.data as rd
-
     from .joins import broadcast_semi_join
 
     pair_rows = pairs.take_all() if hasattr(pairs, "take_all") else list(pairs)
     if not pair_rows:
         return []
-    members = []
-    for pid, r in enumerate(pair_rows):
-        members.append({"pair_id": pid, id_col: int(r["a"]), "side": 0})
-        members.append({"pair_id": pid, id_col: int(r["b"]), "side": 1})
-    need = {m[id_col] for m in members}
+    need = {int(r["a"]) for r in pair_rows} | {int(r["b"]) for r in pair_rows}
 
     grams = broadcast_semi_join(
         ds.select_columns([id_col, text_col]), need, id_col
@@ -602,11 +631,6 @@ def verify_pairs_jaccard(ds, pairs, *, text_col: str = "text", id_col: str = "do
         _ngram_hashes_batch, batch_format="pyarrow",
         fn_kwargs={"text_col": text_col, "id_col": id_col, "n": n},
     )
-
-    from .joins import hash_join
-
-    mem_ds = rd.from_items(members)
-    joined = hash_join(grams, mem_ds, id_col, id_col, buckets=shuffle_buckets)
 
     def per_pair(group) -> pa.Table:
         pid = group["pair_id"].to_numpy().astype(np.int64)
@@ -646,15 +670,10 @@ def verify_pairs_jaccard(ds, pairs, *, text_col: str = "text", id_col: str = "do
             }
         )
 
-    # pair_id is the colocation key for the per-pair reduction
-    stats = (
-        joined.map_batches(_with_bucket("pair_id", shuffle_buckets), batch_format="pyarrow")
-        .groupby("__b")
-        .map_groups(per_pair, batch_format="pandas")
-    )
     out = []
     j_by_pair: dict[int, float] = {}
-    for r in stats.take_all():
+    for r in pairwise_join_reduce(grams, pair_rows, id_col=id_col,
+                                  per_pair=per_pair, shuffle_buckets=shuffle_buckets):
         j_by_pair[r["pair_id"]] = r["inter"] / r["union_"] if r["union_"] else 1.0
     for pid, r in enumerate(pair_rows):
         j = j_by_pair.get(pid)

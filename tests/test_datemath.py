@@ -34,6 +34,18 @@ class TestDateMath:
         assert parse_datemath("NOW/MONTH+1DAY-2HOURS", NOW) == datetime(2024, 3, 1, 22)
         assert parse_datemath("2023-12-15T10:30:00Z/MONTH+2DAYS") == datetime(2023, 12, 3)
 
+    def test_tz_aware_now_normalized_to_utc(self):
+        from datetime import timedelta, timezone
+
+        tz = timezone(timedelta(hours=5))
+        aware = datetime(2024, 1, 15, 3, 0, tzinfo=tz)  # = 2024-01-14T22:00Z
+        got = parse_datemath("NOW/DAY", aware)
+        assert got == datetime(2024, 1, 14) and got.tzinfo is None
+
+    def test_leap_day_year_arithmetic_clamps(self):
+        assert parse_datemath("2024-02-29T00:00:00Z+1YEAR") == datetime(2025, 2, 28)
+        assert parse_datemath("2024-02-29T00:00:00Z-1YEAR") == datetime(2023, 2, 28)
+
     def test_literal_anchor(self):
         assert parse_datemath("2024-06-01") == datetime(2024, 6, 1)
         assert parse_datemath("2024-06-01T12:30:45Z") == datetime(2024, 6, 1, 12, 30, 45)

@@ -135,6 +135,19 @@ class TestMinhash:
         want = sorted(set(_union_find_clusters(corpus).values()))
         assert kept_ids == want
 
+    def test_empty_batch_safe(self):
+        from lucene_solr_ray.stages.dedup import (
+            minhash_bands_batch,
+            minhash_signatures,
+            simhash_signatures,
+        )
+
+        empty = pa.array([], type=pa.string())
+        assert minhash_signatures(empty).shape == (0, 64)
+        assert len(simhash_signatures(empty)) == 0
+        t = pa.table({"doc_id": pa.array([], type=pa.int64()), "text": empty})
+        assert minhash_bands_batch(t).num_rows == 0
+
     def test_signature_batch_independence(self, corpus):
         from lucene_solr_ray.stages.dedup import minhash_signature, minhash_signatures
 

@@ -21,6 +21,40 @@ def test_facet_offset_and_prefix(ray_session, pages_corpus, oracle_index):
         s.shutdown()
 
 
+def test_facet_index_sort_with_mincount_zero(ray_session, pages_corpus, oracle_index):
+    """facet.sort=index + mincount=0: zero-count entries interleave in
+    dictionary order (regression: they were appended after positives)."""
+    from lucene_solr_ray.index.searcher import RayIndexSearcher
+
+    s = RayIndexSearcher(pages_corpus["index_dir"], num_actors=2)
+    try:
+        # pick a genuinely rare term (df<=2) so zero-count hosts must appear
+        from lucene_solr_ray.stages.tokenize import FIELD_SEP
+
+        rare = next(
+            t for t, pl in sorted(oracle_index._post.items())
+            if FIELD_SEP not in t and len(pl) <= 2
+        )
+        q = TermQ(rare)
+        vocab = s.stats.dicts["host"]
+        lim = min(len(vocab), 30)
+        res = s.search(q, facet_fields=("host",), facet_limit=lim,
+                       facet_mincount=0, facet_sort="index")
+        o_hits = [d for _, d in oracle_index.search(q, 10**9)]
+        # independent expectation: first `lim` dictionary values with exact
+        # counts over the hit set (0 when absent)
+        from collections import Counter
+
+        host_of = {r["doc_id"]: r["host"] for r in oracle_index.rows}
+        counts = Counter(host_of[d] for d in o_hits)
+        want = [(vocab[o], counts.get(vocab[o], 0)) for o in range(lim)]
+        assert res["facets"]["host"] == want
+        # sanity: at least one zero-count entry is interleaved
+        assert any(c == 0 for _, c in want)
+    finally:
+        s.shutdown()
+
+
 def test_facet_heuristic_full_stride_equals_exact(ray_session, pages_corpus, oracle_index):
     from lucene_solr_ray.index.searcher import RayIndexSearcher
 

@@ -145,6 +145,46 @@ class TestSpans:
         want = sorted(d for d, pm in doc_positions.items() if ref(pm))
         assert got == want
 
+    def test_unordered_matches_bruteforce_spans(self):
+        """_near_unordered vs exhaustive combination search, including
+        coinciding spans, overlapping spans, and variable widths (the
+        single-pointer sweep used to miss these)."""
+        import itertools
+        import random
+
+        from lucene_solr_ray.query.spans import _near_unordered
+
+        rnd = random.Random(13)
+        for _trial in range(300):
+            k = rnd.randint(1, 3)
+            lists = []
+            for _ in range(k):
+                m = rnd.randint(1, 4)
+                spans = []
+                for _ in range(m):
+                    s = rnd.randint(0, 12)
+                    spans.append((s, s + rnd.randint(1, 3)))
+                lists.append(sorted(set(spans)))
+            slop = rnd.randint(0, 4)
+            got = set(_near_unordered(lists, slop))
+            want = set()
+            for combo in itertools.product(*lists):
+                ivs = sorted(combo)
+                if any(ivs[j][1] > ivs[j + 1][0] for j in range(len(ivs) - 1)):
+                    continue
+                s_min = min(s for s, _ in combo)
+                e_max = max(e for _, e in combo)
+                lens = sum(e - s for s, e in combo)
+                if (e_max - s_min) - lens <= slop:
+                    want.add((s_min, e_max))
+            assert got == want, (lists, slop, got, want)
+
+    def test_unordered_regression_coinciding_spans(self):
+        from lucene_solr_ray.query.spans import _near_unordered
+
+        # the exact counterexample the sweep missed
+        assert _near_unordered([[(5, 6)], [(5, 6), (7, 8)]], 1) == [(5, 8)]
+
     def test_span_constant_score(self, local_index):
         ev = Evaluator(local_index)
         docs, scores = ev.scored(SpanNearQ((SpanTermQ("luko"), SpanTermQ("kalo")), slop=8))

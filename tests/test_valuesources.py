@@ -24,6 +24,17 @@ def test_ms_floor_semantics():
     assert out == [0, -1]
 
 
+def test_ms_unit_independent():
+    """ms/s/us physical units must give identical results."""
+    import datetime
+
+    inst = [datetime.datetime(2024, 1, 16), datetime.datetime(2024, 1, 14, 12)]
+    want = ms_between(pa.array(inst, type=pa.timestamp("us")), "2024-01-15T00:00:00Z").to_pylist()
+    for unit in ("ms", "s", "ns"):
+        got = ms_between(pa.array(inst, type=pa.timestamp(unit)), "2024-01-15T00:00:00Z").to_pylist()
+        assert got == want, unit
+
+
 def test_geodist_known_points():
     # Paris (48.8566, 2.3522) -> London (51.5074, -0.1278) ~ 343.5 km
     d = geodist_km(pa.array([51.5074]), pa.array([-0.1278]), 48.8566, 2.3522)
