@@ -58,11 +58,19 @@ def ms_between(ts_col, anchor_iso: str) -> pa.Array:
 
     fmt = "%Y-%m-%dT%H:%M:%S" if "T" in anchor_iso else "%Y-%m-%d"
     anchor = datetime.strptime(anchor_iso.rstrip("Z"), fmt)
-    # normalize the column's physical unit before the integer view
-    us = np.asarray(pc.cast(pc.cast(ts_col, pa.timestamp("us")), pa.int64()))
-    epoch_us = int((anchor - datetime(1970, 1, 1)).total_seconds() * 1e6)
-    # floor division: millisecond epochs round toward -inf (Date semantics)
-    return pa.array(np.floor_divide(us - epoch_us, 1000), type=pa.int64())
+    if isinstance(ts_col, pa.ChunkedArray):
+        ts_col = ts_col.combine_chunks()
+    # work in the column's NATIVE unit (an Arrow cast ns->us would refuse to
+    # truncate sub-microsecond values); floor-divide to ms at the end so
+    # every unit agrees (millisecond epochs round toward -inf, Date semantics)
+    unit = ts_col.type.unit
+    native = np.asarray(pc.cast(ts_col, pa.int64()))
+    anchor_s = (anchor - datetime(1970, 1, 1)).total_seconds()
+    per_ms = {"s": None, "ms": 1, "us": 1000, "ns": 1_000_000}[unit]
+    if unit == "s":
+        return pa.array((native - int(anchor_s)) * 1000, type=pa.int64())
+    anchor_native = int(round(anchor_s * 1000)) * (per_ms)
+    return pa.array(np.floor_divide(native - anchor_native, per_ms), type=pa.int64())
 
 
 def geodist_km(lat_col, lon_col, lat0: float, lon0: float) -> pa.Array:

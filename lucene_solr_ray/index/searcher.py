@@ -475,12 +475,12 @@ class RayIndexSearcher:
             ]
             # facet.sort: "count" = (count desc, ord asc); "index" = ord asc
             # (`SimpleFacets.java` FacetParams.FACET_SORT_INDEX)
-            if facet_sort == "index":
-                pos.sort(key=lambda oc: oc[0])
-            else:
-                pos.sort(key=lambda oc: (-oc[1], oc[0]))
             need = facet_offset + facet_limit
             if facet_mincount > 0:
+                if facet_sort == "index":
+                    pos.sort(key=lambda oc: oc[0])
+                else:
+                    pos.sort(key=lambda oc: (-oc[1], oc[0]))
                 items = [oc for oc in pos if oc[1] >= facet_mincount]
             elif facet_sort == "index":
                 # mincount<=0 + index order: zero-count entries interleave in
@@ -502,6 +502,7 @@ class RayIndexSearcher:
                 # positive one in ord order, so only the first offset+limit
                 # are ever materialized — O(nnz + limit), never O(dictionary)
                 # (the 640M-ordinal regime stays safe)
+                pos.sort(key=lambda oc: (-oc[1], oc[0]))
                 items = pos
                 if len(items) < need:
                     have = {o for o, _ in pos}

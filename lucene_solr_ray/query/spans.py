@@ -110,14 +110,23 @@ def _near_unordered(lists: list[list[tuple[int, int]]], slop: int) -> list[tuple
         s, e = sp
         return any(cs < e and ce > s for cs, ce in chosen)
 
+    starts_of = [[s for s, _ in L] for L in ls]
+
     def rec(ci, chosen, s_min, e_max, lens):
         if ci == len(ls):
             if (e_max - s_min) - lens <= slop:
                 out.add((s_min, e_max))
             return
         rem_max = sum(max_len[ci + 1 :])
-        for sp in ls[ci]:
+        # only spans inside the feasible window can complete this branch:
+        # width <= budget forces start >= e_max - budget (bisect) and the
+        # sorted order lets us BREAK once start > s_min + budget
+        budget = slop + lens + max_len[ci] + rem_max
+        lo = bisect_left(starts_of[ci], e_max - budget)
+        for sp in ls[ci][lo:]:
             s, e = sp
+            if s - s_min > budget:
+                break
             ns, ne = min(s_min, s), max(e_max, e)
             # width cannot shrink; remaining spans contribute at most their
             # max lengths — if even that best case misses, prune the branch

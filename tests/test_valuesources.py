@@ -35,6 +35,14 @@ def test_ms_unit_independent():
         assert got == want, unit
 
 
+def test_ms_ns_submicrosecond_truncates():
+    """ns values that aren't whole microseconds must truncate, not raise."""
+    base = 1_705_276_800_000_000_000  # 2024-01-15T00:00:00Z in ns
+    arr = pa.array([base + 1, base + 999_999_999], type=pa.timestamp("ns"))
+    out = ms_between(arr, "2024-01-15T00:00:00Z").to_pylist()
+    assert out == [0, 999]
+
+
 def test_geodist_known_points():
     # Paris (48.8566, 2.3522) -> London (51.5074, -0.1278) ~ 343.5 km
     d = geodist_km(pa.array([51.5074]), pa.array([-0.1278]), 48.8566, 2.3522)
