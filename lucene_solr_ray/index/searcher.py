@@ -56,22 +56,25 @@ def _wand_eligible(query):
 
 
 def _conjunction_eligible(query):
-    """-> list of terms when the query is a pure text-term conjunction
-    (BoolQ with only MUST TermQs, no boosts); else None."""
-    from ..query.ast import BoolQ, TermQ
+    """-> (terms, filters) when the query is a conjunction of text TermQs
+    (no boosts) plus optional FilterQ/RangeQ clauses; else None.  At least
+    one scoring term is required (pure-filter queries keep the general
+    path's constant-score semantics)."""
+    from ..query.ast import BoolQ, FilterQ, RangeQ, TermQ
 
-    if (
-        isinstance(query, BoolQ)
-        and query.must
-        and not query.should
-        and not query.must_not
-        and all(
-            isinstance(c, TermQ) and c.field == "text" and c.boost == 1.0
-            for c in query.must
-        )
-    ):
-        return [c.term for c in query.must]
-    return None
+    if not isinstance(query, BoolQ) or not query.must or query.should or query.must_not:
+        return None
+    terms, filters = [], []
+    for c in query.must:
+        if isinstance(c, TermQ) and c.field == "text" and c.boost == 1.0:
+            terms.append(c.term)
+        elif isinstance(c, (FilterQ, RangeQ)):
+            filters.append(c)
+        else:
+            return None
+    if not terms:
+        return None
+    return terms, filters
 
 
 class SegmentSearcher:
@@ -163,12 +166,15 @@ class SegmentSearcher:
         complete hit set, so it forces the exhaustive path — same constraint
         as the reference's facet collection.
         """
-        and_terms = _conjunction_eligible(query)
-        if and_terms is not None and not facet_fields and after is None:
+        conj = _conjunction_eligible(query)
+        if conj is not None and not facet_fields and after is None:
             # block-skipping conjunction: exact top-k AND exact hit count
             from .wand import conjunction_topk
 
-            topk, total = conjunction_topk(self.parts, self.stats, and_terms, k)
+            and_terms, and_filters = conj
+            topk, total = conjunction_topk(
+                self.parts, self.stats, and_terms, k, filters=and_filters
+            )
             return {"topk": topk, "total_hits": total, "facets": {}, "partial": False}
 
         wand_terms = _wand_eligible(query)

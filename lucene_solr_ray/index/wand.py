@@ -49,6 +49,7 @@ def conjunction_topk(
     terms: list[str],
     k: int,
     field: str = "text",
+    filters: list | None = None,
 ) -> tuple[list[tuple[float, int]], int]:
     """Exact top-k + exact hit count for AND(terms) with BLOCK SKIPPING:
     the rarest term's postings drive; every other term decodes ONLY the
@@ -68,6 +69,17 @@ def conjunction_topk(
         cells = [part.cell(field_term_key(field, t)) for t in terms]
         if any(c is None for c in cells):
             continue
+        # filter clauses (fq semantics) restrict candidates up front but
+        # contribute no score — cheap doc-values masks before any decode
+        fdocs = None
+        if filters:
+            for f in filters:
+                fd = part.filter_docs(f)
+                fdocs = fd if fdocs is None else np.intersect1d(fdocs, fd, assume_unique=True)
+                if len(fdocs) == 0:
+                    break
+            if fdocs is not None and len(fdocs) == 0:
+                continue
         order = sorted(range(len(terms)), key=lambda i: cells[i]["df"])  # cost asc
         decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         from .postings import decode_block, decode_docs_freqs
@@ -75,7 +87,7 @@ def conjunction_topk(
         ci0 = order[0]
         d0, f0 = decode_docs_freqs(cells[ci0]["docs"], cells[ci0]["freqs"], cells[ci0]["df"])
         decoded[ci0] = (d0, f0)
-        cand = d0
+        cand = d0 if fdocs is None else d0[np.isin(d0, fdocs, assume_unique=True)]
         for ci in order[1:]:
             if len(cand) == 0:
                 break

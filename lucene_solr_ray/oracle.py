@@ -84,8 +84,10 @@ class OracleIndex(TermSource):
                 if (isinstance(v, list) and q.value in v) or v == q.value:
                     out.append(r["doc_id"])
         elif isinstance(q, RangeQ):
-            for r in self.rows:
-                v = r.get(q.field)
+            for i, r in enumerate(self.rows):
+                # dl is an index-time statistic: serve it from the oracle's
+                # own analysis pass, like the engine serves it from docmap
+                v = int(self.dls[i]) if q.field == "dl" else r.get(q.field)
                 if v is None:
                     continue
                 if q.lo is not None and (v < q.lo or (v == q.lo and not q.include_lo)):

@@ -48,10 +48,18 @@ class TestWand:
 
         s = RayIndexSearcher(pages_corpus["index_dir"], num_actors=2)
         try:
-            ast = BoolQ(must=(TermQ("luko"), TermQ("kalo")))
-            res = s.search(ast, k=10)
-            assert res["topk"] == oracle_index.search(ast, 10)
-            assert res["total_hits"] == len(oracle_index.search(ast, 10**9))
+            for ast in [
+                BoolQ(must=(TermQ("luko"), TermQ("kalo"))),
+                # mixed term + keyword filter (fq semantics, no score)
+                BoolQ(must=(TermQ("luko"), FilterQ("tld", "com"))),
+                # term + range filter + second term
+                BoolQ(must=(TermQ("luko"), TermQ("kalo"), RangeQ("dl", 5, None))),
+                # filter eliminating everything
+                BoolQ(must=(TermQ("luko"), FilterQ("tld", "nosuchtld"))),
+            ]:
+                res = s.search(ast, k=10)
+                assert res["topk"] == oracle_index.search(ast, 10), ast
+                assert res["total_hits"] == len(oracle_index.search(ast, 10**9)), ast
         finally:
             s.shutdown()
 
