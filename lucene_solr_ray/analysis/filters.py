@@ -175,6 +175,75 @@ def porter_stem(word: str) -> str:
     return w
 
 
+# ---- light stemmers (Savoy 1999 / Jacques Savoy's CLEF family, the
+# algorithms behind `analysis/de/GermanLightStemmer.java`,
+# `fr/FrenchLightStemmer.java` light variants, `es/SpanishLightStemmer.java`) --
+
+
+def german_light_stem(word: str) -> str:
+    """Plural/case suffix stripping for German (light variant): normalize
+    umlauts/ß, then iteratively strip e/s/n/t/em/er/nd endings."""
+    w = word
+    for a, b in (("ä", "a"), ("ö", "o"), ("ü", "u"), ("ß", "ss")):
+        w = w.replace(a, b)
+    while len(w) > 3:
+        if len(w) > 5 and (w.endswith("em") or w.endswith("er") or w.endswith("nd")):
+            w = w[:-2]
+        elif w[-1] in ("e", "s", "n", "t"):
+            w = w[:-1]
+        else:
+            break
+    return w
+
+
+def french_light_stem(word: str) -> str:
+    """Light French stemmer: strip plural and frequent derivational endings
+    (aux/eaux -> al/eau, x after i/ou, s, final doubled letters, é/e)."""
+    w = word
+    if len(w) > 4 and w.endswith("aux") and not w.endswith("eaux"):
+        return w[:-2] + "l"
+    if len(w) > 4 and w.endswith("x"):
+        if w.endswith("ux") and len(w) > 5 and w[-3] in "ae":
+            w = w[:-1]
+        else:
+            w = w[:-1]
+    if len(w) > 4 and w.endswith("s"):
+        w = w[:-1]
+    if len(w) > 8 and w.endswith("issement"):
+        return w[:-6] + "r"
+    if len(w) > 5 and w.endswith("ement"):
+        w = w[:-4]
+    if len(w) > 4 and w[-1] in "éeè":
+        w = w[:-1]
+    if len(w) > 3 and w[-1] == w[-2]:
+        w = w[:-1]
+    return w
+
+
+def spanish_light_stem(word: str) -> str:
+    """Light Spanish stemmer: de-accent, strip plural -es/-s, gendered and
+    diminutive-free noun/adjective endings (o/a/os/as)."""
+    w = word
+    for a, b in (("á", "a"), ("é", "e"), ("í", "i"), ("ó", "o"), ("ú", "u")):
+        w = w.replace(a, b)
+    if len(w) < 5:
+        return w
+    if w.endswith("es") and len(w) > 5 and w[-3] in "rndlcz":
+        return w[:-2]
+    for suf in ("os", "as", "o", "a", "e"):
+        if w.endswith(suf) and len(w) - len(suf) >= 3:
+            return w[: -len(suf)]
+    return w
+
+
+LIGHT_STEMMERS = {
+    "de": german_light_stem,
+    "fr": french_light_stem,
+    "es": spanish_light_stem,
+    "en": porter_stem,
+}
+
+
 # ---- structural filters -----------------------------------------------------
 
 

@@ -57,6 +57,21 @@ def query_analyzer(analyzer: str):
                 yield porter_stem(ascii_fold(term)), pos
 
         return en
+    if analyzer.startswith("light_"):
+        # light-stemmer chains for the Savoy family: light_de / light_fr /
+        # light_es (standard chain + per-language light stemming)
+        from ..analysis.filters import LIGHT_STEMMERS
+
+        lang = analyzer[len("light_"):]
+        stem = LIGHT_STEMMERS.get(lang)
+        if stem is None:
+            raise ValueError(analyzer)
+
+        def chain(text):
+            for term, pos in analyze(text):
+                yield stem(term), pos
+
+        return chain
     raise ValueError(analyzer)
 
 
@@ -85,9 +100,14 @@ def tokenize_batch(
     lang_route = None
     if analyzer == "by_lang":
         # LanguageIdentifierUpdateProcessor's field-routing shape: each doc's
-        # lang column picks its chain (en -> english stemming chain, all
-        # others -> the Standard chain) — per-row dispatch, chains cached
-        lang_route = {"en": query_analyzer("english")}
+        # lang column picks its chain (en -> Porter, de/fr/es -> the Savoy
+        # light stemmers, others -> the Standard chain) — per-row dispatch
+        lang_route = {
+            "en": query_analyzer("english"),
+            "de": query_analyzer("light_de"),
+            "fr": query_analyzer("light_fr"),
+            "es": query_analyzer("light_es"),
+        }
         default_iter = query_analyzer("standard")
         langs = batch.column("lang").to_pylist()
         tok_iter = None

@@ -78,6 +78,64 @@ class TestFolding:
         assert ascii_fold("日本") == "日本"  # not foldable -> unchanged
 
 
+class TestLightStemmers:
+    def test_german(self):
+        from lucene_solr_ray.analysis.filters import german_light_stem as g
+
+        # plural/case endings collapse; umlauts normalize
+        assert g("häuser") == g("hauses") == g("haus")
+        assert g("katzen") == g("katze")
+        assert g("straße") == g("strassen")  # ß folds, plural strips
+        assert g("buch") == "buch"
+
+    def test_french(self):
+        from lucene_solr_ray.analysis.filters import french_light_stem as f
+
+        assert f("chevaux") == f("cheval")
+        assert f("maisons") == f("maison")
+        assert f("chats") == f("chat")
+        assert f("porte") == f("portes")
+
+    def test_spanish(self):
+        from lucene_solr_ray.analysis.filters import spanish_light_stem as s
+
+        assert s("perros") == s("perro") == s("perra") == s("perras")
+        assert s("colores") == s("color")
+        assert s("ciudades") == s("ciudad")
+        assert s("gato") == "gato"  # <5 chars: untouched (the light guard)
+
+    def test_by_lang_routing_stems_per_language(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from lucene_solr_ray.index.build import build_index
+        from lucene_solr_ray.index.reader import LocalIndex
+
+        rows = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                "lang": pa.array(["de", "es", "fr"]),
+                "text": pa.array(["katzen hier", "gatos aqui", "maisons ici"]),
+            }
+        )
+        src = str(tmp_path / "d.parquet")
+        pq.write_table(rows, src)
+        ix = str(tmp_path / "ix")
+        build_index([src], ix, rows_per_partition=8, extract_html=False,
+                    dedup_url=False, analyzer="by_lang", facet_fields=("lang",),
+                    resume=False)
+        loc = LocalIndex(ix)
+        from lucene_solr_ray.analysis.filters import (
+            french_light_stem,
+            german_light_stem,
+            spanish_light_stem,
+        )
+
+        assert loc.postings("text", german_light_stem("katzen"))[0].tolist() == [0]
+        assert loc.postings("text", spanish_light_stem("gatos"))[0].tolist() == [1]
+        assert loc.postings("text", french_light_stem("maisons"))[0].tolist() == [2]
+
+
 class TestStructural:
     def test_shingles(self):
         toks = ["quick", "brown", "fox"]
