@@ -242,7 +242,11 @@ def expand_multiterm(q: "MultiTermQ", vocabulary) -> list[str]:
         pat = _re.compile(q.arg + r"\Z")
         return sorted(t for t in vocabulary if pat.match(t))
     if q.kind == "fuzzy":
-        return sorted(t for t in vocabulary if _edit_distance_le(t, q.arg, q.arg2))
+        from .suggest import fuzzy_scan
+
+        # prefix-sharing DP over the sorted dictionary (FuzzyQuery's
+        # automaton intersection, approximated without the automaton)
+        return [t for t, _ in fuzzy_scan(sorted(vocabulary), q.arg, q.arg2)]
     raise ValueError(q.kind)
 
 

@@ -20,7 +20,43 @@ from __future__ import annotations
 import numpy as np
 
 from ..stages.tokenize import FIELD_SEP, field_term_key
-from .ast import _edit_distance_le
+
+
+def fuzzy_scan(sorted_terms, word: str, max_edits: int):
+    """All (term, distance) with Levenshtein(term, word) <= max_edits from a
+    SORTED term iterable, via DP-row reuse across shared prefixes (the poor
+    man's Levenshtein automaton: consecutive sorted terms share long
+    prefixes, so each term extends the previous term's DP stack instead of
+    recomputing from scratch; a row whose minimum exceeds max_edits abandons
+    the term early)."""
+    W = len(word)
+    rows: list[list[int]] = [list(range(W + 1))]
+    prev = ""
+    out: list[tuple[str, int]] = []
+    for t in sorted_terms:
+        if abs(len(t) - W) > max_edits:
+            # rows still describe `prev`'s prefix — leave them (and prev) be
+            continue
+        cp = 0
+        lim = min(len(t), len(prev), len(rows) - 1)
+        while cp < lim and t[cp] == prev[cp]:
+            cp += 1
+        del rows[cp + 1 :]
+        ok = True
+        for j in range(cp, len(t)):
+            last = rows[-1]
+            cur = [last[0] + 1]
+            cj = t[j]
+            for i in range(1, W + 1):
+                cur.append(min(last[i] + 1, cur[i - 1] + 1, last[i - 1] + (cj != word[i - 1])))
+            rows.append(cur)
+            if min(cur) > max_edits:
+                ok = False
+                break
+        prev = t
+        if ok and len(rows) - 1 == len(t) and rows[-1][W] <= max_edits:
+            out.append((t, rows[-1][W]))
+    return out
 
 
 class PrefixSuggester:
@@ -53,33 +89,28 @@ class PrefixSuggester:
 def spellcheck(stats, word: str, *, field: str = "text", max_edits: int = 2,
                top: int = 5) -> list[tuple[str, int, int]]:
     """-> [(suggestion, distance, df)] ranked (distance asc, df desc, term
-    asc); the input word itself (distance 0) is never suggested."""
-    cands: list[tuple[int, int, str]] = []
+    asc); the input word itself (distance 0) is never suggested.  The
+    dictionary scan shares DP rows across the sorted terms' common prefixes
+    (:func:`fuzzy_scan`)."""
     pref = "" if field == "text" else field + FIELD_SEP
     lo, hi = (0, len(stats.terms)) if field == "text" else stats.terms.prefix_range(pref)
-    for i in range(lo, hi):
-        t = stats.terms[i]
-        body = t[len(pref):]
-        if field == "text" and FIELD_SEP in t:
-            continue
-        if abs(len(body) - len(word)) > max_edits:
-            continue
-        if not _edit_distance_le(body, word, max_edits):
-            continue
-        # exact distance (bounded, small strings)
-        d = _exact_distance(body, word, max_edits)
+
+    def bodies():
+        for i in range(lo, hi):
+            t = stats.terms[i]
+            if field == "text" and FIELD_SEP in t:
+                continue
+            yield t[len(pref):], i
+
+    idx_of = {}
+    terms_sorted = []
+    for body, i in bodies():
+        terms_sorted.append(body)
+        idx_of[body] = i
+    cands: list[tuple[int, int, str]] = []
+    for t, d in fuzzy_scan(terms_sorted, word, max_edits):
         if d == 0:
             continue
-        cands.append((d, -int(stats._df[i]), body))
+        cands.append((d, -int(stats._df[idx_of[t]]), t))
     cands.sort()
     return [(t, d, -negdf) for d, negdf, t in cands[:top]]
-
-
-def _exact_distance(a: str, b: str, cap: int) -> int:
-    prev = list(range(len(b) + 1))
-    for i, ca in enumerate(a, 1):
-        cur = [i] + [0] * len(b)
-        for j, cb in enumerate(b, 1):
-            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
-        prev = cur
-    return prev[-1]
