@@ -203,10 +203,7 @@ def french_light_stem(word: str) -> str:
     if len(w) > 4 and w.endswith("aux") and not w.endswith("eaux"):
         return w[:-2] + "l"
     if len(w) > 4 and w.endswith("x"):
-        if w.endswith("ux") and len(w) > 5 and w[-3] in "ae":
-            w = w[:-1]
-        else:
-            w = w[:-1]
+        w = w[:-1]
     if len(w) > 4 and w.endswith("s"):
         w = w[:-1]
     if len(w) > 8 and w.endswith("issement"):
@@ -236,11 +233,17 @@ def spanish_light_stem(word: str) -> str:
     return w
 
 
+def english_stem(word: str) -> str:
+    """The full English chain step (fold + Porter) — kept identical to the
+    'english' analyzer so 'light_en' and by_lang('en') can never diverge."""
+    return porter_stem(ascii_fold(word))
+
+
 LIGHT_STEMMERS = {
     "de": german_light_stem,
     "fr": french_light_stem,
     "es": spanish_light_stem,
-    "en": porter_stem,
+    "en": english_stem,
 }
 
 

@@ -166,7 +166,9 @@ class SegmentSearcher:
         complete hit set, so it forces the exhaustive path — same constraint
         as the reference's facet collection.
         """
-        conj = _conjunction_eligible(query)
+        # a deadline forces the general evaluator loop (it checks
+        # time_allowed_ms at partition boundaries; the fast paths don't)
+        conj = _conjunction_eligible(query) if time_allowed_ms is None else None
         if conj is not None and not facet_fields and after is None:
             # block-skipping conjunction: exact top-k AND exact hit count
             from .wand import conjunction_topk
@@ -177,7 +179,7 @@ class SegmentSearcher:
             )
             return {"topk": topk, "total_hits": total, "facets": {}, "partial": False}
 
-        wand_terms = _wand_eligible(query)
+        wand_terms = _wand_eligible(query) if time_allowed_ms is None else None
         if wand_terms is not None and not facet_fields and after is None:
             from .wand import wand_topk
 

@@ -173,23 +173,6 @@ class TermSource(Protocol):
         """iterable of all terms in the global dictionary (for MultiTermQ)."""
 
 
-def _edit_distance_le(a: str, b: str, k: int) -> bool:
-    """Levenshtein(a,b) <= k with banded DP early exit."""
-    if abs(len(a) - len(b)) > k:
-        return False
-    prev = list(range(len(b) + 1))
-    for i, ca in enumerate(a, 1):
-        cur = [i] + [0] * len(b)
-        best = cur[0]
-        for j, cb in enumerate(b, 1):
-            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
-            best = min(best, cur[j])
-        if best > k:
-            return False
-        prev = cur
-    return prev[-1] <= k
-
-
 def _literal_prefix(q: "MultiTermQ") -> str:
     """Longest literal prefix of a wildcard/regexp pattern (empty if none)."""
     if q.kind == "wildcard":

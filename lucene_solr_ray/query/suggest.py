@@ -96,21 +96,18 @@ def spellcheck(stats, word: str, *, field: str = "text", max_edits: int = 2,
     lo, hi = (0, len(stats.terms)) if field == "text" else stats.terms.prefix_range(pref)
 
     def bodies():
+        # streamed: fuzzy_scan iterates once, nothing is materialized
         for i in range(lo, hi):
             t = stats.terms[i]
             if field == "text" and FIELD_SEP in t:
                 continue
-            yield t[len(pref):], i
+            yield t[len(pref):]
 
-    idx_of = {}
-    terms_sorted = []
-    for body, i in bodies():
-        terms_sorted.append(body)
-        idx_of[body] = i
     cands: list[tuple[int, int, str]] = []
-    for t, d in fuzzy_scan(terms_sorted, word, max_edits):
+    for t, d in fuzzy_scan(bodies(), word, max_edits):
         if d == 0:
             continue
-        cands.append((d, -int(stats._df[idx_of[t]]), t))
+        # df resolved by binary search only for the few matches
+        cands.append((d, -int(stats.df.get(field_term_key(field, t), 0)), t))
     cands.sort()
     return [(t, d, -negdf) for d, negdf, t in cands[:top]]

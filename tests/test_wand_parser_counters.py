@@ -76,6 +76,24 @@ class TestWand:
             s.shutdown()
 
 
+class TestTimeAllowed:
+    def test_deadline_routes_to_general_path(self, ray_session, pages_corpus, oracle_index):
+        """time_allowed_ms must reach the deadline-aware evaluator loop even
+        for queries the fast conjunction/WAND paths would otherwise take."""
+        from lucene_solr_ray.index.searcher import RayIndexSearcher
+
+        s = RayIndexSearcher(pages_corpus["index_dir"], num_actors=2)
+        try:
+            ast = BoolQ(must=(TermQ("luko"), TermQ("kalo")))
+            res = s.search(ast, k=10, time_allowed_ms=60_000)
+            # generous budget: identical results, through the general path
+            assert res["topk"] == oracle_index.search(ast, 10)
+            # exact count proves the exhaustive (deadline-aware) loop ran
+            assert res["total_hits"] == len(oracle_index.search(ast, 10**9))
+        finally:
+            s.shutdown()
+
+
 class TestParser:
     def test_shapes(self):
         p = QueryParser()
