@@ -23,6 +23,38 @@ def term_stats(oracle_rows):
     return df, ttf
 
 
+class TestFuzzyScan:
+    def test_matches_bruteforce(self):
+        import random
+
+        from lucene_solr_ray.query.suggest import fuzzy_scan
+
+        def dist(a, b):
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i] + [0] * len(b)
+                for j, cb in enumerate(b, 1):
+                    cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                prev = cur
+            return prev[-1]
+
+        rnd = random.Random(21)
+        vocab = sorted(
+            {"".join(rnd.choice("abcd") for _ in range(rnd.randint(1, 7))) for _ in range(1500)}
+        )
+        for w in ["abc", "dd", "abcdabc", "zzzz", ""]:
+            for k in (0, 1, 2):
+                got = fuzzy_scan(vocab, w, k)
+                want = [(t, dist(t, w)) for t in vocab if dist(t, w) <= k]
+                assert got == want, (w, k)
+
+    def test_generator_input(self):
+        from lucene_solr_ray.query.suggest import fuzzy_scan
+
+        got = fuzzy_scan((t for t in ["abc", "abd", "xyz"]), "abc", 1)
+        assert got == [("abc", 0), ("abd", 1)]
+
+
 class TestSuggest:
     def test_prefix_suggestions_match_brute(self, pages_corpus, term_stats):
         _, ttf = term_stats
