@@ -169,6 +169,12 @@ def run_bench() -> dict:
         extra["query_p50_ms"] = round(statistics.median(lat) * 1000, 2)
         extra["query_p95_ms"] = round(sorted(lat)[int(len(lat) * 0.95)] * 1000, 2)
 
+        # concurrent throughput: all queries in flight at once
+        t0 = time.time()
+        s.search_many(qs, k=10)
+        dt = time.time() - t0
+        extra["query_qps_concurrent"] = round(len(qs) / dt, 1)
+
         from lucene_solr_ray.query.ast import MatchAllQ
 
         t0 = time.time()

@@ -393,6 +393,22 @@ class RayIndexSearcher:
             out.update(r)
         return out
 
+    def search_many(self, queries: list, k: int = 10) -> list[list]:
+        """Throughput path: submit every query's per-actor futures at once
+        (no facets, no paging) and merge as they land — keeps all actors busy
+        instead of round-tripping per query."""
+        futs = [
+            [a.search.remote(q, k=k) for a in self.actors] for q in queries
+        ]
+        out = []
+        for per_actor in futs:
+            merged: list[tuple[float, int]] = []
+            for r in ray.get(per_actor):
+                merged.extend(r["topk"])
+            merged.sort(key=lambda sd: (-sd[0], sd[1]))
+            out.append(merged[:k])
+        return out
+
     def search_after(self, query, cursor: tuple | None, k: int = 10) -> dict:
         """cursorMark deep paging: ``cursor`` is the last (score, doc_id) of
         the previous page (None = first page).  Returns {topk, next_cursor}.

@@ -165,3 +165,18 @@ def test_query_elevation(ray_session, pages_corpus, oracle_index):
         assert rest == [d for _, d in organic if d not in set(pin)][: len(rest)]
     finally:
         s.shutdown()
+
+
+def test_search_many_matches_sequential(ray_session, pages_corpus, oracle_index):
+    from lucene_solr_ray.index.searcher import RayIndexSearcher
+    from lucene_solr_ray.query.ast import BoolQ, TermQ
+
+    s = RayIndexSearcher(pages_corpus["index_dir"], num_actors=2)
+    try:
+        qs = [TermQ("luko"), BoolQ(should=(TermQ("kalo"), TermQ("zeph"))),
+              BoolQ(must=(TermQ("luko"), TermQ("kalo")))]
+        got = s.search_many(qs, k=10)
+        for q, topk in zip(qs, got):
+            assert topk == oracle_index.search(q, 10), q
+    finally:
+        s.shutdown()
