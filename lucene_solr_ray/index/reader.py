@@ -314,6 +314,17 @@ class IndexPartition(TermSource):
 
     # -- faceting support -----------------------------------------------------
 
+    def facet_missing(self, field: str, hit_doc_ids: np.ndarray) -> int:
+        """Hits with NO value for the facet field (facet.missing bucket)."""
+        idx = np.searchsorted(self.doc_ids, hit_doc_ids)
+        if field + "_ord" in self.columns:
+            return int((self.columns[field + "_ord"][idx] < 0).sum())
+        if field + "_ords" in self._list_flat:
+            flat, row_of = self._list_flat[field + "_ords"]
+            valid = np.bincount(row_of[flat >= 0], minlength=len(self.doc_ids))
+            return int((valid[idx] == 0).sum())
+        raise KeyError(field)
+
     def facet_ords(self, field: str, hit_doc_ids: np.ndarray) -> np.ndarray:
         """GLOBAL ordinals (with repetition) contributed by the hit docs.
 

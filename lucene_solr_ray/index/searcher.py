@@ -218,10 +218,12 @@ class SegmentSearcher:
         facets: dict[str, tuple] = {}
         for f in facet_fields:
             acc: dict[int, int] = {}
+            missing = 0
             for part, hits in zip(counted_parts, per_part_hits):
                 o, c = self._facet_counts_for_hits(part, f, hits)
                 for oo, cc in zip(o.tolist(), c.tolist()):
                     acc[oo] = acc.get(oo, 0) + cc
+                missing += part.facet_missing(f, hits)
             ords = np.array(sorted(acc), dtype=np.int64)
             counts = np.array([acc[o] for o in ords.tolist()], dtype=np.int64)
             if facet_ord_limit is not None and len(ords) > facet_ord_limit:
@@ -229,7 +231,7 @@ class SegmentSearcher:
                 sel = np.lexsort((ords, -counts))[:facet_ord_limit]
                 sel.sort()
                 ords, counts = ords[sel], counts[sel]
-            facets[f] = (ords, counts)
+            facets[f] = (ords, counts, missing)
         return {"topk": topk, "total_hits": int(len(docs)), "facets": facets, "partial": partial}
 
     def facet_sampled(self, query, field: str, stride: int, ord_limit: int) -> tuple:
@@ -438,6 +440,7 @@ class RayIndexSearcher:
         facet_mincount: int = 0,
         facet_prefix: str | None = None,
         facet_sort: str = "count",
+        facet_missing: bool = False,
         facet_overrequest: bool = False,
         after: tuple | None = None,
         time_allowed_ms: float | None = None,
@@ -479,8 +482,10 @@ class RayIndexSearcher:
         facets: dict[str, list[tuple[str, int]]] = {}
         for f in facet_fields:
             acc: dict[int, int] = {}
+            missing_total = 0
             for r in results:
-                o, c = r["facets"][f]
+                o, c, m = r["facets"][f]
+                missing_total += m
                 for oo, cc in zip(np.asarray(o).tolist(), np.asarray(c).tolist()):
                     acc[oo] = acc.get(oo, 0) + cc
             if shard_limit is not None:
@@ -544,4 +549,8 @@ class RayIndexSearcher:
                     items = items + zeros
             items = items[facet_offset : facet_offset + facet_limit]
             facets[f] = [(vocab[o], int(c)) for o, c in items]
+            if facet_missing:
+                # facet.missing=true appends the no-value bucket under None
+                # (`SimpleFacets.java` FacetParams.FACET_MISSING)
+                facets[f].append((None, int(missing_total)))
         return {"topk": topk, "total_hits": total, "facets": facets}

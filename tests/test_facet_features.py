@@ -101,3 +101,40 @@ def test_hash_join_matches_pandas(ray_session):
         .reset_index(drop=True)
     )
     assert got.equals(want)
+
+
+def test_facet_missing_bucket(ray_session, tmp_path):
+    """facet.missing: docs with a null facet value count into the None
+    bucket; present values are unaffected."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.index.searcher import RayIndexSearcher
+
+    rows = pa.table(
+        {
+            "doc_id": pa.array(range(8), type=pa.int64()),
+            "text": pa.array(["alpha beta"] * 8),
+            "lang": pa.array(["en", "en", None, "de", None, "de", "en", None]),
+        }
+    )
+    src = str(tmp_path / "d.parquet")
+    pq.write_table(rows, src)
+    ix = str(tmp_path / "ix")
+    build_index([src], ix, rows_per_partition=4, extract_html=False,
+                dedup_url=False, analyzer="simple", facet_fields=("lang",),
+                resume=False)
+    from lucene_solr_ray.query.ast import MatchAllQ
+
+    s = RayIndexSearcher(ix, num_actors=2)
+    try:
+        res = s.search(MatchAllQ(), k=1, facet_fields=("lang",),
+                       facet_limit=10, facet_mincount=1, facet_missing=True)
+        assert res["facets"]["lang"] == [("en", 3), ("de", 2), (None, 3)]
+        # without the flag the bucket is absent
+        res2 = s.search(MatchAllQ(), k=1, facet_fields=("lang",),
+                        facet_limit=10, facet_mincount=1)
+        assert res2["facets"]["lang"] == [("en", 3), ("de", 2)]
+    finally:
+        s.shutdown()

@@ -243,7 +243,7 @@ class TestNPlaneFacetPath:
             res = s.search(q, k=5, facet_fields=("host", "links_sim"))
             o_hits = [d for _, d in oracle_index.search(q, 10**9)]
             for f in ("host", "links_sim"):
-                ords, counts = res["facets"][f]
+                ords, counts, _missing = res["facets"][f]
                 vocab = s.stats.dicts[f]
                 got = sorted(
                     ((vocab[o], int(c)) for o, c in zip(ords.tolist(), counts.tolist())),
