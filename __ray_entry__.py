@@ -86,6 +86,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_simple": ft.bm25_topk_simple,
         "bm25_and_topk_simple": ft.bm25_and_topk_simple,
         "edismax_topk": ft.edismax_topk,
+        "rerank_topk_simple": ft.rerank_topk_simple,
+        "search_after_page2": ft.search_after_page2,
+        "elevation_topk": ft.elevation_topk,
         "bm25_topk": ft.bm25_topk,
         "bm25_and_topk": ft.bm25_and_topk,
         # -- faceting --
@@ -218,6 +221,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS rank, doc_id
             FROM disj
             QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 20
+            ORDER BY rank""",
+        "search_after_page2": _bm25_scored_sql("(0, 'join')") + """
+            SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS rank, doc_id
+            FROM scored
+            QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) BETWEEN 11 AND 20
+            ORDER BY rank""",
+        "elevation_topk": _bm25_scored_sql("(0, 'join')") + """
+            , organic AS (
+              SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+              FROM scored WHERE doc_id NOT IN (7, 3))
+            SELECT rank, doc_id FROM (
+              SELECT CAST(0 AS BIGINT) AS rank, CAST(7 AS BIGINT) AS doc_id
+              UNION ALL SELECT 1, 3
+              UNION ALL SELECT CAST(rn + 1 AS BIGINT), doc_id FROM organic WHERE rn <= 8)
+            ORDER BY rank""",
+        "rerank_topk_simple": _bm25_scored_sql("(0, 'join'), (0, 'vector'), (1, 'hash')") + """
+            , disj AS (
+              SELECT doc_id, CAST(sum(CAST(score AS DOUBLE)) AS FLOAT) AS s1
+              FROM scored WHERE qid = 0 GROUP BY doc_id),
+            firstpass AS (
+              SELECT doc_id, s1, row_number() OVER (ORDER BY s1 DESC, doc_id) AS rn FROM disj),
+            hash_s AS (SELECT doc_id, score AS s2 FROM scored WHERE qid = 1),
+            rescored AS (
+              SELECT f.doc_id,
+                     CASE WHEN h.doc_id IS NULL THEN CAST(f.s1 AS FLOAT)
+                          ELSE CAST(CAST(f.s1 AS FLOAT) + CAST(CAST(2.0 AS FLOAT) * CAST(h.s2 AS FLOAT) AS FLOAT) AS FLOAT)
+                     END AS ns
+              FROM firstpass f LEFT JOIN hash_s h ON f.doc_id = h.doc_id
+              WHERE f.rn <= 20)
+            SELECT CAST(row_number() OVER (ORDER BY ns DESC, doc_id) - 1 AS BIGINT) AS rank, doc_id
+            FROM rescored
+            QUALIFY row_number() OVER (ORDER BY ns DESC, doc_id) <= 10
             ORDER BY rank""",
         "term_df_top100": f"""
             SELECT CAST(row_number() OVER (ORDER BY df DESC, term) - 1 AS BIGINT) AS rank, term, df

@@ -272,6 +272,63 @@ def bm25_and_topk_simple(sf_dir: str) -> pa.Table:
     )
 
 
+def rerank_topk_simple(sf_dir: str) -> pa.Table:
+    """ReRank under the SQL gate: first pass = 'join OR vector' top-20, then
+    +2.0x the 'hash' score for matches (ReRankQParserPlugin semantics,
+    float32 combine), final top-10 ranks."""
+    ix = documents_index(sf_dir)
+    s = RayIndexSearcher(ix, num_actors=2)
+    try:
+        combined = s.rerank(
+            BoolQ(should=(TermQ("join"), TermQ("vector"))),
+            TermQ("hash"), k=10, rerank_docs=20, rerank_weight=2.0,
+        )
+        return pa.table(
+            {
+                "rank": pa.array(range(len(combined)), type=pa.int64()),
+                "doc_id": pa.array([d for _, d in combined], type=pa.int64()),
+            }
+        )
+    finally:
+        s.shutdown()
+
+
+def search_after_page2(sf_dir: str) -> pa.Table:
+    """cursorMark deep paging under the SQL gate: ranks 10-19 of the 'join'
+    BM25 ranking fetched via the (score, doc_id) cursor of page 1."""
+    ix = documents_index(sf_dir)
+    s = RayIndexSearcher(ix, num_actors=2)
+    try:
+        page1 = s.search_after(TermQ("join"), None, k=10)
+        page2 = s.search_after(TermQ("join"), page1["next_cursor"], k=10)
+        return pa.table(
+            {
+                "rank": pa.array(range(10, 10 + len(page2["topk"])), type=pa.int64()),
+                "doc_id": pa.array([d for _, d in page2["topk"]], type=pa.int64()),
+            }
+        )
+    finally:
+        s.shutdown()
+
+
+def elevation_topk(sf_dir: str) -> pa.Table:
+    """Query elevation under the SQL gate: two pinned ids first (given
+    order), then organic 'join' ranking with the pinned ids deduplicated."""
+    ix = documents_index(sf_dir)
+    s = RayIndexSearcher(ix, num_actors=2)
+    try:
+        pinned = [7, 3]
+        res = s.search_elevated(TermQ("join"), pinned, k=10)
+        return pa.table(
+            {
+                "rank": pa.array(range(len(res)), type=pa.int64()),
+                "doc_id": pa.array([d for _, d in res], type=pa.int64()),
+            }
+        )
+    finally:
+        s.shutdown()
+
+
 def edismax_topk(sf_dir: str) -> pa.Table:
     """edismax end-to-end under the SQL gate: 'join vector' with mm=1 over
     the text field — disjunction of BM25 term scores (float64 accumulation
