@@ -40,8 +40,11 @@ def main(argv=None) -> int:
     import ray
 
     if not ray.is_initialized():
-        ray.init(address=os.environ.get("RAY_ADDRESS", "auto"),
-                 ignore_reinit_error=True)
+        try:
+            ray.init(address=os.environ.get("RAY_ADDRESS", "auto"),
+                     ignore_reinit_error=True)
+        except ConnectionError:
+            ray.init(address="local", ignore_reinit_error=True)
 
     from lucene_solr_ray.index.build import build_index
 
@@ -65,14 +68,19 @@ def main(argv=None) -> int:
         resume=not args.fresh,
     )
     wall = time.time() - t0
+    stage_secs = {s: round(i["secs"], 2) for s, i in man.get("lineage", {}).items()}
+    # lineage secs persist from the ORIGINAL run; if this invocation skipped
+    # checkpointed stages, wall-clock throughput would be meaningless
+    resumed = wall < 0.5 * max(sum(stage_secs.values()), 1e-9)
     print(json.dumps({
         "job": "build_index",
         "out": args.out,
         "max_doc": man["max_doc"],
         "partitions": len(man["partitions"]),
         "wall_sec": round(wall, 2),
-        "docs_per_sec": round(man["max_doc"] / max(wall, 1e-9), 1),
-        "stage_secs": {s: round(i["secs"], 2) for s, i in man.get("lineage", {}).items()},
+        "resumed": resumed,
+        "docs_per_sec": None if resumed else round(man["max_doc"] / max(wall, 1e-9), 1),
+        "stage_secs": stage_secs,
     }))
     ray.shutdown()
     return 0

@@ -32,8 +32,11 @@ def main(argv=None) -> int:
     import ray
 
     if not ray.is_initialized():
-        ray.init(address=os.environ.get("RAY_ADDRESS", "auto"),
-                 ignore_reinit_error=True)
+        try:
+            ray.init(address=os.environ.get("RAY_ADDRESS", "auto"),
+                     ignore_reinit_error=True)
+        except ConnectionError:
+            ray.init(address="local", ignore_reinit_error=True)
 
     import pyarrow as pa
 
@@ -47,6 +50,12 @@ def main(argv=None) -> int:
         t0 = time.time()
         res = s.search(ast, k=args.k, facet_fields=tuple(args.facet),
                        facet_limit=args.facet_limit, facet_mincount=1)
+        if res["total_hits"] < 0:
+            # WAND fast path reports 'unknown' (-1); a deadline-bearing call
+            # routes through the exhaustive loop, giving the exact count
+            res = s.search(ast, k=args.k, facet_fields=tuple(args.facet),
+                           facet_limit=args.facet_limit, facet_mincount=1,
+                           time_allowed_ms=10**9)
         qtime = int((time.time() - t0) * 1000)
         tbl = pa.table(
             {
@@ -58,12 +67,10 @@ def main(argv=None) -> int:
               "csv": writers.to_csv_response}[args.wt]
         kwargs = {} if args.wt == "csv" else {
             "num_found": res["total_hits"], "qtime_ms": qtime,
+            "facets": res["facets"] or None,
         }
+        # one document on stdout (facets embedded; csv has no facet block)
         print(fn(tbl, **kwargs))
-        if res["facets"]:
-            import json as _json
-
-            print(_json.dumps({"facet_counts": res["facets"]}))
     finally:
         s.shutdown()
     ray.shutdown()

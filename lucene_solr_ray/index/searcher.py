@@ -150,6 +150,7 @@ class SegmentSearcher:
         facet_ord_limit: int | None = None,
         after: tuple | None = None,
         time_allowed_ms: float | None = None,
+        facet_missing: bool = False,
     ) -> dict:
         """-> {topk, total_hits, facets, partial}.
 
@@ -223,7 +224,8 @@ class SegmentSearcher:
                 o, c = self._facet_counts_for_hits(part, f, hits)
                 for oo, cc in zip(o.tolist(), c.tolist()):
                     acc[oo] = acc.get(oo, 0) + cc
-                missing += part.facet_missing(f, hits)
+                if facet_missing:  # only when requested (extra per-hit pass)
+                    missing += part.facet_missing(f, hits)
             ords = np.array(sorted(acc), dtype=np.int64)
             counts = np.array([acc[o] for o in ords.tolist()], dtype=np.int64)
             if facet_ord_limit is not None and len(ords) > facet_ord_limit:
@@ -307,6 +309,15 @@ class SegmentSearcher:
             ok = (idx < len(o)) & (o[np.minimum(idx, len(o) - 1)] == targets) if len(o) else np.zeros(len(targets), bool)
             out[ok] += c[idx[ok]]
         return out.tolist()
+
+
+def _merge_shard_topk(shard_topks: list[list], k: int, offset: int = 0) -> list:
+    """The single merge contract (ShardDoc: score desc, doc_id asc)."""
+    merged: list[tuple[float, int]] = []
+    for t in shard_topks:
+        merged.extend(t)
+    merged.sort(key=lambda sd: (-sd[0], sd[1]))
+    return merged[offset : offset + k]
 
 
 def _to_actor(num_cpus: float = 1):
@@ -402,14 +413,10 @@ class RayIndexSearcher:
         futs = [
             [a.search.remote(q, k=k) for a in self.actors] for q in queries
         ]
-        out = []
-        for per_actor in futs:
-            merged: list[tuple[float, int]] = []
-            for r in ray.get(per_actor):
-                merged.extend(r["topk"])
-            merged.sort(key=lambda sd: (-sd[0], sd[1]))
-            out.append(merged[:k])
-        return out
+        return [
+            _merge_shard_topk([r["topk"] for r in ray.get(per_actor)], k)
+            for per_actor in futs
+        ]
 
     def search_after(self, query, cursor: tuple | None, k: int = 10) -> dict:
         """cursorMark deep paging: ``cursor`` is the last (score, doc_id) of
@@ -460,17 +467,13 @@ class RayIndexSearcher:
             a.search.remote(
                 query, k=offset + k, facet_fields=facet_fields,
                 facet_ord_limit=shard_limit, after=after,
-                time_allowed_ms=time_allowed_ms,
+                time_allowed_ms=time_allowed_ms, facet_missing=facet_missing,
             )
             for a in self.actors
         ]
         results = ray.get(futs)
 
-        merged: list[tuple[float, int]] = []
-        for r in results:
-            merged.extend(r["topk"])
-        merged.sort(key=lambda sd: (-sd[0], sd[1]))
-        topk = merged[offset : offset + k]
+        topk = _merge_shard_topk([r["topk"] for r in results], k, offset)
         # total_hits contract: -1 = unknown (a WAND actor skipped docs); any
         # unknown shard makes the merged count unknown rather than corrupt
         total = (

@@ -36,8 +36,10 @@ def _xml_tag(value) -> str:
 
 
 def to_json_response(table: pa.Table, *, num_found: int | None = None,
-                     start: int = 0, qtime_ms: int = 0, indent: bool = False) -> str:
-    """``wt=json``: responseHeader + response{numFound, start, docs}."""
+                     start: int = 0, qtime_ms: int = 0, indent: bool = False,
+                     facets: dict | None = None) -> str:
+    """``wt=json``: responseHeader + response{numFound, start, docs}
+    (+ facet_counts in the SAME payload, like the reference)."""
     docs = _rows(table)
     payload = {
         "responseHeader": {"status": 0, "QTime": int(qtime_ms)},
@@ -47,12 +49,16 @@ def to_json_response(table: pa.Table, *, num_found: int | None = None,
             "docs": docs,
         },
     }
+    if facets:
+        payload["facet_counts"] = {"facet_fields": facets}
     return json.dumps(payload, indent=2 if indent else None, default=str)
 
 
 def to_xml_response(table: pa.Table, *, num_found: int | None = None,
-                    start: int = 0, qtime_ms: int = 0) -> str:
-    """``wt=xml``: the classic ``<response><result ...><doc>`` shape."""
+                    start: int = 0, qtime_ms: int = 0,
+                    facets: dict | None = None) -> str:
+    """``wt=xml``: the classic ``<response><result ...><doc>`` shape
+    (+ ``<lst name="facet_counts">`` in the same document)."""
     docs = _rows(table)
     nf = len(docs) if num_found is None else int(num_found)
     out = io.StringIO()
@@ -76,7 +82,17 @@ def to_xml_response(table: pa.Table, *, num_found: int | None = None,
                 tag = _xml_tag(v)
                 out.write(f'<{tag} name="{escape(str(k))}">{escape(str(v))}</{tag}>')
         out.write("</doc>\n")
-    out.write("</result>\n</response>\n")
+    out.write("</result>\n")
+    if facets:
+        out.write('<lst name="facet_counts"><lst name="facet_fields">')
+        for f, items in facets.items():
+            out.write(f'<lst name="{escape(str(f))}">')
+            for v, c in items:
+                name = "" if v is None else escape(str(v))
+                out.write(f'<int name="{name}">{int(c)}</int>')
+            out.write("</lst>")
+        out.write("</lst></lst>\n")
+    out.write("</response>\n")
     return out.getvalue()
 
 
