@@ -320,9 +320,14 @@ class IndexPartition(TermSource):
         if field + "_ord" in self.columns:
             return int((self.columns[field + "_ord"][idx] < 0).sum())
         if field + "_ords" in self._list_flat:
-            flat, row_of = self._list_flat[field + "_ords"]
-            valid = np.bincount(row_of[flat >= 0], minlength=len(self.doc_ids))
-            return int((valid[idx] == 0).sum())
+            # per-row valid-value counts are query-independent: compute once
+            cache = getattr(self, "_valid_counts", None)
+            if cache is None:
+                cache = self._valid_counts = {}
+            if field not in cache:
+                flat, row_of = self._list_flat[field + "_ords"]
+                cache[field] = np.bincount(row_of[flat >= 0], minlength=len(self.doc_ids))
+            return int((cache[field][idx] == 0).sum())
         raise KeyError(field)
 
     def facet_ords(self, field: str, hit_doc_ids: np.ndarray) -> np.ndarray:
