@@ -146,18 +146,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def _norm_case_sql() -> str:
     """dl -> decoded NORM_TABLE value as a SQL step function: the byte315
     quantization (`SmallFloat.floatToByte315`) collapses document lengths to
-    ~40 buckets, so the full decode is a static CASE over dl thresholds."""
+    a finite byte set, so the full decode is a static CASE over dl
+    thresholds.  Covers EVERY reachable norm byte (binary-searched bucket
+    lower bounds over the whole int64 dl range, not a capped enumeration), so
+    arbitrarily long documents decode identically to the engine."""
     import numpy as np
 
     from lucene_solr_ray.smallfloat import NORM_TABLE, encode_norm
 
-    dls = np.arange(1, 100001, dtype=np.int64)
-    bts = encode_norm(dls)
-    change = np.ones(len(dls), dtype=bool)
-    change[1:] = bts[1:] != bts[:-1]
+    def byte_of(dl: int) -> int:
+        return int(encode_norm(np.array([dl], dtype=np.int64))[0])
+
+    # encode_norm is non-increasing in dl; walk the byte buckets from dl=1,
+    # binary-searching each bucket's end — O(#buckets * 63) encode calls.
+    HI = 1 << 62
+    bounds: list[tuple[int, int]] = []  # (dl lower bound, byte)
+    dl = 1
+    while dl <= HI:
+        b = byte_of(dl)
+        bounds.append((dl, b))
+        if b == byte_of(HI):
+            break
+        lo, hi = dl, HI  # invariant: byte_of(lo) == b, byte_of(hi) < b
+        while lo + 1 < hi:
+            mid = (lo + hi) // 2
+            if byte_of(mid) == b:
+                lo = mid
+            else:
+                hi = mid
+        dl = hi
+    # string literals: DuckDB parses bare decimal literals as DECIMAL, which
+    # can land one ulp off after the FLOAT cast; '...'::FLOAT is exact
     parts = [
-        f"WHEN dl >= {int(dls[i])} THEN CAST({float(NORM_TABLE[bts[i]])!r} AS FLOAT)"
-        for i in np.flatnonzero(change)[::-1]
+        f"WHEN dl >= {lb} THEN CAST('{float(NORM_TABLE[b])!r}' AS FLOAT)"
+        for lb, b in reversed(bounds)
     ]
     return "CASE " + " ".join(parts) + " ELSE CAST('Infinity' AS FLOAT) END"
 

@@ -37,6 +37,14 @@ def _flat_bytes(arr) -> tuple[np.ndarray, np.ndarray]:
     Arrow array (nulls treated as empty strings)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if arr.null_count:
+        # the Arrow spec only requires MONOTONE offsets — a null slot may
+        # legally span garbage bytes.  Rewrite nulls to genuine empty strings
+        # (one copy, null path only) so their hash is the length-0 hash.
+        import pyarrow.compute as _pc
+
+        fill = b"" if pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type) else ""
+        arr = _pc.fill_null(arr, fill)
     t = arr.type
     if pa.types.is_large_string(t) or pa.types.is_large_binary(t):
         odt = np.int64
@@ -47,10 +55,6 @@ def _flat_bytes(arr) -> tuple[np.ndarray, np.ndarray]:
     data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
     flat = data[off[0] : off[-1]]
     off = off - off[0]
-    if arr.null_count:
-        # null slots may carry garbage offsets in theory; Arrow guarantees
-        # monotone offsets, so nulls are zero-length — nothing to do
-        pass
     return flat, off
 
 

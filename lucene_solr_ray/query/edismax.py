@@ -80,8 +80,13 @@ class EDisMaxParser:
         if len(all_terms) > 1:
             for f, boost in self.pf:
                 should.append(BoostQ(PhraseQ(tuple(all_terms), field=f), boost))
+        # mm applies to the optional clauses independently of any '+' required
+        # clauses (the reference scopes minimum-should-match to SHOULD only;
+        # BoolQ's evaluator does the same, so no special-casing on `must`).
+        # pf phrase-boost clauses don't lower the bar: a phrase match implies
+        # every term clause matches, so counting them cannot admit new docs.
         n_scoring_should = len(should) - (len(self.pf) if len(all_terms) > 1 else 0)
-        msm = self._resolve_mm(n_scoring_should) if not must else 0
+        msm = self._resolve_mm(n_scoring_should)
         if not must and not should and must_not:
             return BoolQ(must=(MatchAllQ(),), must_not=tuple(must_not))
         if len(should) == 1 and not must and not must_not:

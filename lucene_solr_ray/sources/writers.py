@@ -17,6 +17,13 @@ from xml.sax.saxutils import escape
 import pyarrow as pa
 
 
+def _attr(v) -> str:
+    """Escape for the name="..." attribute position (incl. double quotes;
+    sax escape() alone leaves '"' unescaped and would emit malformed XML
+    for corpus-derived values)."""
+    return escape(str(v), {'"': '&quot;'})
+
+
 def _rows(table: pa.Table) -> list[dict]:
     return table.to_pylist()
 
@@ -73,22 +80,22 @@ def to_xml_response(table: pa.Table, *, num_found: int | None = None,
             if v is None:
                 continue
             if isinstance(v, list):
-                out.write(f'<arr name="{escape(str(k))}">')
+                out.write(f'<arr name="{_attr(k)}">')
                 for item in v:
                     tag = _xml_tag(item)
                     out.write(f"<{tag}>{escape(str(item))}</{tag}>")
                 out.write("</arr>")
             else:
                 tag = _xml_tag(v)
-                out.write(f'<{tag} name="{escape(str(k))}">{escape(str(v))}</{tag}>')
+                out.write(f'<{tag} name="{_attr(k)}">{escape(str(v))}</{tag}>')
         out.write("</doc>\n")
     out.write("</result>\n")
     if facets:
         out.write('<lst name="facet_counts"><lst name="facet_fields">')
         for f, items in facets.items():
-            out.write(f'<lst name="{escape(str(f))}">')
+            out.write(f'<lst name="{_attr(f)}">')
             for v, c in items:
-                name = "" if v is None else escape(str(v))
+                name = "" if v is None else _attr(v)
                 out.write(f'<int name="{name}">{int(c)}</int>')
             out.write("</lst>")
         out.write("</lst></lst>\n")

@@ -40,6 +40,10 @@ from ..hashing import _MIX, _cumsum0, _flat_bytes, _powers, hash_strings_u64, sh
 
 
 def add_content_hash(batch: pa.Table, *, text_col: str = "text", out: str = "content_hash") -> pa.Table:
+    """sha1 hexdigest content signature (the user-visible
+    SignatureUpdateProcessor shape — registry stage ``content_hash``).  The
+    per-row digest loop is the signature's SEMANTICS; the dedup hot path
+    below uses the vectorized u64 hash instead."""
     h = [
         hashlib.sha1((t or "").encode("utf-8")).hexdigest()
         for t in batch[text_col].to_pylist()
@@ -47,15 +51,33 @@ def add_content_hash(batch: pa.Table, *, text_col: str = "text", out: str = "con
     return batch.append_column(out, pa.array(h, type=pa.string()))
 
 
+def _add_content_hash_u64(batch: pa.Table, *, text_col: str) -> pa.Table:
+    """Vectorized shuffle key for exact dedup: one numpy pass over the flat
+    Arrow byte buffer (no per-row Python).  64-bit collisions are resolved
+    EXACTLY inside the reduce group, so the survivor rule never depends on
+    collision resistance."""
+    h = hash_strings_u64(batch[text_col]).astype(np.int64)
+    return batch.append_column("content_hash", pa.array(h, type=pa.int64()))
+
+
 def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id"):
     """Keep the smallest-id row per identical content (deterministic)."""
 
     def keep_first(group: pa.Table) -> pa.Table:
+        # one hash group may (theoretically) hold several distinct texts:
+        # keep min-id per DISTINCT text — dictionary_encode + argsort, exact
+        group = group.combine_chunks()
+        codes = np.asarray(
+            pc.dictionary_encode(group[text_col].combine_chunks()).indices, dtype=np.int64
+        )
         ids = np.asarray(group[id_col], dtype=np.int64)
-        return group.slice(int(np.argmin(ids)), 1)
+        order = np.lexsort((ids, codes))
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = codes[order][1:] != codes[order][:-1]
+        return group.take(pa.array(order[first]))
 
     return (
-        ds.map_batches(add_content_hash, batch_format="pyarrow", fn_kwargs={"text_col": text_col})
+        ds.map_batches(_add_content_hash_u64, batch_format="pyarrow", fn_kwargs={"text_col": text_col})
         .groupby("content_hash")
         .map_groups(keep_first, batch_format="pyarrow")
     )

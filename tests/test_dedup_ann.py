@@ -82,6 +82,36 @@ def _union_find_clusters(tbl, num_perm=64, bands=16, k=5):
     return out
 
 
+class TestExactDedup:
+    def test_vectorized_hash_null_slots(self):
+        # a null slot that legally spans garbage bytes must hash as length-0
+        from lucene_solr_ray.hashing import hash_strings_u64
+
+        offsets = pa.array([0, 3, 10, 13], type=pa.int32())
+        data = pa.py_buffer(b"abcgarbagexyz")
+        validity = pa.array([True, False, True]).buffers()[1]
+        arr = pa.StringArray.from_buffers(3, offsets.buffers()[1], data, validity)
+        h = hash_strings_u64(arr)
+        h_ref = hash_strings_u64(pa.array(["abc", "", "xyz"]))
+        assert h.tolist() == h_ref.tolist()
+
+    def test_collision_groups_keep_min_id_per_distinct_text(self, ray_session):
+        # the reduce group resolves 64-bit hash collisions exactly: distinct
+        # texts sharing one hash group each keep their own min-id survivor
+        import ray.data as rd
+
+        from lucene_solr_ray.stages.dedup import exact_dedup
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([5, 1, 9, 2, 7], type=pa.int64()),
+                "text": pa.array(["aa", "bb", "aa", "bb", "cc"]),
+            }
+        )
+        out = exact_dedup(rd.from_arrow(tbl)).to_pandas()
+        assert sorted(out["doc_id"].tolist()) == [1, 5, 7]
+
+
 class TestMinhash:
     @pytest.mark.parametrize("small_rows", [8_000_000, 0])
     def test_clusters_match_union_find(self, ray_session, corpus, small_rows):

@@ -57,6 +57,15 @@ class TestShapes:
         p = EDisMaxParser()
         assert p.parse("The Fox") == TermQ("fox")
 
+    def test_mm_applies_with_required_clause(self):
+        # minimum-should-match binds the OPTIONAL clauses independently of
+        # any '+' required clause (the reference scopes mm to SHOULD only)
+        p = EDisMaxParser(qf=(("text", 1.0),), mm=2)
+        q = p.parse("+quick lazy fox dog")
+        assert isinstance(q, BoolQ)
+        assert q.must == (TermQ("quick"),)
+        assert q.minimum_should_match == 2
+
 
 @pytest.fixture(scope="module")
 def mf(ray_session, tmp_path_factory):

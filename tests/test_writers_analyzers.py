@@ -42,6 +42,17 @@ class TestWriters:
         assert by_name["title"].text == 'say "hi" <b>'  # escaped then unescaped
         assert [e.text for e in by_name["tags"]] == ["a", "b"]
 
+    def test_xml_attribute_quote_escaping(self):
+        # corpus-derived facet values / field names with '"' must stay
+        # well-formed in the name="..." attribute position
+        t = pa.table({'fi"eld': pa.array(["v"])})
+        x = to_xml_response(t, facets={"f": [('va"l', 3), (None, 1)]})
+        root = ET.fromstring(x)  # raises on malformed XML
+        doc = root.find("result").findall("doc")[0]
+        assert doc[0].get("name") == 'fi"eld'
+        ff = root.find('lst[@name="facet_counts"]/lst[@name="facet_fields"]/lst[@name="f"]')
+        assert ff[0].get("name") == 'va"l' and ff[0].text == "3"
+
     def test_csv_round_trip(self):
         c = to_csv_response(TBL)
         rows = list(csv.reader(io.StringIO(c)))
