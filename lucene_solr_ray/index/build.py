@@ -55,6 +55,10 @@ from .postings import encode_cells_columns
 
 DEFAULT_FACET_FIELDS = ("host", "tld", "lang")
 
+# terms_global shard size: bounds what one lazy dictionary load costs a query
+# actor (~512k rows * ~30 B ≈ 16 MB decompressed per shard)
+TERMS_SHARD_ROWS = 524_288
+
 
 def _read_sized(paths, columns=None) -> "rd.Dataset":
     """read_parquet with a block count sized to the cluster, not the file
@@ -604,21 +608,54 @@ def build_index(
             out = g.group_by("term").aggregate([("df", "sum"), ("ttf", "sum")])
             return out.rename_columns(["term", "df", "ttf"])
 
+        def agg_sorted(g: pa.Table) -> pa.Table:
+            return agg_bucket(g).sort_by("term")
+
         cells = _read_sized(postings_dir, columns=["term", "df", "ttf"])
         # small-table dispatch: per-partition vocab rows under ~10M collapse
         # into one Arrow C++ hash-aggregate task (no shuffle); larger corpora
-        # run the int-bucketed exchange
+        # run the int-bucketed exchange + a global term sort
         if cells.count() <= 10_000_000:
             stats = cells.repartition(1).map_batches(
-                agg_bucket, batch_format="pyarrow", batch_size=None
+                agg_sorted, batch_format="pyarrow", batch_size=None
             )
         else:
             stats = (
                 cells.map_batches(add_term_bucket, batch_format="pyarrow")
                 .groupby("tb")
                 .map_groups(agg_bucket, batch_format="pyarrow")
+                .sort("term")
             )
-        stats.write_parquet(os.path.join(index_dir, "terms_global"), mode="overwrite")
+        # terms_global is written SORTED and range-sharded: each <=
+        # TERMS_SHARD_ROWS slice of the sorted stream becomes one shard file
+        # (atomic tmp+rename, name = first-term digest — unique because shard
+        # key ranges are disjoint), and `_shard_index.json` records (first
+        # term, rows) per shard ORDERED BY FIRST TERM.  Readers binary-search
+        # the tiny index and lazy-load only the shards a query touches — the
+        # .tip/.tim split of BlockTreeTermsReader (see index/termshards.py).
+        import hashlib as _hl
+        import shutil as _sh
+
+        from .termshards import write_shard_index
+
+        tg_dir = os.path.join(index_dir, "terms_global")
+        if os.path.exists(tg_dir):
+            _sh.rmtree(tg_dir)
+        os.makedirs(tg_dir, exist_ok=True)
+
+        def write_shards(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"rows": pa.array([], type=pa.int64())})
+            h = _hl.md5(t["term"][0].as_py().encode("utf-8")).hexdigest()[:16]
+            tmp = os.path.join(tg_dir, f".shard-{h}.tmp")
+            pq.write_table(t, tmp)
+            os.replace(tmp, os.path.join(tg_dir, f"shard-{h}.parquet"))
+            return pa.table({"rows": pa.array([t.num_rows], type=pa.int64())})
+
+        stats.map_batches(
+            write_shards, batch_format="pyarrow", batch_size=TERMS_SHARD_ROWS
+        ).materialize()
+        write_shard_index(tg_dir)
         import glob as _glob2
 
         parts = []

@@ -62,15 +62,33 @@ class GlobalStats:
         self.sum_dl_field = {
             f: self.manifest.get(f"sum_dl_{f}", 0) for f in self.extra_text_fields
         }
-        t = pq.read_table(os.path.join(index_dir, "terms_global"))
-        if not _is_sorted_strings(t["term"]):
-            t = t.sort_by("term")
-        t = t.combine_chunks()
-        self.terms = SortedStrings(t["term"])
-        self._df = np.asarray(t["df"], dtype=np.int64)
-        self._ttf = np.asarray(t["ttf"], dtype=np.int64)
-        self.df = SortedKeyMap(self.terms, self._df)
-        self.ttf = SortedKeyMap(self.terms, self._ttf)
+        tg_dir = os.path.join(index_dir, "terms_global")
+        from .termshards import (
+            SHARD_INDEX,
+            ShardedKeyMap,
+            ShardedStringsView,
+            ShardedTermTable,
+        )
+
+        if os.path.exists(os.path.join(tg_dir, SHARD_INDEX)):
+            # range-sharded sorted dictionary: only the tiny shard index is
+            # resident; shards lazy-load into an LRU on first touch — actor
+            # RAM is O(touched shards), not O(vocab)
+            self._tt = ShardedTermTable(tg_dir)
+            self.terms = ShardedStringsView(self._tt)
+            self.df = ShardedKeyMap(self._tt, "df")
+            self.ttf = ShardedKeyMap(self._tt, "ttf")
+        else:  # legacy single-table layout (pre-shard indexes)
+            self._tt = None
+            t = pq.read_table(tg_dir)
+            if not _is_sorted_strings(t["term"]):
+                t = t.sort_by("term")
+            t = t.combine_chunks()
+            self.terms = SortedStrings(t["term"])
+            self._df = np.asarray(t["df"], dtype=np.int64)
+            self._ttf = np.asarray(t["ttf"], dtype=np.int64)
+            self.df = SortedKeyMap(self.terms, self._df)
+            self.ttf = SortedKeyMap(self.terms, self._ttf)
         self.dicts: dict[str, SortedStrings] = {}
         from .build import read_dict_table
 
@@ -109,6 +127,12 @@ class GlobalStats:
         d = self.dicts.get(field)
         return -1 if d is None else d.index(value)
 
+    def ttf_slice(self, lo: int, hi: int) -> np.ndarray:
+        """ttf values of term ranks [lo, hi) (suggester weights)."""
+        if self._tt is not None:
+            return self._tt.values_slice("ttf", lo, hi)
+        return self._ttf[lo:hi]
+
     # ---- term-dictionary scans ---------------------------------------------
 
     def prefix_terms(self, field: str, prefix: str) -> list[str]:
@@ -121,8 +145,7 @@ class GlobalStats:
         lo, hi = self.terms.prefix_range(key_pref)
         strip = len(key_pref) - len(prefix)
         out = []
-        for i in range(lo, hi):
-            t = self.terms[i]
+        for t in self.terms.iter_range(lo, hi):
             body = t[strip:]
             if FIELD_SEP in body:  # a longer field prefix sharing this range
                 continue
@@ -130,14 +153,16 @@ class GlobalStats:
         return out
 
     def field_vocabulary(self, field: str):
-        """All terms of one field (full dictionary scan — MultiTermQ only)."""
+        """All terms of one field (streamed full dictionary scan; with the
+        sharded dictionary, one shard is resident at a time — MultiTermQ
+        fallback only, the fuzzy path uses the bounded automaton scan)."""
         from ..stages.tokenize import FIELD_SEP
 
         if field == "text":
             return [t for t in self.terms if FIELD_SEP not in t]
         pref = field + FIELD_SEP
         lo, hi = self.terms.prefix_range(pref)
-        return [self.terms[i][len(pref):] for i in range(lo, hi)]
+        return [t[len(pref):] for t in self.terms.iter_range(lo, hi)]
 
 
 class IndexPartition(TermSource):

@@ -53,6 +53,12 @@ class SortedStrings:
         for i in range(len(self.arr)):
             yield self._bytes_at(i).decode("utf-8")
 
+    def iter_range(self, lo: int, hi: int):
+        """Stream values of ranks [lo, hi) (shared streaming-scan interface
+        with the sharded dictionary view)."""
+        for i in range(lo, hi):
+            yield self._bytes_at(i).decode("utf-8")
+
     def to_pylist(self) -> list[str]:
         return self.arr.to_pylist()
 

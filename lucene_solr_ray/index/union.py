@@ -78,10 +78,18 @@ def union_indexes(member_dirs: list[str], out_dir: str) -> dict:
     # ---- global term stats -------------------------------------------------
     tables = [pq.read_table(os.path.join(d, "terms_global")) for d in members]
     merged = pa.concat_tables(tables).group_by("term").aggregate([("df", "sum"), ("ttf", "sum")])
-    merged = merged.rename_columns(["term", "df", "ttf"])
+    merged = merged.rename_columns(["term", "df", "ttf"]).sort_by("term")
     tg_dir = os.path.join(out_dir, "terms_global")
     os.makedirs(tg_dir, exist_ok=True)
-    pq.write_table(merged, os.path.join(tg_dir, "terms_global.parquet"))
+    from .build import TERMS_SHARD_ROWS
+    from .termshards import write_shard_index
+
+    for si in range(0, max(1, merged.num_rows), TERMS_SHARD_ROWS):
+        pq.write_table(
+            merged.slice(si, TERMS_SHARD_ROWS),
+            os.path.join(tg_dir, f"shard-{si // TERMS_SHARD_ROWS:06d}-000000.parquet"),
+        )
+    write_shard_index(tg_dir)
 
     # ---- union manifest (commit point) -------------------------------------
     partitions = []

@@ -86,8 +86,7 @@ def incremental_union_term_df(sf_dir: str) -> pa.Table:
         build_index([os.path.join(root, "a.parquet")], os.path.join(root, "ixa"), **kw)
         build_index([os.path.join(root, "b.parquet")], os.path.join(root, "ixb"), **kw)
         union_indexes([os.path.join(root, "ixa"), os.path.join(root, "ixb")], union_dir)
-    t = rd.read_parquet(os.path.join(union_dir, "terms_global")).to_pandas()
-    t = t.sort_values(["df", "term"], ascending=[False, True]).head(100)
+    t = _terms_topn(union_dir, "df", 100)
     return _rank_table({"term": t["term"].tolist(), "df": t["df"].astype("int64").tolist()})
 
 
@@ -101,28 +100,60 @@ def _rank_table(cols: dict) -> pa.Table:
 # ---- term statistics (exercises the groupby-term shuffle) -------------------
 
 
+def _terms_topn(index_dir: str, key: str, n: int):
+    """Distributed top-N of the term dictionary by (key desc, term asc):
+    per-block partial top-N inside ``map_batches`` (the global top-N is a
+    subset of the union of block top-Ns), then a tiny <= N*blocks driver
+    merge — the dictionary itself never reaches the driver."""
+    def block_top(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return pa.Table.from_pandas(
+            df.sort_values([key, "term"], ascending=[False, True]).head(n),
+            preserve_index=False,
+        )
+
+    parts = (
+        rd.read_parquet(os.path.join(index_dir, "terms_global"), columns=["term", key])
+        .map_batches(block_top, batch_format="pyarrow")
+        .to_pandas()  # <= n * n_blocks rows
+    )
+    return parts.sort_values([key, "term"], ascending=[False, True]).head(n)
+
+
 def term_df_top100(sf_dir: str) -> pa.Table:
     """Top 100 terms by document frequency (df desc, term asc)."""
     ix = documents_index(sf_dir)
-    t = rd.read_parquet(os.path.join(ix, "terms_global")).to_pandas()
-    t = t.sort_values(["df", "term"], ascending=[False, True]).head(100)
+    t = _terms_topn(ix, "df", 100)
     return _rank_table({"term": t["term"].tolist(), "df": t["df"].astype("int64").tolist()})
 
 
 def term_ttf_top100(sf_dir: str) -> pa.Table:
     """Top 100 terms by total term frequency (ttf desc, term asc)."""
     ix = documents_index(sf_dir)
-    t = rd.read_parquet(os.path.join(ix, "terms_global")).to_pandas()
-    t = t.sort_values(["ttf", "term"], ascending=[False, True]).head(100)
+    t = _terms_topn(ix, "ttf", 100)
     return _rank_table({"term": t["term"].tolist(), "ttf": t["ttf"].astype("int64").tolist()})
 
 
 def terms_component_prefix(sf_dir: str) -> pa.Table:
-    """TermsComponent analog: dictionary scan, prefix 'c', index order, df."""
+    """TermsComponent analog: prefix scan in index order, df per term.
+
+    The sharded dictionary makes this a RANGE read: only the shards whose
+    [first, next-first) range intersects the prefix are opened (BlockTree
+    prefix seek); the scan itself is a lazy iter_range."""
+    from ..index.reader import GlobalStats
+
     ix = documents_index(sf_dir)
-    t = rd.read_parquet(os.path.join(ix, "terms_global")).to_pandas()
-    t = t[t["term"].str.startswith("c")].sort_values("term").head(50)
-    return pa.table({"term": t["term"].tolist(), "df": t["df"].astype("int64").tolist()})
+    stats = GlobalStats(ix)
+    lo, hi = stats.terms.prefix_range("c")
+    terms = []
+    for t in stats.terms.iter_range(lo, hi):
+        terms.append(t)
+        if len(terms) >= 50:
+            break
+    return pa.table({
+        "term": terms,
+        "df": pa.array([stats.df.get(t, 0) for t in terms], type=pa.int64()),
+    })
 
 
 # ---- boolean / phrase search (doc-set semantics, SQL-checkable) -------------

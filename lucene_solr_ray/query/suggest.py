@@ -71,7 +71,7 @@ class PrefixSuggester:
         lo, hi = self.stats.terms.prefix_range(key_pref)
         if lo >= hi:
             return []
-        w = self.stats._ttf[lo:hi]
+        w = self.stats.ttf_slice(lo, hi)
         strip = len(key_pref) - len(prefix)
         order = np.lexsort((np.arange(len(w)), -w))  # weight desc, term asc
         out = []
@@ -96,9 +96,9 @@ def spellcheck(stats, word: str, *, field: str = "text", max_edits: int = 2,
     lo, hi = (0, len(stats.terms)) if field == "text" else stats.terms.prefix_range(pref)
 
     def bodies():
-        # streamed: fuzzy_scan iterates once, nothing is materialized
-        for i in range(lo, hi):
-            t = stats.terms[i]
+        # streamed: fuzzy_scan iterates once, nothing is materialized (with
+        # the sharded dictionary, iter_range holds one shard at a time)
+        for t in stats.terms.iter_range(lo, hi):
             if field == "text" and FIELD_SEP in t:
                 continue
             yield t[len(pref):]
