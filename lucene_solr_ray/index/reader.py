@@ -183,7 +183,27 @@ class IndexPartition(TermSource):
                 tbl = tbl.sort_by("term")
             tbl = tbl.combine_chunks()
             self._tdict = SortedStrings(tbl["term"])
-            self._tcols = {n: tbl[n] for n in tbl.column_names if n != "term"}
+            # cell columns are BATCH-DECODED once at load into flat numpy +
+            # offsets (binary blobs stay zero-copy buffer views): cell() then
+            # hands out O(1) numpy slices instead of per-access Arrow-scalar
+            # .as_py() decodes — the round-2 cold-query latency suspect
+            self._tcols: dict[str, tuple] = {}
+            from ..hashing import _flat_bytes
+
+            for n in tbl.column_names:
+                if n == "term":
+                    continue
+                col = tbl[n].combine_chunks() if isinstance(tbl[n], pa.ChunkedArray) else tbl[n]
+                if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
+                    flat, off = _flat_bytes(col)
+                    self._tcols[n] = (flat, off)
+                elif pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+                    vals = np.asarray(col.flatten())
+                    lens = pc.fill_null(col.value_lengths(), 0).to_numpy(zero_copy_only=False)
+                    off = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
+                    self._tcols[n] = (vals, off)
+                else:
+                    self._tcols[n] = (np.asarray(col), None)
         else:
             self._tdict = SortedStrings(pa.array([], type=pa.string()))
             self._tcols = {}
@@ -232,13 +252,19 @@ class IndexPartition(TermSource):
     def cell(self, key: str) -> dict | None:
         """Posting-cell row for a full term key (binary search + small cache).
 
-        The returned dict carries the encoded blobs + skip/block-max sidecar
-        lists exactly as the round-1 dict cells did."""
+        The returned dict carries encoded blobs as zero-copy numpy uint8
+        views and the skip/block-max sidecars as numpy slices — no Arrow
+        scalar decode on the query path."""
         hit = self._cell_cache.get(key, False)
         if hit is not False:
             return hit
         i = self._tdict.index(key)
-        cell = None if i < 0 else {n: c[i].as_py() for n, c in self._tcols.items()}
+        if i < 0:
+            cell = None
+        else:
+            cell = {}
+            for n, (arr, off) in self._tcols.items():
+                cell[n] = arr[i].item() if off is None else arr[off[i] : off[i + 1]]
         if len(self._cell_cache) >= self.CELL_CACHE:
             self._cell_cache.pop(next(iter(self._cell_cache)))
         self._cell_cache[key] = cell
