@@ -57,89 +57,97 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """Entry ORDER is the driver's run order and the driver caps at 50
+    (round-2 verdict item 3), so the dict is ordered by verification debt:
+    (1) entries that have never received a driver row, (2) round-3 additions,
+    (3) entries whose last row is from round 1, (4) round-2-green entries,
+    then past the cap (5) round-2-green entries with redundant in-family
+    coverage and (6) rows-only entries whose gates are pytest differentials —
+    every demoted entry keeps its prior-round CORRECTNESS row + pytest gate.
+    """
     from lucene_solr_ray.pipelines import fulltext as ft
     from lucene_solr_ray.pipelines import relational as rl
 
     return {
-        # -- term dictionary / stats (groupby-term shuffle) --
-        "term_df_top100": ft.term_df_top100,
-        "term_ttf_top100": ft.term_ttf_top100,
-        "terms_component_prefix": ft.terms_component_prefix,
-        "suggest_prefix": ft.suggest_prefix,
-        "shingle_top_bigrams": ft.shingle_top_bigrams,
-        "spellcheck_terms": ft.spellcheck_terms,
-        "incremental_union_term_df": ft.incremental_union_term_df,
-        # -- boolean / phrase search --
-        "search_and": ft.search_and,
-        "search_or": ft.search_or,
-        "search_must_not": ft.search_must_not,
-        "search_phrase": ft.search_phrase,
-        "search_msm": ft.search_msm,
-        "search_span_near_ordered": ft.search_span_near_ordered,
-        "search_span_near_unordered": ft.search_span_near_unordered,
-        "search_span_first": ft.search_span_first,
-        "parsed_query_search": ft.parsed_query_search,
-        # -- BM25 ranking --
-        # simple-analyzer entries are S-gated (full float32 BM25 in SQL);
-        # standard-analyzer entries stay rows-only (UAX#29 not SQL-expressible)
-        # with rank-identity tested vs the Python oracle in pytest
-        "bm25_topk_simple": ft.bm25_topk_simple,
-        "bm25_and_topk_simple": ft.bm25_and_topk_simple,
-        "edismax_topk": ft.edismax_topk,
-        "rerank_topk_simple": ft.rerank_topk_simple,
-        "search_after_page2": ft.search_after_page2,
-        "elevation_topk": ft.elevation_topk,
-        "bm25_topk": ft.bm25_topk,
-        "bm25_and_topk": ft.bm25_and_topk,
-        # -- faceting --
-        "facet_lang_for_term": ft.facet_lang_for_term,
-        "facet_source_all": ft.facet_source_all,
-        "facet_source_index_order": ft.facet_source_index_order,
-        "facet_queries_counts": ft.facet_queries_counts,
-        "function_query_index_stats": ft.function_query_index_stats,
-        "facet_range_nchars": ft.facet_range_nchars,
-        "pivot_lang_source": ft.pivot_lang_source,
-        "stats_nchars_by_lang": ft.stats_nchars_by_lang,
-        "stats_full_nchars": ft.stats_full_nchars,
-        # -- dedup / signatures --
-        "dedup_exact_docs": rl.dedup_exact_docs,
-        "signature_md5_docs": rl.signature_md5_docs,
-        "minhash_clusters_docs": rl.minhash_clusters_docs,
-        "simhash_pairs_docs": rl.simhash_pairs_docs,
-        "ngram_jaccard_dups_docs": rl.ngram_jaccard_dups_docs,
-        "embedding_near_dup_docs": rl.embedding_near_dup_docs,
-        # -- text stats --
-        "token_counts_docs": rl.token_counts_docs,
-        "bpe_token_counts_docs": rl.bpe_token_counts_docs,
-        "ord_rord_docs": rl.ord_rord_docs,
-        "quality_docs": rl.quality_docs,
-        "langid_docs": rl.langid_docs,
-        "fingerprint_docs": rl.fingerprint_docs,
-        # -- ANN --
-        "ann_brute_topk": rl.ann_brute_topk,
-        "ann_ivf_topk": rl.ann_ivf_topk,
-        # -- events / relational --
-        "events_hourly_counts": rl.events_hourly_counts,
-        "session_windows_events": rl.session_windows_events,
-        "facet_range_events_datemath": rl.facet_range_events_datemath,
+        # ---- (1) never driver-verified (round-2 additions past the cap) ----
         "interval_facets_quantity": rl.interval_facets_quantity,
         "stats_facet_price_by_priority": rl.stats_facet_price_by_priority,
         "cardinality_custkey_hll": rl.cardinality_custkey_hll,
-        "group_top1_orders": rl.group_top1_orders,
         "group_topk_orders": rl.group_topk_orders,
         "expand_orders": rl.expand_orders,
+        "update_processors_docs": rl.update_processors_docs,
+        "strdist_customers": rl.strdist_customers,
+        "function_query_events_ms": rl.function_query_events_ms,
+        "joindf_docs": rl.joindf_docs,
+        "multimodal_frames": rl.multimodal_frames,
+        # ---- (2) round-3 additions (new SQL gates for dedup/ANN) ----
+        "ngram_jaccard_dups_docs": rl.ngram_jaccard_dups_docs,
+        "jaccard_clusters_docs": rl.jaccard_clusters_docs,
+        "ann_brute_topk": rl.ann_brute_topk,
+        "ann_ivf_full_probe": rl.ann_ivf_full_probe,
+        # ---- (3) last row is from round 1 ----
+        "group_top1_orders": rl.group_top1_orders,
         "export_sorted_lineitem": rl.export_sorted_lineitem,
         "semi_join_customers": rl.semi_join_customers,
         "hash_join_orders_customer": rl.hash_join_orders_customer,
         "block_join_orders": rl.block_join_orders,
         "function_query_part": rl.function_query_part,
-        "update_processors_docs": rl.update_processors_docs,
-        "strdist_customers": rl.strdist_customers,
-        "function_query_events_ms": rl.function_query_events_ms,
-        "joindf_docs": rl.joindf_docs,
-        # -- multimodal plumbing --
+        # ---- (4) round-2-green (re-run: core engine surfaces) ----
+        "term_df_top100": ft.term_df_top100,
+        "terms_component_prefix": ft.terms_component_prefix,
+        "suggest_prefix": ft.suggest_prefix,
+        "shingle_top_bigrams": ft.shingle_top_bigrams,
+        "spellcheck_terms": ft.spellcheck_terms,
+        "incremental_union_term_df": ft.incremental_union_term_df,
+        "search_and": ft.search_and,
+        "search_must_not": ft.search_must_not,
+        "search_phrase": ft.search_phrase,
+        "search_msm": ft.search_msm,
+        "search_span_near_ordered": ft.search_span_near_ordered,
+        "parsed_query_search": ft.parsed_query_search,
+        # simple-analyzer BM25 entries are S-gated (full float32 BM25 in
+        # SQL); standard-analyzer variants are rows-only (UAX#29 not
+        # SQL-expressible) with rank-identity tested vs the Python oracle
+        "bm25_topk_simple": ft.bm25_topk_simple,
+        "bm25_and_topk_simple": ft.bm25_and_topk_simple,
+        "edismax_topk": ft.edismax_topk,
+        "rerank_topk_simple": ft.rerank_topk_simple,
+        "search_after_page2": ft.search_after_page2,
+        "facet_lang_for_term": ft.facet_lang_for_term,
+        "facet_source_index_order": ft.facet_source_index_order,
+        "function_query_index_stats": ft.function_query_index_stats,
+        "pivot_lang_source": ft.pivot_lang_source,
+        "dedup_exact_docs": rl.dedup_exact_docs,
+        "bpe_token_counts_docs": rl.bpe_token_counts_docs,
+        "quality_docs": rl.quality_docs,
+        "session_windows_events": rl.session_windows_events,
+        "facet_range_events_datemath": rl.facet_range_events_datemath,
+        # ---------------- driver cap (50) is around here ----------------
+        # ---- (5) round-2-green, redundant in-family coverage ----
+        "term_ttf_top100": ft.term_ttf_top100,
+        "search_or": ft.search_or,
+        "search_span_near_unordered": ft.search_span_near_unordered,
+        "search_span_first": ft.search_span_first,
+        "elevation_topk": ft.elevation_topk,
+        "facet_source_all": ft.facet_source_all,
+        "facet_queries_counts": ft.facet_queries_counts,
+        "facet_range_nchars": ft.facet_range_nchars,
+        "stats_nchars_by_lang": ft.stats_nchars_by_lang,
+        "stats_full_nchars": ft.stats_full_nchars,
+        "signature_md5_docs": rl.signature_md5_docs,
+        "token_counts_docs": rl.token_counts_docs,
+        "ord_rord_docs": rl.ord_rord_docs,
+        "events_hourly_counts": rl.events_hourly_counts,
+        # ---- (6) rows-only (pytest differential gates) ----
+        "minhash_clusters_docs": rl.minhash_clusters_docs,
+        "simhash_pairs_docs": rl.simhash_pairs_docs,
+        "embedding_near_dup_docs": rl.embedding_near_dup_docs,
+        "langid_docs": rl.langid_docs,
+        "fingerprint_docs": rl.fingerprint_docs,
+        "ann_ivf_topk": rl.ann_ivf_topk,
+        "bm25_topk": ft.bm25_topk,
+        "bm25_and_topk": ft.bm25_and_topk,
         "multimodal_decode": rl.multimodal_decode,
-        "multimodal_frames": rl.multimodal_frames,
     }
 
 
@@ -542,4 +550,70 @@ def oracle_sql() -> dict[str, str]:
                    CAST((SELECT count(*) FROM documents d2
                          WHERE list_contains(regexp_split_to_array(lower(d2.text), '[^a-z0-9]+'), d.lang)) AS BIGINT) AS joindf
             FROM documents d ORDER BY d.doc_id""",
+        # exact token-3-gram Jaccard >= 0.5: the oracle is the ALL-PAIRS
+        # join, so the engine's prefix-filter candidate generation is gated
+        # on recall, not just precision
+        "ngram_jaccard_dups_docs": _JACCARD_PAIRS_SQL + """
+            SELECT a, b FROM j WHERE jac >= 0.5 ORDER BY a, b""",
+        # connected components of the same pair graph (cluster_id = min
+        # reachable doc_id) via recursive transitive closure (the RECURSIVE
+        # keyword must lead the whole WITH chain in DuckDB)
+        "jaccard_clusters_docs": _JACCARD_PAIRS_SQL.replace("WITH toks", "WITH RECURSIVE toks", 1) + """
+            , jp AS (SELECT a, b FROM j WHERE jac >= 0.5),
+            e AS (SELECT a, b FROM jp UNION ALL SELECT b, a FROM jp),
+            reach(s, d) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT reach.s, e.b FROM reach JOIN e ON reach.d = e.a
+            )
+            SELECT s AS doc_id, CAST(min(d) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY s ORDER BY s""",
+        "ann_brute_topk": _ANN_COSINE_SQL,
+        "ann_ivf_full_probe": _ANN_COSINE_SQL,
     }
+
+
+# exact all-pairs token-3-gram Jaccard over `documents` (tokenization
+# identical to the engine's "simple" analyzer contract)
+_JACCARD_PAIRS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter({_TOK}, t -> t != '') AS tk FROM documents
+),
+tg AS (SELECT doc_id, unnest(tk) AS tok, unnest(range(1, len(tk)+1)) AS pos FROM toks),
+g0 AS (
+  SELECT doc_id, tok, lead(tok, 1) OVER w AS t1, lead(tok, 2) OVER w AS t2
+  FROM tg WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+grams AS (SELECT DISTINCT doc_id, tok || ' ' || t1 || ' ' || t2 AS gram FROM g0 WHERE t2 IS NOT NULL),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, CAST(count(*) AS BIGINT) AS c
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT ia AS a, ib AS b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
+  FROM inter JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
+)
+"""
+
+# exact cosine top-10 for the first 5 embeddings as queries, (score desc,
+# vec_id asc) tie-break — shared by the brute entry and the full-probe IVF
+# equality gate
+_ANN_COSINE_SQL = """
+WITH q AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS query_id, embedding AS qv
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 5)
+),
+s AS (
+  SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qv, e.embedding) AS cos
+  FROM q CROSS JOIN embeddings e
+),
+r AS (
+  SELECT query_id, vec_id,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) - 1 AS BIGINT) AS rank
+  FROM s
+)
+SELECT query_id, rank, CAST(vec_id AS BIGINT) AS vec_id
+FROM r WHERE rank < 10 ORDER BY query_id, rank
+"""

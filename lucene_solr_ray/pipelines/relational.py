@@ -75,17 +75,39 @@ def simhash_pairs_docs(sf_dir: str) -> pa.Table:
 
 
 def ngram_jaccard_dups_docs(sf_dir: str) -> pa.Table:
-    """LSH candidates verified by exact 3-gram Jaccard >= 0.5 (rows-only)."""
-    from ..stages.dedup import simhash_near_dup_pairs, verify_pairs_jaccard
+    """EXACT token-3-gram Jaccard >= 0.5 similarity self-join, S-gated:
+    prefix-filter candidate generation (AllPairs/PPJoin) + distributed exact
+    verify; the DuckDB oracle recomputes all-pairs Jaccard from the same
+    tokenization, so recall is provably 1.0 (round-3: replaces the
+    probabilistic-recall SimHash candidate path in this entry)."""
+    from ..stages.dedup import ssjoin_jaccard
 
     ds = _docs(sf_dir, ["doc_id", "text"])
-    pairs = simhash_near_dup_pairs(ds)
-    verified = verify_pairs_jaccard(ds, pairs, threshold=0.5)
+    verified = ssjoin_jaccard(ds, threshold=0.5, n=3)
     verified.sort(key=lambda r: (r["a"], r["b"]))
     return pa.table(
         {
             "a": pa.array([r["a"] for r in verified], type=pa.int64()),
             "b": pa.array([r["b"] for r in verified], type=pa.int64()),
+        }
+    )
+
+
+def jaccard_clusters_docs(sf_dir: str) -> pa.Table:
+    """Connected components of the exact Jaccard>=0.5 pair graph (cluster_id
+    = min doc_id of the component), S-gated against a recursive-CTE
+    transitive closure in DuckDB — the driver-verifiable analog of the
+    MinHash cluster contract (clusters closed under the pair relation)."""
+    from ..stages.dedup import clusters_from_pairs, ssjoin_jaccard
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    pairs = ssjoin_jaccard(ds, threshold=0.5, n=3)
+    ids = _docs(sf_dir, ["doc_id"]).to_pandas()["doc_id"].astype("int64").tolist()
+    rows = clusters_from_pairs(pairs, ids)
+    return pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+            "cluster_id": pa.array([r["cluster_id"] for r in rows], type=pa.int64()),
         }
     )
 
@@ -214,12 +236,7 @@ def _query_vectors(sf_dir: str, n: int = 5) -> np.ndarray:
     return np.asarray([r["embedding"] for r in emb], dtype=np.float32)
 
 
-def ann_brute_topk(sf_dir: str) -> pa.Table:
-    """Exact cosine top-10 for 5 query vectors (rows-only oracle)."""
-    from ..stages.ann import brute_force_topk
-
-    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    rows = brute_force_topk(emb, _query_vectors(sf_dir), k=10)
+def _ann_rows_table(rows) -> pa.Table:
     return pa.table(
         {
             "query_id": pa.array([r["query_id"] for r in rows], type=pa.int64()),
@@ -229,19 +246,35 @@ def ann_brute_topk(sf_dir: str) -> pa.Table:
     )
 
 
+def ann_brute_topk(sf_dir: str) -> pa.Table:
+    """Exact cosine top-10 for 5 query vectors, S-gated: the DuckDB oracle
+    recomputes all-pairs ``list_cosine_similarity`` with the same (score
+    desc, vec_id asc) tie-break (round 3: was rows-only)."""
+    from ..stages.ann import brute_force_topk
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return _ann_rows_table(brute_force_topk(emb, _query_vectors(sf_dir), k=10))
+
+
+def ann_ivf_full_probe(sf_dir: str) -> pa.Table:
+    """IVF with nprobe = n_clusters MUST equal exact brute force — gates the
+    whole IVF machinery (k-means, assignment, probe masks, merge) under the
+    same SQL cosine oracle as ``ann_brute_topk``."""
+    from ..stages.ann import ivf_topk
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    rows = ivf_topk(emb, _query_vectors(sf_dir), k=10, n_clusters=16, nprobe=16)
+    return _ann_rows_table(rows)
+
+
 def ann_ivf_topk(sf_dir: str) -> pa.Table:
-    """IVF (nprobe=4/16) approximate cosine top-10 (rows-only oracle)."""
+    """IVF (nprobe=4/16) approximate cosine top-10 (rows-only oracle; recall
+    vs brute is the pytest gate — approximation is the semantics)."""
     from ..stages.ann import ivf_topk
 
     emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     rows = ivf_topk(emb, _query_vectors(sf_dir), k=10, n_clusters=16, nprobe=4)
-    return pa.table(
-        {
-            "query_id": pa.array([r["query_id"] for r in rows], type=pa.int64()),
-            "rank": pa.array([r["rank"] for r in rows], type=pa.int64()),
-            "vec_id": pa.array([r["vec_id"] for r in rows], type=pa.int64()),
-        }
-    )
+    return _ann_rows_table(rows)
 
 
 def embedding_near_dup_docs(sf_dir: str) -> pa.Table:

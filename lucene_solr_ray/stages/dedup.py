@@ -705,3 +705,142 @@ def verify_pairs_jaccard(ds, pairs, *, text_col: str = "text", id_col: str = "do
         if j >= threshold:
             out.append({"a": int(r["a"]), "b": int(r["b"]), "jaccard": float(j)})
     return out
+
+
+# ---- exact similarity self-join (prefix filter) -----------------------------
+
+
+def ssjoin_jaccard(ds, *, threshold: float = 0.5, n: int = 3,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   shuffle_buckets: int = 64) -> list[dict]:
+    """EXACT n-gram Jaccard similarity self-join: every pair with
+    J(grams(a), grams(b)) >= threshold, no probabilistic recall.
+
+    Candidate generation uses the AllPairs/PPJoin prefix filter (Bayardo et
+    al. WWW'07; Xiao et al. WWW'08 — public algorithms): grams are put in a
+    fixed total order (the u64 gram hash), each doc emits only its first
+    ``m - ceil(t*m) + 1`` grams, and any pair with J >= t must collide on at
+    least one prefix gram — so a groupby-gram shuffle over the PREFIXES
+    yields a candidate superset.  A length filter (min(m_a, m_b) >=
+    t*max(m_a, m_b)) prunes inside each gram group.  Candidates then go
+    through :func:`verify_pairs_jaccard` (exact, distributed).
+
+    Partitioning assumption: gram-group fan-out is bounded by the df of
+    prefix grams — the prefix keeps only the RAREST-ordered grams of each
+    doc, which is what bounds hot groups at corpus scale.  Returns verified
+    [{a, b, jaccard}], a < b, driver-resident (small by the similarity
+    threshold's contract, like every pair list in this module).
+    """
+    grams = ds.select_columns([id_col, text_col]).map_batches(
+        _ngram_hashes_batch, batch_format="pyarrow",
+        fn_kwargs={"text_col": text_col, "id_col": id_col, "n": n},
+    )
+
+    def prefix_rows(t: pa.Table) -> pa.Table:
+        """(id, gram, m) rows keeping only each doc's prefix grams.  A doc's
+        gram rows are complete within one batch (one input row per doc)."""
+        ids = np.asarray(t[id_col], dtype=np.int64)
+        g = np.asarray(t["gram"], dtype=np.int64)
+        if len(ids) == 0:
+            return pa.table({id_col: ids, "gram": g, "m": ids})
+        order = np.lexsort((g, ids))
+        ids, g = ids[order], g[order]
+        first = np.ones(len(ids), dtype=bool)
+        first[1:] = ids[1:] != ids[:-1]
+        run = np.cumsum(first) - 1
+        m = np.bincount(run)
+        starts = np.concatenate(([0], np.cumsum(m)[:-1]))
+        rank = np.arange(len(ids), dtype=np.int64) - np.repeat(starts, m)
+        p = m - np.ceil(threshold * m).astype(np.int64) + 1
+        keep = rank < np.repeat(p, m)
+        return pa.table({
+            id_col: pa.array(ids[keep], type=pa.int64()),
+            "gram": pa.array(g[keep], type=pa.int64()),
+            "m": pa.array(np.repeat(m, m)[keep], type=pa.int64()),
+        })
+
+    def gram_pairs(t: pa.Table) -> pa.Table:
+        """All (a < b) pairs sharing one gram, length-filtered, vectorized
+        per run-size class (no Python pair loop)."""
+        g = np.asarray(t["gram"], dtype=np.int64)
+        ids = np.asarray(t[id_col], dtype=np.int64)
+        m = np.asarray(t["m"], dtype=np.int64)
+        empty = pa.table({"a": pa.array([], type=pa.int64()),
+                          "b": pa.array([], type=pa.int64())})
+        if len(g) == 0:
+            return empty
+        order = np.lexsort((ids, g))
+        g, ids, m = g[order], ids[order], m[order]
+        first = np.ones(len(g), dtype=bool)
+        first[1:] = g[1:] != g[:-1]
+        run = np.cumsum(first) - 1
+        sizes = np.bincount(run)
+        starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+        outs_a, outs_b = [], []
+        for s in np.unique(sizes):
+            if s < 2:
+                continue
+            rs = starts[sizes == s]
+            mat = rs[:, None] + np.arange(s)[None, :]
+            iu, ju = np.triu_indices(int(s), 1)
+            a, b = ids[mat][:, iu].ravel(), ids[mat][:, ju].ravel()
+            ma, mb = m[mat][:, iu].ravel(), m[mat][:, ju].ravel()
+            keep = np.minimum(ma, mb) >= threshold * np.maximum(ma, mb) - 1e-9
+            outs_a.append(a[keep])
+            outs_b.append(b[keep])
+        if not outs_a:
+            return empty
+        a = np.concatenate(outs_a)
+        b = np.concatenate(outs_b)
+        key = np.stack([a, b], axis=1)
+        uniq = np.unique(key, axis=0)  # per-group dedup
+        return pa.table({"a": pa.array(uniq[:, 0], type=pa.int64()),
+                         "b": pa.array(uniq[:, 1], type=pa.int64())})
+
+    pref = grams.map_batches(prefix_rows, batch_format="pyarrow").materialize()
+    # two-regime dispatch (CLAUDE.md): small prefix table -> one vectorized
+    # task; large -> bucketed gram-group shuffle + pair-key dedup shuffle
+    if pref.count() <= 8_000_000:
+        cand = pref.repartition(1).map_batches(
+            gram_pairs, batch_format="pyarrow", batch_size=None
+        )
+    else:
+        pairs = (
+            pref.map_batches(_with_bucket("gram", shuffle_buckets), batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(lambda t: gram_pairs(t.drop_columns(["__b"])), batch_format="pyarrow")
+        )
+        cand = (
+            pairs.map_batches(_with_bucket("a", shuffle_buckets), batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(
+                lambda t: t.drop_columns(["__b"]).group_by(["a", "b"]).aggregate([]),
+                batch_format="pyarrow",
+            )
+        )
+    return verify_pairs_jaccard(ds, cand, text_col=text_col, id_col=id_col,
+                                n=n, threshold=threshold,
+                                shuffle_buckets=shuffle_buckets)
+
+
+def clusters_from_pairs(pair_rows: list[dict], all_ids) -> list[dict]:
+    """Connected components of the (small, driver-resident) verified pair
+    list: cluster_id = min doc_id of the component.  The DISTRIBUTED
+    clustering path for unbounded pair sets is :func:`minhash_clusters`'s
+    shuffle-native label propagation; this helper serves the exact-join
+    entries whose pair list is already on the driver by contract."""
+    parent: dict[int, int] = {int(i): int(i) for i in all_ids}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pair_rows:
+        ra, rb = find(int(r["a"])), find(int(r["b"]))
+        if ra != rb:
+            if ra > rb:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return [{"doc_id": i, "cluster_id": find(i)} for i in sorted(parent)]

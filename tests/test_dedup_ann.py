@@ -280,6 +280,64 @@ class TestJaccard:
         for r in got:
             assert abs(r["jaccard"] - want_j[(r["a"], r["b"])]) < 1e-12
 
+    @pytest.mark.parametrize("threshold", [0.3, 0.5, 0.8])
+    def test_ssjoin_exact_vs_all_pairs(self, ray_session, corpus, threshold):
+        """The prefix-filtered exact join must find EVERY pair >= threshold
+        (recall 1.0, unlike LSH) and nothing below it."""
+        import ray.data as rd
+
+        from lucene_solr_ray.stages.dedup import jaccard, ngram_set, ssjoin_jaccard
+
+        got = ssjoin_jaccard(rd.from_arrow(corpus), threshold=threshold)
+        ids = corpus["doc_id"].to_pylist()
+        sets = {i: ngram_set(t) for i, t in zip(ids, corpus["text"].to_pylist())}
+        want = sorted(
+            (a, b)
+            for ai, a in enumerate(ids)
+            for b in ids[ai + 1 :]
+            if jaccard(sets[min(a, b)], sets[max(a, b)]) >= threshold
+        )
+        want = sorted((min(a, b), max(a, b)) for a, b in want)
+        assert sorted((r["a"], r["b"]) for r in got) == want
+
+    def test_ssjoin_large_regime_matches_small(self, ray_session, corpus, monkeypatch):
+        """Force the bucketed-shuffle candidate path; identical output."""
+        import ray.data as rd
+
+        import lucene_solr_ray.stages.dedup as dd
+
+        small = dd.ssjoin_jaccard(rd.from_arrow(corpus), threshold=0.5)
+
+        real_count = rd.Dataset.count
+
+        # drive the >8M-row branch by patching the dispatch count
+        orig = dd.ssjoin_jaccard.__code__  # noqa: F841 (documentation only)
+        import lucene_solr_ray.stages.dedup as mod
+
+        src_ds = rd.from_arrow(corpus)
+        # monkeypatch Dataset.count only inside the ssjoin call
+        calls = {"n": 0}
+
+        def fake_count(self):
+            calls["n"] += 1
+            return 10_000_001 if calls["n"] == 1 else real_count(self)
+
+        monkeypatch.setattr(rd.Dataset, "count", fake_count)
+        big = mod.ssjoin_jaccard(src_ds, threshold=0.5)
+        monkeypatch.undo()
+        key = lambda rows: sorted((r["a"], r["b"], round(r["jaccard"], 12)) for r in rows)
+        assert key(big) == key(small)
+
+    def test_clusters_from_pairs_components(self):
+        from lucene_solr_ray.stages.dedup import clusters_from_pairs
+
+        rows = clusters_from_pairs(
+            [{"a": 2, "b": 5}, {"a": 5, "b": 9}, {"a": 7, "b": 8}],
+            [1, 2, 5, 7, 8, 9, 11],
+        )
+        got = {r["doc_id"]: r["cluster_id"] for r in rows}
+        assert got == {1: 1, 2: 2, 5: 2, 9: 2, 7: 7, 8: 7, 11: 11}
+
 
 @pytest.fixture(scope="module")
 def vectors():
