@@ -122,6 +122,11 @@ def _build_dict_sharded(tokenized_dir: str, dicts_dir: str, field: str, *, multi
         .sort("value")
         .write_parquet(out_dir, filename_provider=_Ordered(), mode="overwrite")
     )
+    # resident shard-index sidecar (first value + row count per shard) so the
+    # docmap stage can route values to shards without loading the dictionary
+    from .termshards import write_shard_index
+
+    write_shard_index(out_dir, term_col="value")
 
 
 def read_dict_table(index_dir: str, field: str):
@@ -298,61 +303,111 @@ def build_index(
             # regime): distinct via a value shuffle, global sort, sharded
             # write with order-preserving zero-padded filenames.
             all_fields = [*facet_fields, *multi_facet_fields]
+            sharded_fields: list = []
             if all_fields:
-
-                def block_uniques(t: pa.Table) -> pa.Table:
+                # metadata-only regime decision: the first pass ships one INT
+                # per (field, block) — never a value — so the driver decides
+                # sharded-vs-union without materializing any distinct set
+                # (round-2 advice: the old path take_all'd per-block value
+                # lists for every field before choosing).
+                def block_unique_counts(t: pa.Table) -> pa.Table:
                     cols = {}
                     for f in facet_fields:
-                        cols[f] = [pc.unique(t[f].combine_chunks()).to_pylist()]
+                        cols[f] = [len(pc.unique(t[f].combine_chunks().drop_null()))]
                     for f in multi_facet_fields:
-                        cols[f] = [pc.unique(pc.list_flatten(t[f].combine_chunks())).to_pylist()]
+                        cols[f] = [
+                            len(pc.unique(pc.list_flatten(t[f].combine_chunks()).drop_null()))
+                        ]
                     return pa.table(cols)
 
-                blocks = (
+                counts = (
                     _read_sized(tokenized_dir, columns=list(all_fields))
-                    .map_batches(block_uniques, batch_format="pyarrow")
+                    .map_batches(block_unique_counts, batch_format="pyarrow")
                     .take_all()
                 )
-                for f in all_fields:
-                    # upper bound on distinct count without a driver union
-                    ub = sum(len(b[f]) for b in blocks)
-                    if ub > dict_shard_threshold:
-                        _build_dict_sharded(
-                            tokenized_dir, dicts_dir, f,
-                            multi=f in multi_facet_fields,
-                        )
-                        continue
-                    seen: set = set()
-                    for b in blocks:
-                        seen.update(v for v in b[f] if v is not None)
-                    vals = sorted(seen, key=lambda s: str(s).encode())
-                    pq.write_table(
-                        pa.table({"value": pa.array(vals, type=pa.string())}),
-                        os.path.join(dicts_dir, f"{f}.parquet"),
+                # sum of per-block uniques = upper bound on distinct count
+                ubs = {f: sum(int(r[f]) for r in counts) for f in all_fields}
+                sharded_fields = [f for f in all_fields if ubs[f] > dict_shard_threshold]
+                small_fields = [f for f in all_fields if f not in sharded_fields]
+                for f in sharded_fields:
+                    _build_dict_sharded(
+                        tokenized_dir, dicts_dir, f,
+                        multi=f in multi_facet_fields,
                     )
-            _mark_stage(index_dir, "dicts", secs=time.time() - t0)
+                if small_fields:
+                    # cardinality-bounded fields only: total values shipped to
+                    # the driver here is <= dict_shard_threshold per field
+                    def block_uniques(t: pa.Table) -> pa.Table:
+                        cols = {}
+                        for f in small_fields:
+                            col = t[f].combine_chunks()
+                            if f in multi_facet_fields:
+                                col = pc.list_flatten(col)
+                            cols[f] = [pc.unique(col.drop_null()).to_pylist()]
+                        return pa.table(cols)
+
+                    blocks = (
+                        _read_sized(tokenized_dir, columns=list(small_fields))
+                        .map_batches(block_uniques, batch_format="pyarrow")
+                        .take_all()
+                    )
+                    for f in small_fields:
+                        seen: set = set()
+                        for b in blocks:
+                            seen.update(v for v in b[f] if v is not None)
+                        vals = sorted(seen, key=lambda s: str(s).encode())
+                        pq.write_table(
+                            pa.table({"value": pa.array(vals, type=pa.string())}),
+                            os.path.join(dicts_dir, f"{f}.parquet"),
+                        )
+            _mark_stage(
+                index_dir, "dicts", secs=time.time() - t0,
+                sharded_fields=sharded_fields,
+                driver_union_fields=[f for f in all_fields if f not in sharded_fields],
+                distinct_upper_bounds=ubs if all_fields else {},
+            )
 
         # ---- stage 4: doc-map (norms + doc values) -----------------------------
         if not (resume and _stage_done(index_dir, "docmap")):
             t0 = time.time()
+            # two ordinal-mapping regimes: cardinality-bounded dictionaries are
+            # broadcast ONCE (ray.put, read zero-copy in every task); sharded
+            # dictionaries are NEVER materialized anywhere — each task routes a
+            # batch's distinct values to shards via the resident shard index
+            # and lazily loads only the touched shards (round-2 advice fix).
+            shard_dirs = {
+                f: os.path.join(dicts_dir, f)
+                for f in (*facet_fields, *multi_facet_fields)
+                if os.path.isdir(os.path.join(dicts_dir, f))
+            }
             dict_arrays = {
                 f: read_dict_table(index_dir, f)["value"].combine_chunks()
                 for f in (*facet_fields, *multi_facet_fields)
+                if f not in shard_dirs
             }
             dicts_ref = ray.put(dict_arrays)
 
             def to_ords(batch: pa.Table) -> pa.Table:
                 """value -> global ordinal via Arrow's C++ index_in (vectorized)."""
+                from .termshards import get_ordinal_mapper
+
                 d = ray.get(dicts_ref)
+
+                def ords_for(f, col):
+                    if f in shard_dirs:
+                        return get_ordinal_mapper(shard_dirs[f]).map_array(col)
+                    idx = pc.index_in(col, value_set=d[f])
+                    return pc.fill_null(pc.cast(idx, pa.int32()), -1)
+
                 cols = {c: batch[c] for c in batch.column_names if c not in multi_facet_fields}
                 for f in facet_fields:
-                    idx = pc.index_in(batch[f].combine_chunks(), value_set=d[f])
-                    cols[f + "_ord"] = pc.fill_null(pc.cast(idx, pa.int32()), -1)
+                    cols[f + "_ord"] = ords_for(f, batch[f].combine_chunks())
                 for f in multi_facet_fields:
                     col = batch[f].combine_chunks()
-                    flat = pc.list_flatten(col)
-                    idx = pc.fill_null(pc.cast(pc.index_in(flat, value_set=d[f]), pa.int32()), -1)
-                    cols[f + "_ords"] = pa.ListArray.from_arrays(col.offsets, idx)
+                    flat_idx = ords_for(f, pc.list_flatten(col))
+                    if isinstance(flat_idx, pa.ChunkedArray):
+                        flat_idx = flat_idx.combine_chunks()
+                    cols[f + "_ords"] = pa.ListArray.from_arrays(col.offsets, flat_idx)
                 return pa.table(cols)
 
             cols = ["doc_id", "partition_id", "dl", "norm"] + keep_fields

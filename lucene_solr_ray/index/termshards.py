@@ -170,6 +170,97 @@ class ShardedTermTable:
         return np.concatenate(out) if out else np.empty(0, dtype=np.int64)
 
 
+class ShardedOrdinalMapper:
+    """value -> global facet ordinal over a range-sharded sorted dictionary.
+
+    The docmap-stage counterpart of :class:`ShardedTermTable`: a worker maps a
+    batch of facet values to global ordinals loading ONLY the shards the
+    batch's distinct values actually fall into (small LRU), so ordinal
+    assignment for a 640M-value dictionary (the SOLR-5894 `links` regime,
+    `solr/core/src/java/org/apache/solr/request/DocValuesFacets.java` ordinal
+    model) never materializes the dictionary in any single process."""
+
+    def __init__(self, dir_path: str, max_cached: int = 8):
+        with open(os.path.join(dir_path, SHARD_INDEX)) as fh:
+            idx = json.load(fh)
+        self.dir = dir_path
+        self.files: list[str] = idx["files"]
+        self.value_col = idx.get("term_col", "value")
+        self._cum = np.concatenate(
+            ([0], np.cumsum(np.asarray(idx["rows"], dtype=np.int64)))
+        ).astype(np.int64)
+        self._firsts = np.array([s.encode("utf-8") for s in idx["first"]], dtype=object)
+        self.max_cached = max_cached
+        self._cache: OrderedDict[int, object] = OrderedDict()
+
+    def __len__(self) -> int:
+        return int(self._cum[-1])
+
+    @property
+    def shards_loaded(self) -> int:
+        return len(self._cache)
+
+    def _shard_values(self, si: int):
+        hit = self._cache.get(si)
+        if hit is not None:
+            self._cache.move_to_end(si)
+            return hit
+        col = pq.read_table(
+            os.path.join(self.dir, self.files[si]), columns=[self.value_col]
+        )[self.value_col].combine_chunks()
+        self._cache[si] = col
+        if len(self._cache) > self.max_cached:
+            self._cache.popitem(last=False)
+        return col
+
+    def map_array(self, arr):
+        """int32 global ordinals for ``arr`` (-1 for null / out-of-dict).
+
+        Vectorized per touched shard: dictionary-encode the batch, route each
+        DISTINCT value to its shard by searchsorted over the resident
+        first-value index, then one ``pc.index_in`` per touched shard."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        arr = pc.cast(arr, pa.string())
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        denc = arr.dictionary_encode()
+        uniq = denc.dictionary
+        uords = np.full(len(uniq), -1, dtype=np.int64)
+        if len(uniq) and len(self.files):
+            ub = np.array(
+                [s.encode("utf-8") if s is not None else b"" for s in uniq.to_pylist()],
+                dtype=object,
+            )
+            si = np.maximum(np.searchsorted(self._firsts, ub, side="right") - 1, 0)
+            for s in np.unique(si):
+                mask = si == s
+                idx = pc.index_in(pa.array(ub[mask]).cast(pa.string()),
+                                  value_set=self._shard_values(int(s)))
+                found = pc.fill_null(pc.cast(idx, pa.int64()), -1).to_numpy(
+                    zero_copy_only=False
+                )
+                uords[mask] = np.where(found >= 0, found + int(self._cum[int(s)]), -1)
+        ind = pc.fill_null(pc.cast(denc.indices, pa.int64()), -1).to_numpy(
+            zero_copy_only=False
+        )
+        out = np.where(ind >= 0, uords[np.maximum(ind, 0)], -1).astype(np.int32)
+        return pa.array(out, type=pa.int32())
+
+
+_MAPPER_CACHE: dict = {}
+
+
+def get_ordinal_mapper(dir_path: str) -> "ShardedOrdinalMapper":
+    """Process-level mapper cache: Ray reuses worker processes across map
+    tasks, so shard LRUs warm up once per worker, not once per task."""
+    m = _MAPPER_CACHE.get(dir_path)
+    if m is None:
+        m = _MAPPER_CACHE[dir_path] = ShardedOrdinalMapper(dir_path)
+    return m
+
+
 class ShardedStringsView:
     """:class:`~.termdict.SortedStrings`-shaped facade over the shard table
     (keeps every existing term-dictionary call site working unchanged)."""

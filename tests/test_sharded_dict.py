@@ -45,6 +45,43 @@ def test_sharded_shards_are_globally_sorted(two_builds):
     assert vals == sorted(vals, key=lambda s: s.encode())
 
 
+def test_sharded_build_never_unioned_on_driver(two_builds):
+    """With threshold=0 every field must take the distributed path: the stage
+    marker records the regime per field, and the metadata-only decision means
+    the driver union list is empty (no per-block value list ever shipped)."""
+    import json
+
+    with open(os.path.join(two_builds["sharded"], "_stage_dicts.json")) as fh:
+        marker = json.load(fh)
+    assert set(marker["sharded_fields"]) >= {"host", "tld", "lang", "links_sim"}
+    assert marker["driver_union_fields"] == []
+    # decision inputs are counts, recorded for auditability
+    assert all(isinstance(v, int) for v in marker["distinct_upper_bounds"].values())
+
+
+def test_sharded_ordinal_mapper_matches_index_in(two_builds):
+    """Lazy per-shard ordinal mapping == one-shot index_in over the full
+    dictionary, including nulls and out-of-dictionary values."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from lucene_solr_ray.index.build import read_dict_table
+    from lucene_solr_ray.index.termshards import ShardedOrdinalMapper
+
+    ix = two_builds["sharded"]
+    for f in ("host", "links_sim"):
+        full = read_dict_table(ix, f)["value"].combine_chunks()
+        m = ShardedOrdinalMapper(os.path.join(ix, "dicts", f), max_cached=2)
+        vals = pa.array(
+            list(full.to_pylist()[:50]) + [None, "zz-not-in-dict", "", "aaa"],
+            type=pa.string(),
+        )
+        expect = pc.fill_null(pc.cast(pc.index_in(vals, value_set=full), pa.int32()), -1)
+        got = m.map_array(vals)
+        assert got.to_pylist() == expect.to_pylist(), f
+        assert m.shards_loaded <= 2  # LRU held, not the whole dictionary
+
+
 def test_sharded_index_queries_identical(ray_session, two_builds, oracle_index):
     """Facets + ordinals derived from the sharded dictionary match the
     normal build's query results exactly."""
