@@ -164,6 +164,13 @@ class GlobalStats:
         lo, hi = self.terms.prefix_range(pref)
         return [t[len(pref):] for t in self.terms.iter_range(lo, hi)]
 
+    def fuzzy_terms(self, field: str, word: str, max_edits: int):
+        """[(term, distance)] within ``max_edits`` — DP-guided seek over the
+        sorted dictionary (never materializes the vocabulary)."""
+        from ..query.suggest import fuzzy_seek
+
+        return fuzzy_seek(self.terms, word, max_edits, field=field)
+
 
 class IndexPartition(TermSource):
     """One partition's artifacts, loaded into RAM (SegmentReader analog)."""
@@ -363,6 +370,9 @@ class IndexPartition(TermSource):
     def prefix_terms(self, field, prefix):
         return self.stats.prefix_terms(field, prefix)
 
+    def fuzzy_terms(self, field, word, max_edits):
+        return self.stats.fuzzy_terms(field, word, max_edits)
+
     # -- faceting support -----------------------------------------------------
 
     def facet_missing(self, field: str, hit_doc_ids: np.ndarray) -> int:
@@ -459,3 +469,6 @@ class LocalIndex(TermSource):
 
     def prefix_terms(self, field, prefix):
         return self.stats.prefix_terms(field, prefix)
+
+    def fuzzy_terms(self, field, word, max_edits):
+        return self.stats.fuzzy_terms(field, word, max_edits)

@@ -307,6 +307,11 @@ class Evaluator:
                 # sorted-dictionary range scan (BlockTree prefix seek) — no
                 # full-vocabulary materialization
                 terms = self.src.prefix_terms(q.field, q.arg)
+            elif q.kind == "fuzzy" and hasattr(self.src, "fuzzy_terms"):
+                # DP-guided seek over the sorted dictionary (the Levenshtein
+                # automaton ∩ BlockTree intersect analog) — visits ~automaton
+                # frontier, never materializes the vocabulary
+                terms = [t for t, _ in self.src.fuzzy_terms(q.field, q.arg, q.arg2)]
             elif (
                 q.kind in ("wildcard", "regexp")
                 and hasattr(self.src, "prefix_terms")

@@ -59,6 +59,69 @@ def fuzzy_scan(sorted_terms, word: str, max_edits: int):
     return out
 
 
+_HI = b"\xff\xff\xff\xff"  # > any UTF-8 byte: upper bound of a prefix block
+
+
+def fuzzy_seek(terms, word: str, max_edits: int, *, field: str = "text"):
+    """All (body, distance) of ``field`` with Levenshtein <= max_edits, via a
+    DP-GUIDED SEEK over the sorted dictionary — the
+    `LevenshteinAutomata.java` ∩ BlockTree ``intersect()`` analog
+    (`lucene/core/src/java/org/apache/lucene/search/FuzzyTermsEnum.java`)
+    without building the automaton: whenever a prefix's DP row minimum
+    exceeds ``max_edits``, NO term sharing that prefix can match, so the scan
+    ``lower_bound``-seeks past the whole prefix block.  Visited terms ~ the
+    automaton frontier, not O(vocab); never materializes the vocabulary.
+
+    ``terms`` is a sorted dictionary view (``SortedStrings`` /
+    ``ShardedStringsView``): ``[i] -> str``, ``lower_bound(bytes) -> int``,
+    ``prefix_range(str)``, ``len``."""
+    if field == "text":
+        pref, lo, hi = "", 0, len(terms)
+    else:
+        pref = field + FIELD_SEP
+        lo, hi = terms.prefix_range(pref)
+    W = len(word)
+    rows: list[list[int]] = [list(range(W + 1))]
+    prev = ""
+    out: list[tuple[str, int]] = []
+    i = lo
+    while i < hi:
+        t = terms[i]
+        body = t[len(pref):]
+        if field == "text" and FIELD_SEP in body:
+            # an interleaved `other_field\x1f` block: seek past all of it
+            sep = body.index(FIELD_SEP)
+            i = max(i + 1, terms.lower_bound(body[: sep + 1].encode("utf-8") + _HI))
+            continue
+        # shared-prefix DP reuse (rows[0..cp] already describe body[:cp])
+        cp = 0
+        lim = min(len(body), len(prev), len(rows) - 1)
+        while cp < lim and body[cp] == prev[cp]:
+            cp += 1
+        del rows[cp + 1 :]
+        abandoned = -1
+        for j in range(cp, len(body)):
+            last = rows[-1]
+            cur = [last[0] + 1]
+            cj = body[j]
+            for k in range(1, W + 1):
+                cur.append(min(last[k] + 1, cur[k - 1] + 1, last[k - 1] + (cj != word[k - 1])))
+            rows.append(cur)
+            if min(cur) > max_edits:
+                abandoned = j
+                break
+        prev = body[: len(rows) - 1]
+        if abandoned >= 0:
+            # no term extending body[:abandoned+1] can ever match: skip block
+            blk = (pref + body[: abandoned + 1]).encode("utf-8")
+            i = max(i + 1, terms.lower_bound(blk + _HI))
+            continue
+        if rows[-1][W] <= max_edits:
+            out.append((body, rows[-1][W]))
+        i += 1
+    return out
+
+
 class PrefixSuggester:
     """Weighted prefix completion over one field's terms (weight = ttf)."""
 
@@ -89,22 +152,11 @@ class PrefixSuggester:
 def spellcheck(stats, word: str, *, field: str = "text", max_edits: int = 2,
                top: int = 5) -> list[tuple[str, int, int]]:
     """-> [(suggestion, distance, df)] ranked (distance asc, df desc, term
-    asc); the input word itself (distance 0) is never suggested.  The
-    dictionary scan shares DP rows across the sorted terms' common prefixes
-    (:func:`fuzzy_scan`)."""
-    pref = "" if field == "text" else field + FIELD_SEP
-    lo, hi = (0, len(stats.terms)) if field == "text" else stats.terms.prefix_range(pref)
-
-    def bodies():
-        # streamed: fuzzy_scan iterates once, nothing is materialized (with
-        # the sharded dictionary, iter_range holds one shard at a time)
-        for t in stats.terms.iter_range(lo, hi):
-            if field == "text" and FIELD_SEP in t:
-                continue
-            yield t[len(pref):]
-
+    asc); the input word itself (distance 0) is never suggested.  Shares the
+    DP-guided seek scan with FuzzyQuery (:func:`fuzzy_seek`) — visited terms
+    ~ automaton frontier, not O(vocab)."""
     cands: list[tuple[int, int, str]] = []
-    for t, d in fuzzy_scan(bodies(), word, max_edits):
+    for t, d in fuzzy_seek(stats.terms, word, max_edits, field=field):
         if d == 0:
             continue
         # df resolved by binary search only for the few matches

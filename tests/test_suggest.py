@@ -55,6 +55,94 @@ class TestFuzzyScan:
         assert got == [("abc", 0), ("abd", 1)]
 
 
+def _lev(a, b):
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+        prev = cur
+    return prev[-1]
+
+
+class _CountingView:
+    """Sorted-dictionary facade that counts term materializations."""
+
+    def __init__(self, inner):
+        self.inner = inner
+        self.visits = 0
+
+    def __len__(self):
+        return len(self.inner)
+
+    def __getitem__(self, i):
+        self.visits += 1
+        return self.inner[i]
+
+    def lower_bound(self, b):
+        return self.inner.lower_bound(b)
+
+    def prefix_range(self, p):
+        return self.inner.prefix_range(p)
+
+
+class TestFuzzySeek:
+    """DP-guided seek == brute force, and it really skips prefix blocks."""
+
+    def _view(self, vocab):
+        import pyarrow as pa
+
+        from lucene_solr_ray.index.termdict import SortedStrings
+
+        return SortedStrings(pa.array(vocab, type=pa.string()))
+
+    def test_matches_bruteforce(self):
+        import random
+
+        from lucene_solr_ray.query.suggest import fuzzy_seek
+
+        rnd = random.Random(37)
+        vocab = sorted(
+            {"".join(rnd.choice("abcd") for _ in range(rnd.randint(1, 7))) for _ in range(1500)}
+        )
+        view = self._view(vocab)
+        for w in ["abc", "dd", "abcdabc", "zzzz", ""]:
+            for k in (0, 1, 2):
+                got = fuzzy_seek(view, w, k)
+                want = [(t, _lev(t, w)) for t in vocab if _lev(t, w) <= k]
+                assert got == want, (w, k)
+
+    def test_visits_are_bounded_not_ovocab(self):
+        import random
+
+        from lucene_solr_ray.query.suggest import fuzzy_seek
+
+        rnd = random.Random(11)
+        vocab = sorted(
+            {"".join(rnd.choice("abcdefgh") for _ in range(rnd.randint(5, 10)))
+             for _ in range(4000)}
+        )
+        view = _CountingView(self._view(vocab))
+        out = fuzzy_seek(view, "abcab", 1)
+        assert out == [(t, _lev(t, "abcab")) for t in vocab if _lev(t, "abcab") <= 1]
+        # block seeks must prune most of the dictionary (automaton frontier)
+        assert view.visits < len(vocab) // 4, view.visits
+
+    def test_field_scoped_and_sep_blocks_skipped(self):
+        from lucene_solr_ray.query.suggest import fuzzy_seek
+        from lucene_solr_ray.stages.tokenize import FIELD_SEP
+
+        vocab = sorted(
+            ["cat", "cot", "dog", "dot"]
+            + [f"title{FIELD_SEP}{t}" for t in ("cat", "cut", "pig")],
+            key=lambda s: s.encode(),
+        )
+        view = self._view(vocab)
+        assert fuzzy_seek(view, "cat", 1, field="text") == [("cat", 0), ("cot", 1)]
+        assert fuzzy_seek(view, "cat", 1, field="title") == [("cat", 0), ("cut", 1)]
+        assert fuzzy_seek(view, "dog", 1, field="title") == []
+
+
 class TestSuggest:
     def test_prefix_suggestions_match_brute(self, pages_corpus, term_stats):
         _, ttf = term_stats
