@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "joindf_docs": rl.joindf_docs,
         "multimodal_frames": rl.multimodal_frames,
         # ---- (2) round-3 additions (new SQL gates for dedup/ANN) ----
+        "search_phrase_slop": ft.search_phrase_slop,
         "ngram_jaccard_dups_docs": rl.ngram_jaccard_dups_docs,
         "jaccard_clusters_docs": rl.jaccard_clusters_docs,
         "ann_brute_topk": rl.ann_brute_topk,
@@ -350,6 +351,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE regexp_matches(lower(text), '(^|[^a-z0-9])join[^a-z0-9]+hash([^a-z0-9]|$)')
             ORDER BY doc_id""",
+        # sloppy phrase "join hash"~2: for two distinct terms the
+        # SloppyPhraseScorer hit contract is exists (p_join, p_hash) with
+        # |p_hash - p_join - 1| <= slop; positions via ordinal unnest of the
+        # simple tokenization (leading-empty split slots shift all positions
+        # uniformly, so differences are unaffected)
+        "search_phrase_slop": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(arr) AS tok,
+                     generate_subscripts(arr, 1) AS pos
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(lower(text), '[^a-z0-9]+') AS arr
+                    FROM documents)
+            )
+            SELECT a.doc_id
+            FROM toks a JOIN toks b ON a.doc_id = b.doc_id
+            WHERE a.tok = 'join' AND b.tok = 'hash'
+              AND abs(b.pos - a.pos - 1) <= 2
+            GROUP BY a.doc_id
+            ORDER BY a.doc_id""",
         "search_msm": f"""
             SELECT doc_id FROM documents
             WHERE CAST({_HAS.format(t='join')} AS INT) + CAST({_HAS.format(t='vector')} AS INT)

@@ -144,15 +144,16 @@ def read_dict_table(index_dir: str, field: str):
     return None
 
 
-def _dedup_losers(input_paths, input_columns) -> set:
-    """doc_ids of rows SUPERSEDED by a newer row for the same url.
+def _dedup_losers(input_paths, input_columns):
+    """Materialized skinny Dataset of doc_ids SUPERSEDED by a newer row for
+    the same url (one int64 column ``doc_id``).
 
     Keep-most-recent-per-url (`RetainMostRecentUpdateConflictResolver`
     analog) without shuffling full rows: only (url, warc_ts, doc_id) go
-    through the groupby; the loser set (duplicate rate x corpus, ~0.5% here)
-    is broadcast back as a filter.  At 10^12-doc scale the broadcast becomes
-    a Bloom filter / partitioned anti-join over the same skinny table — the
-    shuffle payload is unchanged.
+    through the groupby.  The CALLER picks the filter regime by loser count:
+    broadcast ``is_in`` below ``dedup_broadcast_threshold``, partitioned
+    anti-join (losers spilled bucket-partitioned, tasks load only touched
+    buckets) above it — no driver set either way at the large regime.
     """
 
     from ..hashing import bucket_strings
@@ -200,7 +201,7 @@ def _dedup_losers(input_paths, input_columns) -> set:
         out = meta.map_batches(add_bucket, batch_format="pyarrow").groupby("ub").map_groups(
             losers, batch_format="pyarrow"
         )
-    return {r["doc_id"] for r in out.take_all()}
+    return out.select_columns(["doc_id"]).materialize()
 
 
 def build_index(

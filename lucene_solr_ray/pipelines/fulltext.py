@@ -181,6 +181,15 @@ def search_phrase(sf_dir: str) -> pa.Table:
     return _search_docs(sf_dir, PhraseQ(("join", "hash")))
 
 
+def search_phrase_slop(sf_dir: str) -> pa.Table:
+    """Sloppy phrase "join hash"~2 hit set (exact SloppyPhraseScorer
+    semantics, `search/SloppyPhraseScorer.java:100-134`).  For two distinct
+    terms the match contract reduces to: exists an occurrence pair with
+    |pos(hash) - pos(join) - 1| <= slop — which the SQL oracle states
+    positionally over the simple tokenization."""
+    return _search_docs(sf_dir, PhraseQ(("join", "hash"), slop=2))
+
+
 def search_msm(sf_dir: str) -> pa.Table:
     """minimumShouldMatch=2 of three optional terms."""
     return _search_docs(

@@ -453,12 +453,19 @@ class Evaluator:
                 counts = np.bincount((keys // shift).astype(np.int64), minlength=len(docs))
                 freqs = counts.astype(np.float64)
         else:
+            # repeat groups are a query property: offsets sharing a TERM,
+            # sorted by offset (SloppyPhraseScorer.gatherRptGroups simple
+            # case — no multi-term postings in this engine)
+            by_term: dict = {}
+            for i, t in enumerate(q.terms):
+                by_term.setdefault(t, []).append(i)
+            rpt_groups = [offs for offs in by_term.values() if len(offs) > 1]
             for j, doc in enumerate(docs.tolist()):
                 plists = []
                 for i, (d, _, pl) in enumerate(per_term):
                     pi = np.searchsorted(d, doc)
                     plists.append(np.asarray(pl[pi], dtype=np.int64))
-                freqs[j] = _sloppy_freq(plists, q.slop)
+                freqs[j] = _sloppy_freq(plists, q.slop, rpt_groups)
         hit = freqs > 0
         docs, freqs = docs[hit], freqs[hit]
         if len(docs) == 0:
@@ -468,25 +475,140 @@ class Evaluator:
         return docs, bm25.term_scores(freqs, nb, self._cache(q.field), wv)
 
 
-def _sloppy_freq(plists: list, slop: int) -> float:
-    """Minimal-window sloppy matching: for each occurrence of term 0, find
-    the earliest in-order completion; distance = extra displacement beyond
-    the exact phrase; contributes 1/(distance+1) if distance <= slop."""
-    acc = 0.0
-    for p0 in plists[0].tolist():
-        pos = p0
-        ok = True
-        for i in range(1, len(plists)):
-            nxt = plists[i][np.searchsorted(plists[i], pos + 1)] if np.searchsorted(plists[i], pos + 1) < len(plists[i]) else None
-            if nxt is None:
-                ok = False
+class _PP:
+    """One query offset's position stream, phrase-shifted
+    (PhrasePositions.java: position = term position - query offset, so an
+    exact match puts every stream at the same position)."""
+
+    __slots__ = ("pl", "idx", "offset", "position", "group")
+
+    def __init__(self, pl: list, offset: int):
+        self.pl = pl
+        self.idx = 0
+        self.offset = offset
+        self.position = pl[0] - offset
+        self.group = -1
+
+    def next_position(self) -> bool:
+        self.idx += 1
+        if self.idx >= len(self.pl):
+            return False
+        self.position = self.pl[self.idx] - self.offset
+        return True
+
+
+def _sloppy_freq(plists: list, slop: int, rpt_groups: list) -> float:
+    """Exact SloppyPhraseScorer semantics
+    (`lucene/core/src/java/org/apache/lucene/search/SloppyPhraseScorer.java:
+    100-134,238-321`, single-term postings so no multi-term repeats):
+
+    * a priority queue over phrase-shifted position streams ordered
+      (position, offset) — PhraseQueue.java:28-44;
+    * always advance the minimal stream; when it overtakes the queue head,
+      the minimized window length ``end - min position`` scores
+      ``1/(matchLength+1)`` if within slop (BM25Similarity.sloppyFreq),
+      accumulated in float32 like the reference's ``float freq``;
+    * repeated query terms: the j-th repeat starts j occurrences in
+      (advanceRepeatGroups), and a collision after an advance (two repeats
+      on the same term position) advances the lesser stream until disjoint
+      (advanceRpts) — the bijection constraint of the reference.
+    """
+    import heapq
+
+    if len(plists) == 1:  # degenerate: every occurrence is an exact match
+        return float(len(plists[0]))
+    pps = [_PP(pl.tolist(), i) for i, pl in enumerate(plists)]
+    groups: list[list[_PP]] = []
+    for offs in rpt_groups:
+        g = [pps[i] for i in sorted(offs)]
+        for pp in g:
+            pp.group = len(groups)
+        groups.append(g)
+    # advanceRepeatGroups (simple case): j-th repeat starts at occurrence j
+    for g in groups:
+        for j in range(1, len(g)):
+            for _ in range(j):
+                if not g[j].next_position():
+                    return 0.0
+    end = max(pp.position for pp in pps)
+
+    def entry(pp):
+        return (pp.position, pp.offset, pp)
+
+    heap = [entry(pp) for pp in pps]
+    heap.sort(key=lambda e: e[:2])
+    heapq.heapify(heap)
+
+    def advance_pp(pp) -> bool:
+        nonlocal end
+        if not pp.next_position():
+            return False
+        if pp.position > end:
+            end = pp.position
+        return True
+
+    def collide(pp):
+        rg = groups[pp.group]
+        tp = pp.position + pp.offset
+        for k, pp2 in enumerate(rg):
+            if pp2 is not pp and pp2.position + pp2.offset == tp:
+                return k
+        return -1
+
+    def advance_rpts(pp) -> bool:
+        """Resolve repeat collisions caused by advancing ``pp``; may advance
+        in-queue streams, so the heap is re-ordered afterwards."""
+        if pp.group < 0:
+            return True
+        rg = groups[pp.group]
+        cur, touched_queue = pp, False
+        while True:
+            k = collide(cur)
+            if k < 0:
                 break
-            pos = int(nxt)
-        if ok:
-            distance = (pos - p0) - (len(plists) - 1)
-            if distance <= slop:
-                acc += 1.0 / (distance + 1)
-    return acc
+            other = rg[k]
+            nxt = (
+                cur
+                if (cur.position, cur.offset) < (other.position, other.offset)
+                else other
+            )
+            if not advance_pp(nxt):
+                return False
+            if nxt is not pp:
+                touched_queue = True
+            cur = nxt
+        if touched_queue:
+            # total order (position, offset) is deterministic, so a full
+            # re-heapify reproduces the reference's partial re-queue
+            heap[:] = [entry(p) for _, _, p in heap]
+            heap.sort(key=lambda e: e[:2])
+            heapq.heapify(heap)
+        return True
+
+    def heap_push(pp):
+        heapq.heappush(heap, entry(pp))
+
+    acc = np.float32(0.0)
+    _, _, pp = heapq.heappop(heap)
+    match_length = end - pp.position
+    nxt_pos = heap[0][2].position
+    while advance_pp(pp):
+        if groups and not advance_rpts(pp):
+            break
+        if pp.position > nxt_pos:
+            if match_length <= slop:
+                acc = np.float32(acc + np.float32(1.0) / np.float32(match_length + 1))
+            heap_push(pp)
+            _, _, pp = heapq.heappop(heap)
+            nxt_pos = heap[0][2].position
+            match_length = end - pp.position
+        else:
+            ml2 = end - pp.position
+            if ml2 < match_length:
+                match_length = ml2
+    if match_length <= slop:
+        acc = np.float32(acc + np.float32(1.0) / np.float32(match_length + 1))
+    return float(acc)
 
 
 def top_k(

@@ -40,6 +40,76 @@ def broadcast_semi_join(ds, keys, key_col: str, *, anti: bool = False):
     return ds.map_batches(filt, batch_format="pyarrow")
 
 
+_KEYBUCKET_CACHE: dict = {}
+
+
+def _load_key_bucket(spill_dir: str, bucket: int):
+    """Per-worker-process LRU-ish cache of one bucket's key array (Ray
+    reuses worker processes across map tasks, so hot buckets load once)."""
+    import glob as _g
+    import os as _os
+
+    ck = (spill_dir, bucket)
+    hit = _KEYBUCKET_CACHE.get(ck)
+    if hit is not None:
+        return hit
+    import pyarrow.parquet as _pq
+
+    files = _g.glob(_os.path.join(spill_dir, f"__b={bucket}", "*.parquet"))
+    arr = (
+        _pq.read_table(files).column(0).combine_chunks()
+        if files
+        else pa.array([], type=pa.int64())
+    )
+    if len(_KEYBUCKET_CACHE) > 64:
+        _KEYBUCKET_CACHE.clear()
+    _KEYBUCKET_CACHE[ck] = arr
+    return arr
+
+
+def partitioned_anti_join(ds, keys_ds, key_col: str, spill_dir: str, *,
+                          n_buckets: int = 256):
+    """Anti-join for key sets too large to broadcast — the loser-set regime
+    documented in SCALE.md: the skinny key side is written Parquet
+    hive-partitioned by ``key % n_buckets`` and each downstream task loads
+    ONLY the bucket files its batch touches (worker-process cache).  The
+    DATA side is never shuffled and the driver never holds a key; per-task
+    extra memory is O(|keys| / n_buckets * touched buckets).
+
+    ``keys_ds`` is a Dataset with one int64 column named ``key_col``.
+    Result is identical to ``broadcast_semi_join(ds, keys, anti=True)``.
+    """
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[key_col], dtype=np.int64)
+        return pa.table(
+            {key_col: t[key_col], "__b": pa.array(ids % n_buckets, type=pa.int64())}
+        )
+
+    keys_ds.map_batches(bucketize, batch_format="pyarrow").write_parquet(
+        spill_dir, partition_cols=["__b"], mode="overwrite"
+    )
+
+    def drop(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[key_col], dtype=np.int64)
+        if len(ids) == 0:
+            return t
+        bks = ids % n_buckets
+        keep = np.ones(len(ids), dtype=bool)
+        for b in np.unique(bks).tolist():
+            keys = _load_key_bucket(spill_dir, int(b))
+            if len(keys) == 0:
+                continue
+            m = bks == b
+            hit = pc.is_in(pa.array(ids[m]), value_set=keys).to_numpy(
+                zero_copy_only=False
+            )
+            keep[np.flatnonzero(m)[hit]] = False
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(drop, batch_format="pyarrow")
+
+
 def hash_join(
     left,
     right,
