@@ -222,6 +222,7 @@ def build_index(
     tokenize_batch_size: int = 512,
     input_columns: tuple | None = None,
     dict_shard_threshold: int = 5_000_000,
+    dedup_broadcast_threshold: int = 50_000_000,
 ) -> dict:
     """Build all index artifacts under ``index_dir``; returns the manifest."""
     os.makedirs(index_dir, exist_ok=True)
@@ -247,17 +248,29 @@ def build_index(
         else:
             ds = _read_sized(input_paths)
         if dedup_url and "url" in ds.schema().names:
-            loser_ids = _dedup_losers(input_paths, input_columns)
-            if loser_ids:
+            losers_ds = _dedup_losers(input_paths, input_columns)
+            n_losers = losers_ds.count()
+            if n_losers and n_losers <= dedup_broadcast_threshold:
                 # broadcast the loser ids ONCE as an Arrow array; each batch
                 # filters with the vectorized C++ is_in kernel
-                loser_ref = ray.put(pa.array(sorted(loser_ids), type=pa.int64()))
+                loser_ids = losers_ds.to_arrow_refs()
+                arr = pa.concat_tables(ray.get(loser_ids)).column("doc_id")
+                loser_ref = ray.put(pc.cast(arr.combine_chunks(), pa.int64()))
 
                 def drop_losers(t: pa.Table) -> pa.Table:
                     vs = ray.get(loser_ref)
                     return t.filter(pc.invert(pc.is_in(t["doc_id"], value_set=vs)))
 
                 ds = ds.map_batches(drop_losers, batch_format="pyarrow")
+            elif n_losers:
+                # loser set too large to broadcast: spill it bucket-partitioned
+                # and anti-join inside the already-partition-local tasks
+                from ..stages.joins import partitioned_anti_join
+
+                ds = partitioned_anti_join(
+                    ds, losers_ds, "doc_id",
+                    os.path.join(index_dir, "dedup_losers"),
+                )
         if extract_html:
             ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=tokenize_batch_size)
         ds = ds.map_batches(

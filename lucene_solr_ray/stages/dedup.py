@@ -299,20 +299,29 @@ def minhash_clusters(ds, *, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
-def minhash_dedup(ds, **kw):
+def minhash_dedup(ds, *, broadcast_threshold: int = 50_000_000,
+                  spill_dir: str | None = None, **kw):
     """Keep one representative (min doc_id = cluster_id) per near-dup cluster.
 
-    The loser set (duplicate rate x corpus) is broadcast as ONE Arrow array
-    and filtered with the C++ ``is_in`` kernel; at extreme duplicate rates
-    swap in the partitioned anti-join over the clusters Dataset."""
-    from .joins import broadcast_semi_join
+    Two filter regimes by loser count (duplicate rate x corpus): below
+    ``broadcast_threshold`` the loser set ships ONCE as an Arrow array and
+    each batch filters with the C++ ``is_in`` kernel; above it the losers
+    are spilled bucket-partitioned Parquet and anti-joined inside the data
+    tasks (``partitioned_anti_join``) — the driver never holds an id."""
+    from .joins import broadcast_semi_join, partitioned_anti_join
 
     id_col = kw.get("id_col", "doc_id")
     clusters = minhash_clusters(ds, **kw)
     losers = clusters.map_batches(
         lambda t: t.filter(pc.invert(pc.equal(t[id_col], t["cluster_id"]))).select([id_col]),
         batch_format="pyarrow",
-    )
+    ).materialize()
+    n_losers = losers.count()
+    if n_losers > broadcast_threshold:
+        import tempfile
+
+        sd = spill_dir or tempfile.mkdtemp(prefix="minhash_losers_")
+        return partitioned_anti_join(ds, losers, id_col, sd)
     loser_ids = [r[id_col] for r in losers.take_all()]
     return broadcast_semi_join(ds, loser_ids, id_col, anti=True)
 
