@@ -43,7 +43,9 @@ def query_analyzer(analyzer: str):
     * ``simple``   — lowercase + ``[a-z0-9]+`` runs (DuckDB-oracle parity);
     * ``english``  — standard chain + ASCII folding + Porter stemming
       (``EnglishAnalyzer``'s stem step; its possessive/keyword filters are
-      subsumed/not applicable).
+      subsumed/not applicable);
+    * ``cjk``      — CJKAnalyzer chain: width fold + character bigrams over
+      consecutive CJK tokens (``analysis/cjk.py``).
     """
     if analyzer == "simple":
         return lambda text: ((t, p) for p, t in enumerate(simple_tokenize(text)))
@@ -57,6 +59,12 @@ def query_analyzer(analyzer: str):
                 yield porter_stem(ascii_fold(term)), pos
 
         return en
+    if analyzer == "cjk":
+        # CJKAnalyzer chain: width fold + character bigrams over consecutive
+        # CJK tokens (analysis/cjk.py; CJKAnalyzer.java:60-74)
+        from ..analysis.cjk import cjk_analyze
+
+        return cjk_analyze
     if analyzer.startswith("light_"):
         # light-stemmer chains for the Savoy family: light_de / light_fr /
         # light_es (standard chain + per-language light stemming)
@@ -101,12 +109,15 @@ def tokenize_batch(
     if analyzer == "by_lang":
         # LanguageIdentifierUpdateProcessor's field-routing shape: each doc's
         # lang column picks its chain (en -> Porter, de/fr/es -> the Savoy
-        # light stemmers, others -> the Standard chain) — per-row dispatch
+        # light stemmers, ja/zh -> CJK bigrams, others -> the Standard
+        # chain) — per-row dispatch
         lang_route = {
             "en": query_analyzer("english"),
             "de": query_analyzer("light_de"),
             "fr": query_analyzer("light_fr"),
             "es": query_analyzer("light_es"),
+            "ja": query_analyzer("cjk"),
+            "zh": query_analyzer("cjk"),
         }
         default_iter = query_analyzer("standard")
         langs = batch.column("lang").to_pylist()
