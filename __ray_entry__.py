@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_frames": rl.multimodal_frames,
         # ---- (2) round-3 additions (new SQL gates for dedup/ANN) ----
         "search_phrase_slop": ft.search_phrase_slop,
+        "pivot_refined_lang_source": ft.pivot_refined_lang_source,
         "ngram_jaccard_dups_docs": rl.ngram_jaccard_dups_docs,
         "jaccard_clusters_docs": rl.jaccard_clusters_docs,
         "ann_brute_topk": rl.ann_brute_topk,
@@ -435,6 +436,18 @@ def oracle_sql() -> dict[str, str]:
         "facet_range_nchars": """
             SELECT CAST(floor(n_chars / 100.0) AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n
             FROM documents GROUP BY bucket ORDER BY bucket""",
+        # refined distributed pivot over term-'join' hits: parent counts are
+        # per-lang hit counts; child rows cover docs with both fields; order
+        # (parent_n desc, lang, child_n desc, source) is the pivot tree order
+        "pivot_refined_lang_source": f"""
+            WITH hits AS (SELECT doc_id, lang, source FROM documents WHERE {_HAS.format(t='join')}),
+            p AS (SELECT lang, CAST(count(*) AS BIGINT) AS lang_n FROM hits WHERE lang IS NOT NULL GROUP BY lang),
+            c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS source_n FROM hits
+                  WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY lang, source)
+            SELECT CAST(row_number() OVER (ORDER BY p.lang_n DESC, p.lang, c.source_n DESC, c.source) - 1 AS BIGINT) AS rank,
+                   p.lang, p.lang_n, c.source, c.source_n
+            FROM p JOIN c ON p.lang = c.lang
+            ORDER BY p.lang_n DESC, p.lang, c.source_n DESC, c.source""",
         "pivot_lang_source": """
             SELECT CAST(row_number() OVER (ORDER BY n DESC, lang, source) - 1 AS BIGINT) AS rank, lang, source, n
             FROM (SELECT lang, source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang, source)

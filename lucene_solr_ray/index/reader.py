@@ -391,6 +391,21 @@ class IndexPartition(TermSource):
             return int((cache[field][idx] == 0).sum())
         raise KeyError(field)
 
+    def facet_ord_pairs(
+        self, f1: str, f2: str, hit_doc_ids: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """ALIGNED (ord1, ord2) global-ordinal pairs for hits that have BOTH
+        values — the two-level pivot-facet support (single-valued fields;
+        `PivotFacetProcessor.java` processes one doc's value per level)."""
+        idx = np.searchsorted(self.doc_ids, hit_doc_ids)
+        o1 = self.columns[f1 + "_ord"][idx].astype(np.int64)
+        o2 = self.columns[f2 + "_ord"][idx].astype(np.int64)
+        m = (o1 >= 0) & (o2 >= 0)
+        o1, o2 = o1[m], o2[m]
+        r1 = self.stats.ordmap_for(self.pid, f1)
+        r2 = self.stats.ordmap_for(self.pid, f2)
+        return (r1[o1] if r1 is not None else o1, r2[o2] if r2 is not None else o2)
+
     def facet_ords(self, field: str, hit_doc_ids: np.ndarray) -> np.ndarray:
         """GLOBAL ordinals (with repetition) contributed by the hit docs.
 

@@ -326,6 +326,84 @@ class SegmentSearcher:
             out[ok] += c[idx[ok]]
         return out.tolist()
 
+    # -- two-level pivot facets (PivotFacetProcessor analog) ------------------
+
+    def _pivot_pair_counts(self, query, f1: str, f2: str):
+        """(packed_key, count) for this shard's hits: key = ord1 * n2 + ord2
+        over docs having BOTH values (single-valued fields), sorted by key."""
+        n2 = len(self.stats.dicts[f2])
+        keys_list = []
+        for part in self.parts:
+            docs, _ = Evaluator(part).scored(query)
+            o1, o2 = part.facet_ord_pairs(f1, f2, docs)
+            if len(o1):
+                keys_list.append(o1 * n2 + o2)
+        if not keys_list:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        keys = np.sort(np.concatenate(keys_list))
+        first = np.ones(len(keys), dtype=bool)
+        first[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.append(starts, len(keys)))
+        return keys[starts], counts.astype(np.int64)
+
+    def pivot(self, query, fields: tuple, shard_limit: int | None = None) -> dict:
+        """Per-shard two-level pivot response: packed (parent*n2+child) pair
+        counts plus the parent field's own facet counts (parent totals
+        include docs missing the child field, as in the reference where each
+        level is an independent facet over the constrained docset).
+
+        ``shard_limit``: over-request truncation — keep the top ``shard_limit``
+        parents by pair-sum and the top ``shard_limit`` children within each
+        (`PivotFacet.java` shard refinement candidates come from these
+        truncated per-shard trees)."""
+        f1, f2 = fields
+        n2 = len(self.stats.dicts[f2])
+        keys, counts = self._pivot_pair_counts(query, f1, f2)
+        p_pairs = []
+        for part in self.parts:
+            docs, _ = Evaluator(part).scored(query)
+            p_pairs.append(self._facet_counts_for_hits(part, f1, docs))
+        p_ords, p_counts = _merge_ord_counts(p_pairs)
+        if shard_limit is not None and len(keys):
+            parents = keys // n2
+            # parent totals over pairs (keys are parent-major sorted)
+            pfirst = np.ones(len(parents), dtype=bool)
+            pfirst[1:] = parents[1:] != parents[:-1]
+            pstarts = np.flatnonzero(pfirst)
+            ptotals = np.add.reduceat(counts, pstarts)
+            puniq = parents[pstarts]
+            top = np.lexsort((puniq, -ptotals))[:shard_limit]
+            keep_parents = np.sort(puniq[top])
+            keep = np.zeros(len(keys), dtype=bool)
+            for gi in np.searchsorted(puniq, keep_parents).tolist():
+                lo = pstarts[gi]
+                hi = pstarts[gi + 1] if gi + 1 < len(pstarts) else len(keys)
+                child_top = np.lexsort((keys[lo:hi], -counts[lo:hi]))[:shard_limit]
+                keep[lo + child_top] = True
+            keys, counts = keys[keep], counts[keep]
+            if len(p_ords) > shard_limit:
+                sel = np.lexsort((p_ords, -p_counts))[:shard_limit]
+                sel.sort()
+                p_ords, p_counts = p_ords[sel], p_counts[sel]
+        return {
+            "pairs": (keys, counts),
+            "parents": (p_ords, p_counts),
+        }
+
+    def count_pivot_specific(self, query, fields: tuple, pair_keys: list[int]) -> list[int]:
+        """Pivot refinement: exact counts of specific packed (parent, child)
+        pairs over the full hit set (`PivotFacetProcessor.java` refinement
+        requests name explicit value paths)."""
+        targets = np.asarray(pair_keys, dtype=np.int64)
+        keys, counts = self._pivot_pair_counts(query, fields[0], fields[1])
+        out = np.zeros(len(targets), dtype=np.int64)
+        if len(keys):
+            idx = np.searchsorted(keys, targets)
+            ok = (idx < len(keys)) & (keys[np.minimum(idx, len(keys) - 1)] == targets)
+            out[ok] = counts[idx[ok]]
+        return out.tolist()
+
 
 def _merge_shard_topk(shard_topks: list[list], k: int, offset: int = 0) -> list:
     """The single merge contract (ShardDoc: score desc, doc_id asc)."""
@@ -450,6 +528,74 @@ class RayIndexSearcher:
         scores = {d: s for s, d in res["topk"]}
         pinned = [(scores.get(d, 0.0), d) for d in elevated_ids]
         return (pinned + organic)[:k]
+
+    def pivot_facets(
+        self,
+        query,
+        fields: tuple,
+        limit: int = 10,
+        sub_limit: int = 10,
+        mincount: int = 1,
+        overrequest: bool = False,
+    ) -> list:
+        """Distributed two-level pivot facet
+        (`solr/core/src/java/org/apache/solr/handler/component/PivotFacetProcessor.java`,
+        `PivotFacet.java` shard merge + refinement):
+
+        Exact path: every shard returns complete (parent, child) pair counts;
+        the driver sums.  Over-request path (``overrequest=True``): shards
+        truncate to ``limit*1.5+10`` parents / children; the merged candidate
+        paths are then REFINED — every shard recounts every candidate pair
+        (and candidate parent) exactly, so truncation never corrupts a count
+        that survives to the output (the same contract as field-facet
+        refinement, differentially tested equal to the exact path).
+
+        -> ``[(parent_value, parent_count, [(child_value, child_count), ...])]``
+        ordered (count desc, ordinal asc) at both levels.
+        """
+        f1, f2 = fields
+        n2 = len(self.stats.dicts[f2])
+        shard_limit = int(limit * 1.5) + 10 if overrequest else None
+        shard_res = ray.get(
+            [a.pivot.remote(query, fields, shard_limit) for a in self.actors]
+        )
+        keys, counts = _merge_ord_counts([r["pairs"] for r in shard_res])
+        p_ords, p_counts = _merge_ord_counts([r["parents"] for r in shard_res])
+        if overrequest:
+            if len(keys):
+                cand = keys.tolist()
+                refined = ray.get(
+                    [a.count_pivot_specific.remote(query, fields, cand) for a in self.actors]
+                )
+                counts = np.sum(np.asarray(refined, dtype=np.int64), axis=0)
+            if len(p_ords):
+                pcand = p_ords.tolist()
+                prefined = ray.get(
+                    [a.count_specific.remote(query, f1, pcand) for a in self.actors]
+                )
+                p_counts = np.sum(np.asarray(prefined, dtype=np.int64), axis=0)
+        v1, v2 = self.stats.dicts[f1], self.stats.dicts[f2]
+        pmap = dict(zip(p_ords.tolist(), p_counts.tolist()))
+        parents = keys // n2
+        out = []
+        # parent order: (parent facet count desc, ord asc), top `limit`
+        order = np.lexsort((p_ords, -p_counts))
+        for po in p_ords[order].tolist():
+            pc_ = int(pmap[po])
+            if pc_ < mincount:
+                continue
+            m = parents == po
+            ck, cc = keys[m] % n2, counts[m]
+            corder = np.lexsort((ck, -cc))[:sub_limit]
+            children = [
+                (v2[int(ck[i])], int(cc[i]))
+                for i in corder.tolist()
+                if int(cc[i]) >= mincount
+            ]
+            out.append((v1[int(po)], pc_, children))
+            if len(out) >= limit:
+                break
+        return out
 
     def search(
         self,

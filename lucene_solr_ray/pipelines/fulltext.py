@@ -551,6 +551,37 @@ def facet_lang_for_term(sf_dir: str) -> pa.Table:
         s.shutdown()
 
 
+def pivot_refined_lang_source(sf_dir: str) -> pa.Table:
+    """Distributed two-level pivot (lang x source) over hits of term 'join',
+    through the over-request + refinement protocol
+    (`PivotFacetProcessor.java` analog; searcher.pivot_facets) — flattened to
+    (lang, lang_n, source, source_n) rows in tree order."""
+    ix = documents_index(sf_dir)
+    s = RayIndexSearcher(ix, num_actors=3)
+    try:
+        tree = s.pivot_facets(
+            TermQ("join"), ("lang", "source"),
+            limit=10**6, sub_limit=10**6, mincount=1, overrequest=True,
+        )
+    finally:
+        s.shutdown()
+    langs, lang_ns, sources, source_ns = [], [], [], []
+    for pv, pn, children in tree:
+        for cv, cn in children:
+            langs.append(pv)
+            lang_ns.append(pn)
+            sources.append(cv)
+            source_ns.append(cn)
+    return _rank_table(
+        {
+            "lang": langs,
+            "lang_n": [int(n) for n in lang_ns],
+            "source": sources,
+            "source_n": [int(n) for n in source_ns],
+        }
+    )
+
+
 def facet_source_all(sf_dir: str) -> pa.Table:
     """Match-all facet on source with mincount=1."""
     ix = documents_index(sf_dir)
