@@ -338,11 +338,18 @@ class Evaluator:
             docs, scores = self.scored(q.child)
             return docs, (scores * np.float32(q.boost)).astype(np.float32)
 
-        from .spans import SPAN_NODES, span_matching_docs
+        from .spans import SPAN_NODES, extract_terms, span_freqs
 
         if isinstance(q, SPAN_NODES):
-            docs = span_matching_docs(self.src, q)
-            return docs, np.full(len(docs), np.float32(1.0), dtype=np.float32)
+            # SpanScorer: BM25 over the float sloppy freq; idf sums over the
+            # query's unique terms in sorted order (spans.py scoring contract)
+            docs, freqs = span_freqs(self.src, q)
+            if len(docs) == 0:
+                return _EMPTY_I, _EMPTY_F
+            field = q.field
+            wv = self._weight_value(field, extract_terms(q), 1.0)
+            nb = self.src.norm_bytes(field, docs)
+            return docs, bm25.term_scores(freqs, nb, self._cache(field), wv)
 
         raise TypeError(f"unknown query node {type(q)}")
 

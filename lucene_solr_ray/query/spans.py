@@ -19,9 +19,16 @@ Matching semantics:
 * or -> union of clause spans; not -> include spans overlapping no exclude
   span.
 
-Evaluation contract: span queries contribute CONSTANT score 1.0 per matching
-doc (the doc-set semantics the DuckDB regexp oracle can check); Lucene's
-sloppyFreq-weighted span scoring is a documented non-goal.
+Scoring contract (`SpanScorer.java:55-76` in the 4.x line): per matching doc
+``freq = Σ over enumerated spans of sloppyFreq(end - start)`` with BM25's
+``sloppyFreq(d) = 1/(d+1)``, accumulated in float32; the doc scores as a
+phrase with that float freq, and the weight's idf sums over the query's
+unique terms in sorted order (`SpanWeight.java:56-63` extracts into a
+TreeSet).  The SET of enumerated spans follows this module's matching
+contract above (greedy earliest-completion for ordered-near — the one
+documented deviation from NearSpansOrdered's backtracking on nested
+variable-length clauses).  The SQL-gated driver entries consume only the
+matching-doc set, which is unaffected by scoring.
 """
 
 from __future__ import annotations
@@ -205,3 +212,41 @@ def eval_spans(src, q) -> dict[int, list[tuple[int, int]]]:
 def span_matching_docs(src, q) -> np.ndarray:
     """Sorted doc_ids with at least one matching span."""
     return np.array(sorted(eval_spans(src, q)), dtype=np.int64)
+
+
+def extract_terms(q) -> list[str]:
+    """Unique query terms in sorted order — the ``SpanWeight`` idf-sum
+    order (`SpanWeight.java:56-63`: ``extractTerms`` into a TreeSet)."""
+    acc: set[str] = set()
+
+    def walk(node):
+        if isinstance(node, SpanTermQ):
+            acc.add(node.term)
+        elif isinstance(node, SpanNearQ) or isinstance(node, SpanOrQ):
+            for c in node.clauses:
+                walk(c)
+        elif isinstance(node, SpanNotQ):
+            # only the include side contributes to the weight
+            walk(node.include)
+        elif isinstance(node, SpanFirstQ):
+            walk(node.match)
+        else:
+            raise TypeError(type(node))
+
+    walk(q)
+    return sorted(acc)
+
+
+def span_freqs(src, q) -> tuple[np.ndarray, np.ndarray]:
+    """-> (sorted doc_ids, float32 sloppy freqs): per doc,
+    ``Σ 1/(end - start + 1)`` over its enumerated spans, float32-accumulated
+    in span order (`SpanScorer.setFreqCurrentDoc`)."""
+    by_doc = eval_spans(src, q)
+    docs = np.array(sorted(by_doc), dtype=np.int64)
+    freqs = np.empty(len(docs), dtype=np.float32)
+    for i, d in enumerate(docs.tolist()):
+        acc = np.float32(0.0)
+        for s, e in by_doc[d]:
+            acc = np.float32(acc + np.float32(1.0 / ((e - s) + 1)))
+        freqs[i] = acc
+    return docs, freqs

@@ -185,7 +185,73 @@ class TestSpans:
         # the exact counterexample the sweep missed
         assert _near_unordered([[(5, 6)], [(5, 6), (7, 8)]], 1) == [(5, 8)]
 
-    def test_span_constant_score(self, local_index):
+    def test_span_term_scoring_matches_independent_formula(
+        self, local_index, doc_positions
+    ):
+        """SpanScorer contract for a term span: freq = 0.5 * occurrences
+        (sloppyFreq(1) per unit span, f32-accumulated); score = BM25 with
+        that float freq.  Expected values recomputed from the RAW texts
+        (doc_positions) and the published BM25 formulas."""
+        from lucene_solr_ray.index import bm25
+        from lucene_solr_ray.smallfloat import encode_norm
+
         ev = Evaluator(local_index)
-        docs, scores = ev.scored(SpanNearQ((SpanTermQ("luko"), SpanTermQ("kalo")), slop=8))
-        assert np.all(scores == np.float32(1.0))
+        docs, scores = ev.scored(SpanTermQ("luko"))
+        df = sum(1 for pm in doc_positions.values() if pm.get("luko"))
+        n_docs = len(doc_positions)
+        sum_dl = sum(sum(len(v) for v in pm.values()) for pm in doc_positions.values())
+        wv = np.float32(
+            bm25.idf(df, n_docs) * np.float32(1.0) * np.float32(bm25.K1 + np.float32(1.0))
+        )
+        cache = bm25.norm_cache(bm25.avg_dl(sum_dl, n_docs))
+        for d, s in zip(docs.tolist(), scores.tolist()):
+            occ = len(doc_positions[d]["luko"])
+            freq = np.float32(0.0)
+            for _ in range(occ):
+                freq = np.float32(freq + np.float32(0.5))
+            dl = sum(len(v) for v in doc_positions[d].values())
+            nb = encode_norm(np.array([dl], dtype=np.int64))[0]
+            expect = np.float32((wv * freq) / (freq + cache[nb]))
+            assert np.float32(s) == expect, d
+
+    def test_span_near_scoring_width_sensitive(self, ray_session, tmp_path):
+        """Tighter spans score higher: same terms, same doc length, the doc
+        with the adjacent pair must outrank the doc with the spread pair
+        (sloppyFreq(width) decreases in width)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from lucene_solr_ray.index.build import build_index
+        from lucene_solr_ray.index.reader import LocalIndex
+
+        rows = pa.table(
+            {
+                "doc_id": pa.array([0, 1], type=pa.int64()),
+                "text": pa.array(
+                    [
+                        "alpha beta pad1 pad2 pad3 pad4",   # adjacent: width 2
+                        "alpha pad1 pad2 pad3 beta pad4",   # spread: width 5
+                    ]
+                ),
+            }
+        )
+        src = str(tmp_path / "d.parquet")
+        pq.write_table(rows, src)
+        ix = str(tmp_path / "ix")
+        build_index([src], ix, rows_per_partition=8, extract_html=False,
+                    dedup_url=False, analyzer="simple", facet_fields=(),
+                    resume=False)
+        ev2 = Evaluator(LocalIndex(ix))
+        q = SpanNearQ((SpanTermQ("alpha"), SpanTermQ("beta")), slop=4)
+        docs, scores = ev2.scored(q)
+        assert docs.tolist() == [0, 1]
+        assert scores[0] > scores[1]
+        # freq ratio: sloppyFreq over (end-start): 1/(2+1) vs 1/(5+1)
+        from lucene_solr_ray.index import bm25
+
+        n = bm25.norm_cache(bm25.avg_dl(12, 2))[
+            __import__("lucene_solr_ray.smallfloat", fromlist=["encode_norm"])
+            .encode_norm(np.array([6], dtype=np.int64))[0]
+        ]
+        f0, f1 = np.float32(1.0 / 3.0), np.float32(1.0 / 6.0)
+        assert np.isclose(scores[0] / scores[1], (f0 / (f0 + n)) / (f1 / (f1 + n)), rtol=1e-6)
