@@ -147,6 +147,46 @@ def analyze_counts(text: str) -> tuple[list[str], list[int], int]:
     return list(tf.keys()), list(tf.values()), n
 
 
+def standard_postings(text: str) -> tuple[dict[str, list[int]], int]:
+    """Fused hot path for the index build: full standard chain straight into
+    ``{term: [positions]}`` plus the emitted-token count (dl) — identical
+    output to aggregating :func:`analyze`, without the per-token tuple and
+    generator overhead (this is the inner loop of the tokenize stage)."""
+    per: dict[str, list[int]] = {}
+    pos = -1
+    n = 0
+    stop = ENGLISH_STOP_WORDS
+    for m in _SCANNER.finditer(text):
+        pos += 1
+        tok = m.group(0)
+        if len(tok) > MAX_TOKEN_LENGTH:
+            continue
+        term = tok.lower()
+        if term in stop:
+            continue
+        n += 1
+        lst = per.get(term)
+        if lst is None:
+            per[term] = [pos]
+        else:
+            lst.append(pos)
+    return per, n
+
+
+def simple_postings(text: str) -> tuple[dict[str, list[int]], int]:
+    """Fused ``simple``-analyzer counterpart of :func:`standard_postings`."""
+    per: dict[str, list[int]] = {}
+    pos = -1
+    for t in _SIMPLE.findall(text.lower()):
+        pos += 1
+        lst = per.get(t)
+        if lst is None:
+            per[t] = [pos]
+        else:
+            lst.append(pos)
+    return per, pos + 1
+
+
 def simple_tokenize(text: str) -> list[str]:
     """SQL-parity tokenizer: lowercase then runs of ``[a-z0-9]+``.
 

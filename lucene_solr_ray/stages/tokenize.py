@@ -83,6 +83,35 @@ def query_analyzer(analyzer: str):
     raise ValueError(analyzer)
 
 
+def postings_analyzer(analyzer: str):
+    """-> ``fn(text) -> ({term: [positions]}, emitted_count)`` — the
+    build-side FUSED counterpart of :func:`query_analyzer` (identical term,
+    position and dl output; the standard/simple chains skip the per-token
+    generator entirely).  Query-time parsing keeps using query_analyzer, so
+    the two sides still share one chain registry."""
+    from ..analysis.tokenizer import simple_postings, standard_postings
+
+    if analyzer == "standard":
+        return standard_postings
+    if analyzer == "simple":
+        return simple_postings
+    gen = query_analyzer(analyzer)
+
+    def fn(text: str):
+        per: dict[str, list[int]] = {}
+        n = 0
+        for term, pos in gen(text):
+            n += 1
+            lst = per.get(term)
+            if lst is None:
+                per[term] = [pos]
+            else:
+                lst.append(pos)
+        return per, n
+
+    return fn
+
+
 def tokenize_batch(
     batch: pa.Table,
     *,
@@ -112,50 +141,65 @@ def tokenize_batch(
         # light stemmers, ja/zh -> CJK bigrams, others -> the Standard
         # chain) — per-row dispatch
         lang_route = {
-            "en": query_analyzer("english"),
-            "de": query_analyzer("light_de"),
-            "fr": query_analyzer("light_fr"),
-            "es": query_analyzer("light_es"),
-            "ja": query_analyzer("cjk"),
-            "zh": query_analyzer("cjk"),
+            "en": postings_analyzer("english"),
+            "de": postings_analyzer("light_de"),
+            "fr": postings_analyzer("light_fr"),
+            "es": postings_analyzer("light_es"),
+            "ja": postings_analyzer("cjk"),
+            "zh": postings_analyzer("cjk"),
         }
-        default_iter = query_analyzer("standard")
+        default_fn = postings_analyzer("standard")
         langs = batch.column("lang").to_pylist()
-        tok_iter = None
+        tok_fn = None
     else:
-        tok_iter = query_analyzer(analyzer)
+        tok_fn = postings_analyzer(analyzer)
 
     n_rows = batch.num_rows
     field_texts = {"text": batch.column("text").to_pylist()}
     for f in extra_text_fields:
         field_texts[f] = batch.column(f).to_pylist()
-
-    terms_col: list[list[str]] = [[] for _ in range(n_rows)]
-    tfs_col: list[list[int]] = [[] for _ in range(n_rows)]
-    pos_col: list[list[list[int]]] = [[] for _ in range(n_rows)]
     dls = {f: np.empty(n_rows, dtype=np.int64) for f in field_texts}
 
-    for f, texts in field_texts.items():
-        for i, text in enumerate(texts):
-            per: dict[str, list[int]] = {}
-            n = 0
-            if lang_route is not None:
-                tok_iter = lang_route.get(langs[i], default_iter)
+    # flat accumulators + offsets: the Arrow list columns are constructed
+    # directly from these (ListArray.from_arrays), skipping the nested
+    # Python-list inference path — the tokenize stage's hot allocation
+    terms_flat: list[str] = []
+    tfs_flat: list[int] = []
+    pos_vals: list[int] = []
+    entry_off: list[int] = [0]
+    doc_off: list[int] = [0]
+
+    items = list(field_texts.items())
+    for i in range(n_rows):
+        if lang_route is not None:
+            tok_fn = lang_route.get(langs[i], default_fn)
+        for f, texts in items:
+            text = texts[i]
             if text:
-                for term, pos in tok_iter(text):
-                    per.setdefault(field_term_key(f, term), []).append(pos)
-                    n += 1
+                per, n = tok_fn(text)
+            else:
+                per, n = {}, 0
             dls[f][i] = n
-            terms_col[i].extend(per.keys())
-            tfs_col[i].extend(len(v) for v in per.values())
-            if with_positions:
-                pos_col[i].extend(per.values())
+            if f == "text":
+                terms_flat.extend(per.keys())
+            else:
+                terms_flat.extend(f"{f}{FIELD_SEP}{t}" for t in per.keys())
+            for pl in per.values():
+                tfs_flat.append(len(pl))
+                if with_positions:
+                    pos_vals.extend(pl)
+                    entry_off.append(len(pos_vals))
+        doc_off.append(len(terms_flat))
 
     out = {name: batch.column(name) for name in batch.column_names}
-    out["terms"] = pa.array(terms_col, type=pa.list_(pa.string()))
-    out["tfs"] = pa.array(tfs_col, type=pa.list_(pa.int32()))
+    doc_off_arr = pa.array(doc_off, type=pa.int32())
+    out["terms"] = pa.ListArray.from_arrays(doc_off_arr, pa.array(terms_flat, type=pa.string()))
+    out["tfs"] = pa.ListArray.from_arrays(doc_off_arr, pa.array(tfs_flat, type=pa.int32()))
     if with_positions:
-        out["positions"] = pa.array(pos_col, type=pa.list_(pa.list_(pa.int32())))
+        inner = pa.ListArray.from_arrays(
+            pa.array(entry_off, type=pa.int32()), pa.array(pos_vals, type=pa.int32())
+        )
+        out["positions"] = pa.ListArray.from_arrays(doc_off_arr, inner)
     out["dl"] = pa.array(dls["text"], type=pa.int64())
     out["norm"] = pa.array(encode_norm(dls["text"]), type=pa.uint8())
     for f in extra_text_fields:
