@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- (2) round-3 additions (new SQL gates for dedup/ANN) ----
         "search_phrase_slop": ft.search_phrase_slop,
         "pivot_refined_lang_source": ft.pivot_refined_lang_source,
+        "mlt_topk_docs": ft.mlt_topk_docs,
         "ngram_jaccard_dups_docs": rl.ngram_jaccard_dups_docs,
         "jaccard_clusters_docs": rl.jaccard_clusters_docs,
         "ann_brute_topk": rl.ann_brute_topk,
@@ -194,16 +195,24 @@ def _norm_case_sql() -> str:
     return "CASE " + " ".join(parts) + " ELSE CAST('Infinity' AS FLOAT) END"
 
 
-def _bm25_scored_sql(terms_values: str) -> str:
+def _bm25_scored_sql(terms_values: str | None, qterms_sql: str | None = None) -> str:
     """CTE set computing float32-faithful BM25 per (qid, doc): every
     intermediate is CAST to FLOAT at the same points the engine's float32
-    evaluation rounds (idf, weight*(k1+1), norm cache, final division)."""
+    evaluation rounds (idf, weight*(k1+1), norm cache, final division).
+    The query-term table comes from a VALUES list (``terms_values``) or an
+    arbitrary SELECT producing (qid, term) (``qterms_sql`` — lets an oracle
+    compute its own term set, e.g. MoreLikeThis selection)."""
+    qterms = (
+        f"qterms(qid, term) AS (VALUES {terms_values})"
+        if qterms_sql is None
+        else f"qterms AS ({qterms_sql})"
+    )
     return f"""
 WITH toks AS (
   SELECT doc_id, list_filter({_TOK}, t -> t != '') AS tk FROM documents
 ),
 stats AS (SELECT CAST(count(*) AS BIGINT) n, CAST(sum(len(tk)) AS BIGINT) sttf FROM toks),
-qterms(qid, term) AS (VALUES {terms_values}),
+{qterms},
 hits AS (
   SELECT q.qid, q.term, d.doc_id, len(list_filter(d.tk, x -> x = q.term)) AS tf, len(d.tk) AS dl
   FROM toks d CROSS JOIN qterms q
@@ -246,6 +255,37 @@ def oracle_sql() -> dict[str, str]:
             FROM conj
             QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) <= 10
             ORDER BY qid, rank""",
+        # MoreLikeThis: term selection (source doc 42; tf>=2 in source,
+        # df>=5, top 10 by tf * (ln(n/(df+1))+1) double-math, ties term-asc)
+        # happens INSIDE the oracle, then the standard f32 BM25 disjunction;
+        # the source doc is excluded from the result page
+        "mlt_topk_docs": _bm25_scored_sql(
+            None,
+            qterms_sql="""
+              WITH srctf AS (
+                SELECT t AS term, CAST(count(*) AS BIGINT) AS tf
+                FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x != '')) AS t
+                      FROM documents WHERE doc_id = 42)
+                GROUP BY t),
+              alldf AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS df
+                FROM (SELECT DISTINCT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x != '')) AS term
+                      FROM documents)
+                GROUP BY term),
+              n_all AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+              SELECT 0 AS qid, s.term
+              FROM srctf s JOIN alldf d ON s.term = d.term, n_all
+              WHERE s.tf >= 2 AND d.df >= 5
+              ORDER BY s.tf * (ln(n_all.n / (d.df + 1.0)) + 1.0) DESC, s.term
+              LIMIT 10""",
+        ) + """
+            , disj AS (
+              SELECT doc_id, CAST(sum(CAST(score AS DOUBLE)) AS FLOAT) AS score
+              FROM scored GROUP BY doc_id)
+            SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS rank, doc_id
+            FROM disj WHERE doc_id != 42
+            QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 10
+            ORDER BY rank""",
         "edismax_topk": _bm25_scored_sql("(0, 'join'), (0, 'vector')") + """
             , disj AS (
               SELECT doc_id, CAST(sum(CAST(score AS DOUBLE)) AS FLOAT) AS score

@@ -551,6 +551,45 @@ def facet_lang_for_term(sf_dir: str) -> pa.Table:
         s.shutdown()
 
 
+def mlt_topk_docs(sf_dir: str) -> pa.Table:
+    """MoreLikeThis (`MoreLikeThis.java` / `MoreLikeThisHandler.java`): docs
+    most similar to doc 42, via the top tf*idf_classic source terms
+    (tf>=2, df>=5, max 10 terms) as an unboosted BM25 disjunction through
+    the distributed searcher; source doc excluded.  S-gated: the oracle
+    recomputes term selection AND full float32 BM25 in SQL."""
+    import pyarrow.parquet as pqf
+
+    from ..index.reader import LocalIndex
+    from ..query.mlt import mlt_query
+
+    SRC_DOC = 42
+    ix = documents_index(sf_dir)
+    tbl = pqf.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    text = tbl.filter(pc.equal(tbl["doc_id"], SRC_DOC))["text"][0].as_py()
+    loc = LocalIndex(ix)
+    q = mlt_query(text, loc, analyzer="simple",
+                  min_term_freq=2, min_doc_freq=5, max_query_terms=10)
+    s = RayIndexSearcher(ix, num_actors=2)
+    try:
+        res = s.search(q, k=11)
+    finally:
+        s.shutdown()
+    ranks, dids = [], []
+    for _score, doc in res["topk"]:
+        if doc == SRC_DOC:
+            continue
+        if len(ranks) >= 10:
+            break
+        ranks.append(len(ranks))
+        dids.append(doc)
+    return pa.table(
+        {
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(dids, type=pa.int64()),
+        }
+    )
+
+
 def pivot_refined_lang_source(sf_dir: str) -> pa.Table:
     """Distributed two-level pivot (lang x source) over hits of term 'join',
     through the over-request + refinement protocol
