@@ -279,6 +279,32 @@ def _ceil_bw(_):
     return s
 
 
+def _ceil_pystr(n):
+    """Python string+dict workload shaped like the tokenize kernel (regex
+    scan, str.lower, dict-of-lists) — measures how ANY process-parallel
+    pure-Python string job scales on this box's allocator + memory bus.
+    The build's dominant stage IS this workload, so its ceiling is the right
+    normalizer for the tokenize-bound efficiency number."""
+    import re
+
+    pat = re.compile(r"[A-Za-z0-9]+")
+    text = ("The Quick Brown Fox jumps over 42 lazy dogs near the riverbank " * 40)
+    tot = 0
+    for _i in range(n):
+        per: dict = {}
+        pos = -1
+        for m in pat.finditer(text):
+            pos += 1
+            t = m.group(0).lower()
+            lst = per.get(t)
+            if lst is None:
+                per[t] = [pos]
+            else:
+                lst.append(pos)
+        tot += len(per)
+    return tot
+
+
 def _machine_ceilings() -> dict:
     """Microbenchmark ceilings of THIS VM (single shared memory bus): how an
     embarrassingly-parallel ALU-bound job and a numpy bandwidth-bound job
@@ -289,7 +315,11 @@ def _machine_ceilings() -> dict:
     import multiprocessing as mp
 
     out = {}
-    for name, fn, arg in [("alu", _ceil_alu, 6_000_000), ("numpy_bw", _ceil_bw, 0)]:
+    for name, fn, arg in [
+        ("alu", _ceil_alu, 6_000_000),
+        ("numpy_bw", _ceil_bw, 0),
+        ("pystr", _ceil_pystr, 700),
+    ]:
         per = {}
         for n in (2, 8, 32):
             with mp.Pool(n) as pool:
@@ -361,10 +391,16 @@ def run_scaling() -> dict:
     # ALU-bound embarrassingly-parallel job achieves on THIS box at the same
     # step (machine-checkable form of the shared-memory-bus argument)
     for lo, hi in zip(levels, levels[1:]):
-        ceil = result.get(f"ceiling_alu_{lo}_{hi}")
-        if ceil:
-            result[f"eff_norm_alu_{lo}_{hi}"] = round(result[f"eff_{lo}_{hi}"] / ceil, 3)
-    first = f"eff_norm_alu_{levels[0]}_{levels[1]}"
+        for cname in ("alu", "pystr"):
+            ceil = result.get(f"ceiling_{cname}_{lo}_{hi}")
+            if ceil:
+                result[f"eff_norm_{cname}_{lo}_{hi}"] = round(
+                    result[f"eff_{lo}_{hi}"] / ceil, 3
+                )
+    # normalize by the PYSTR ceiling: the build's dominant stage (tokenize)
+    # is a pure-Python string workload, so the fair "what would a perfectly
+    # parallel job of this kind achieve on this box" divisor is _ceil_pystr
+    first = f"eff_norm_pystr_{levels[0]}_{levels[1]}"
     if first in result:
         result["scaling_efficiency_ceiling_normalized"] = result[first]
     return result

@@ -223,8 +223,16 @@ def build_index(
     input_columns: tuple | None = None,
     dict_shard_threshold: int = 5_000_000,
     dedup_broadcast_threshold: int = 50_000_000,
+    stored_fields: tuple = (),
 ) -> dict:
-    """Build all index artifacts under ``index_dir``; returns the manifest."""
+    """Build all index artifacts under ``index_dir``; returns the manifest.
+
+    ``stored_fields`` are copied to a lazy doc store (``stored/`` partition
+    dir — the `.fdt` stored-fields file of
+    `lucene/core/src/java/org/apache/lucene/codecs/compressing/CompressingStoredFieldsWriter.java`):
+    never resident in searcher RAM, read per doc-id by STAGE_GET_FIELDS
+    (highlighting needs the original text back).
+    """
     os.makedirs(index_dir, exist_ok=True)
     fingerprint = {
         "input": sorted(input_paths) if isinstance(input_paths, (list, tuple)) else str(input_paths),
@@ -232,6 +240,7 @@ def build_index(
         "with_positions": with_positions,
         "analyzer": analyzer,
         "extra_text_fields": list(extra_text_fields),
+        **({"stored_fields": list(stored_fields)} if stored_fields else {}),
     }
 
     tokenized_dir = os.path.join(index_dir, "tokenized")
@@ -297,6 +306,7 @@ def build_index(
             keep.append("positions")
         if "url" in ds.schema().names:
             keep.append("url")
+        keep += [f for f in stored_fields if f not in keep]
         ds = ds.select_columns([c for c in keep if c in ds.schema().names])
         ds.write_parquet(tokenized_dir, partition_cols=["partition_id"], mode="overwrite")
         _mark_stage(index_dir, "tokenized", secs=time.time() - t0, fingerprint=fingerprint)
@@ -437,6 +447,19 @@ def build_index(
             ds = ds.map_batches(to_ords, batch_format="pyarrow")
             ds.write_parquet(docmap_dir, partition_cols=["partition_id"], mode="overwrite")
             _mark_stage(index_dir, "docmap", secs=time.time() - t0)
+
+        # ---- stage 4b: stored-fields doc store (lazy .fdt analog) ----------
+        if stored_fields and not (resume and _stage_done(index_dir, "stored")):
+            t0 = time.time()
+            _read_sized(
+                tokenized_dir,
+                columns=["doc_id", "partition_id", *stored_fields],
+            ).write_parquet(
+                os.path.join(index_dir, "stored"),
+                partition_cols=["partition_id"],
+                mode="overwrite",
+            )
+            _mark_stage(index_dir, "stored", secs=time.time() - t0)
 
     def _run_postings():
         # ---- stage 5: per-partition inversion + encode -------------------------
@@ -757,6 +780,7 @@ def build_index(
         "facet_fields": list(facet_fields),
         "multi_facet_fields": list(multi_facet_fields),
         "numeric_fields": list(numeric_fields),
+        "stored_fields": list(stored_fields),
         "max_doc": coll["max_doc"],
         "sum_dl": coll["sum_dl"],
         "extra_text_fields": list(extra_text_fields),
@@ -764,7 +788,7 @@ def build_index(
         "partitions": coll["partitions"],
         "lineage": {
             s: json.load(open(os.path.join(index_dir, f"_stage_{s}.json")))
-            for s in ("tokenized", "dicts", "docmap", "postings", "stats")
+            for s in ("tokenized", "dicts", "docmap", "stored", "postings", "stats")
             if _stage_done(index_dir, s)
         },
     }

@@ -59,6 +59,7 @@ class GlobalStats:
         self.max_doc = self.manifest["max_doc"]
         self.sum_dl = self.manifest["sum_dl"]
         self.extra_text_fields = tuple(self.manifest.get("extra_text_fields", ()))
+        self.stored_fields = tuple(self.manifest.get("stored_fields", ()))
         self.sum_dl_field = {
             f: self.manifest.get(f"sum_dl_{f}", 0) for f in self.extra_text_fields
         }
@@ -315,6 +316,29 @@ class IndexPartition(TermSource):
 
     def has_field(self, name: str) -> bool:
         return name == "dl" or name in self.columns or name in self.list_columns
+
+    def fetch_stored(self, fields: list, doc_ids) -> dict:
+        """Lazy stored-fields fetch (`CompressingStoredFieldsReader` analog):
+        reads only the requested doc ids from this partition's ``stored/``
+        files via parquet predicate pushdown — nothing stays resident."""
+        want = [f for f in fields if f in self.stats.stored_fields]
+        if not want:
+            return {}
+        files = _partition_files(
+            os.path.join(self.stats.root_for(self.pid), "stored"), self.pid
+        )
+        if not files:
+            return {}
+        t = pq.read_table(
+            files,
+            columns=["doc_id", *want],
+            filters=[("doc_id", "in", [int(d) for d in doc_ids])],
+        )
+        ids = t["doc_id"].to_pylist()
+        return {
+            int(d): {f: t[f][i].as_py() for f in want}
+            for i, d in enumerate(ids)
+        }
 
     def filter_docs(self, q):
         if isinstance(q, FilterQ):

@@ -287,6 +287,7 @@ class SegmentSearcher:
         """STAGE_GET_FIELDS: stored/doc-values fields for result ids owned by
         this actor (`QueryComponent.java:656-658` second round-trip)."""
         want = np.asarray(sorted(doc_ids), dtype=np.int64)
+        stored_want = [f for f in fields if f in self.stats.stored_fields]
         out: dict[int, dict] = {}
         for part in self.parts:
             if not len(part.doc_ids):
@@ -294,10 +295,14 @@ class SegmentSearcher:
             sel = want[(want >= part.doc_ids[0]) & (want <= part.doc_ids[-1])]
             idx = np.searchsorted(part.doc_ids, sel)
             ok = part.doc_ids[np.minimum(idx, len(part.doc_ids) - 1)] == sel
-            for d, i in zip(sel[ok].tolist(), idx[ok].tolist()):
+            hit = sel[ok]
+            for d, i in zip(hit.tolist(), idx[ok].tolist()):
                 out[int(d)] = {
                     f: part.field_value(f, i) for f in fields if part.has_field(f)
                 }
+            if stored_want and len(hit):
+                for d, vals in part.fetch_stored(stored_want, hit).items():
+                    out.setdefault(d, {}).update(vals)
         return out
 
     def scores_for_docs(self, query, doc_ids: list[int]) -> dict:
@@ -528,6 +533,43 @@ class RayIndexSearcher:
         scores = {d: s for s, d in res["topk"]}
         pinned = [(scores.get(d, 0.0), d) for d in elevated_ids]
         return (pinned + organic)[:k]
+
+    def search_highlighted(
+        self, query, k: int = 10, field: str = "text",
+        analyzer: str = "simple", max_passages: int = 1,
+    ) -> list:
+        """Top-k with snippet per hit (`PostingsHighlighter` surface over
+        the distributed pool): second round-trip fetches the k stored texts
+        (STAGE_GET_FIELDS), highlighting runs driver-side on k docs only.
+        -> ``[(score, doc_id, snippet | None)]``."""
+        from ..query.highlight import highlight_text, query_term_idfs
+
+        def terms_of(q, acc):
+            from ..query.ast import BoolQ, BoostQ, PhraseQ, TermQ
+
+            if isinstance(q, TermQ) and q.field == field:
+                acc.add(q.term)
+            elif isinstance(q, PhraseQ) and q.field == field:
+                acc.update(q.terms)
+            elif isinstance(q, BoolQ):
+                for c in (*q.must, *q.should):
+                    terms_of(c, acc)
+            elif isinstance(q, BoostQ):
+                terms_of(q.child, acc)
+            return acc
+
+        res = self.search(query, k=k)
+        ids = [d for _, d in res["topk"]]
+        stored = self.fetch_fields(ids, [field])
+        idfs = query_term_idfs(self.stats, terms_of(query, set()), field)
+        out = []
+        for s, d in res["topk"]:
+            text = (stored.get(d) or {}).get(field) or ""
+            out.append(
+                (s, d, highlight_text(text, idfs, analyzer=analyzer,
+                                      max_passages=max_passages))
+            )
+        return out
 
     def pivot_facets(
         self,

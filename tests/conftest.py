@@ -42,6 +42,7 @@ def pages_corpus(ray_session, tmp_path_factory):
         index_dir,
         rows_per_partition=128,
         multi_facet_fields=("links_sim",),
+        stored_fields=("text",),
     )
     yield {"files": files, "index_dir": index_dir, "manifest": manifest, "root": root}
     shutil.rmtree(root, ignore_errors=True)

@@ -106,7 +106,9 @@ def test_per_partition_resume_reencodes_only_missing(ray_session, tmp_path):
 
 def test_manifest_records_lineage(pages_corpus):
     man = json.load(open(os.path.join(pages_corpus["index_dir"], "manifest.json")))
-    assert set(man["lineage"]) == {"tokenized", "dicts", "docmap", "postings", "stats"}
+    assert set(man["lineage"]) == {
+        "tokenized", "dicts", "docmap", "stored", "postings", "stats",
+    }
     assert all("secs" in v for v in man["lineage"].values())
     assert man["lineage"]["tokenized"]["fingerprint"]["input"]
     # per-partition row counts recorded (resume/lineage granularity)
