@@ -81,6 +81,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "joindf_docs": rl.joindf_docs,
         "multimodal_frames": rl.multimodal_frames,
         # ---- (2) round-3 additions (new SQL gates for dedup/ANN) ----
+        "term_vectors_docs": ft.term_vectors_docs,
+        "realtime_get_docs": ft.realtime_get_docs,
+        "geofilt_customers": rl.geofilt_customers,
         "search_phrase_slop": ft.search_phrase_slop,
         "pivot_refined_lang_source": ft.pivot_refined_lang_source,
         "mlt_topk_docs": ft.mlt_topk_docs,
@@ -412,6 +415,42 @@ def oracle_sql() -> dict[str, str]:
               AND abs(b.pos - a.pos - 1) <= 2
             GROUP BY a.doc_id
             ORDER BY a.doc_id""",
+        # TermVectorsComponent: tf + first position per (doc, term); engine
+        # positions are 0-based over NON-EMPTY tokens, so renumber after
+        # dropping the split's boundary empties
+        "term_vectors_docs": """
+            WITH toks AS (
+              SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS idx
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(lower(text), '[^a-z0-9]+') AS arr
+                    FROM documents WHERE doc_id IN (0, 1, 2, 3, 4))
+            ), pos AS (
+              SELECT doc_id, term,
+                     CAST(row_number() OVER (PARTITION BY doc_id ORDER BY idx) - 1 AS BIGINT) AS p
+              FROM toks WHERE term <> ''
+            )
+            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+                   CAST(min(p) AS BIGINT) AS first_pos
+            FROM pos GROUP BY doc_id, term
+            ORDER BY doc_id, term""",
+        "realtime_get_docs": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE doc_id IN (2, 3, 5, 8, 13, 21, 34)
+            ORDER BY doc_id""",
+        # geofilt: synthetic 0.1-degree-grid point per key, haversine < 2000km
+        # from (0,0) — same arithmetic as the engine's numpy kernel
+        "geofilt_customers": """
+            WITH pts AS (
+              SELECT c_custkey,
+                     ((c_custkey * 7) % 1800) / 10.0 - 90.0 AS lat,
+                     ((c_custkey * 13) % 3600) / 10.0 - 180.0 AS lon
+              FROM customer)
+            SELECT c_custkey FROM pts
+            WHERE 2 * 6371.0087714 * asin(sqrt(
+                    pow(sin(radians(lat) / 2), 2)
+                    + cos(radians(0.0)) * cos(radians(lat))
+                      * pow(sin(radians(lon) / 2), 2))) < 2000.0
+            ORDER BY c_custkey""",
         "search_msm": f"""
             SELECT doc_id FROM documents
             WHERE CAST({_HAS.format(t='join')} AS INT) + CAST({_HAS.format(t='vector')} AS INT)

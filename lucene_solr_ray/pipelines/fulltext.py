@@ -753,3 +753,72 @@ def stats_nchars_by_lang(sf_dir: str) -> pa.Table:
             "mean_c": out["mean_c"].astype("float64").tolist(),
         }
     )
+
+
+TV_DOC_IDS = [0, 1, 2, 3, 4]
+RTG_DOC_IDS = [2, 3, 5, 8, 13, 21, 34]
+
+
+def term_vectors_docs(sf_dir: str) -> pa.Table:
+    """TermVectorsComponent (``tv=true`` with tf + first position,
+    `solr/core/src/java/org/apache/solr/handler/component/TermVectorComponent.java`;
+    store shape `lucene/core/src/java/org/apache/lucene/codecs/compressing/
+    CompressingTermVectorsReader.java`): per-doc term vectors served from the
+    index's DOC-ORIENTED tokenized checkpoint (our .tvd/.tvf analog — the
+    inverted postings are the wrong store for a by-document read).  Parquet
+    predicate pushdown fetches only the requested docs' rows; nothing else is
+    read or resident."""
+    import pyarrow.parquet as pq
+
+    ix = documents_index(sf_dir)
+    t = pq.read_table(
+        os.path.join(ix, "tokenized"),
+        columns=["doc_id", "terms", "tfs", "positions"],
+        filters=[("doc_id", "in", TV_DOC_IDS)],
+    ).combine_chunks()
+    terms = t["terms"].combine_chunks() if isinstance(t["terms"], pa.ChunkedArray) else t["terms"]
+    tfs = t["tfs"].combine_chunks() if isinstance(t["tfs"], pa.ChunkedArray) else t["tfs"]
+    pos = t["positions"].combine_chunks() if isinstance(t["positions"], pa.ChunkedArray) else t["positions"]
+    n_terms = pc.fill_null(terms.value_lengths(), 0).to_numpy(zero_copy_only=False)
+    doc_rep = np.repeat(np.asarray(t["doc_id"], dtype=np.int64), n_terms)
+    inner = pos.flatten()  # one list<int32> per (doc, term)
+    first = np.asarray(inner.values)[np.asarray(inner.offsets)[:-1]]
+    out = pa.table(
+        {
+            "doc_id": pa.array(doc_rep, type=pa.int64()),
+            "term": terms.flatten(),
+            "tf": pc.cast(tfs.flatten(), pa.int64()),
+            "first_pos": pa.array(first.astype(np.int64), type=pa.int64()),
+        }
+    )
+    return out.sort_by([("doc_id", "ascending"), ("term", "ascending")])
+
+
+def realtime_get_docs(sf_dir: str) -> pa.Table:
+    """RealTimeGet surface (``/get?ids=...``,
+    `solr/core/src/java/org/apache/solr/handler/component/RealTimeGetComponent.java`):
+    point fetch of doc-values fields by uniqueKey through the distributed
+    STAGE_GET_FIELDS round-trip (each actor answers only for the ids it
+    owns); facet ordinals decode through the global value dictionaries."""
+    from ..index.searcher import RayIndexSearcher
+
+    ix = documents_index(sf_dir)
+    s = RayIndexSearcher(ix, num_actors=2)
+    try:
+        got = s.fetch_fields(RTG_DOC_IDS, ["lang_ord", "source_ord", "n_chars"])
+        dicts = s.stats.dicts
+    finally:
+        s.shutdown()
+    ids = sorted(got)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "lang": pa.array(
+                [dicts["lang"][got[d]["lang_ord"]] for d in ids], type=pa.string()
+            ),
+            "source": pa.array(
+                [dicts["source"][got[d]["source_ord"]] for d in ids], type=pa.string()
+            ),
+            "n_chars": pa.array([int(got[d]["n_chars"]) for d in ids], type=pa.int64()),
+        }
+    )

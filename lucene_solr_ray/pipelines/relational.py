@@ -912,3 +912,40 @@ def multimodal_decode(sf_dir: str) -> pa.Table:
     ).to_pandas().sort_values("item_id")
     feat_dim = pa.array([len(f) for f in out["features"]], type=pa.int64())
     return pa.table({"item_id": out["item_id"].astype("int64").tolist(), "feat_dim": feat_dim})
+
+
+GEO_RADIUS_KM = 2000.0
+
+
+def geofilt_customers(sf_dir: str) -> pa.Table:
+    """Spatial radius filter (``{!geofilt pt=0,0 sfield=latlon d=2000}``,
+    `solr/core/src/java/org/apache/solr/schema/LatLonType.java`
+    SpatialDistanceQuery + `solr/core/src/java/org/apache/solr/search/
+    function/distance/HaversineConstFunction.java`): the TPC-H-ish tables
+    carry no coordinates, so each customer gets a DETERMINISTIC synthetic
+    0.1-degree-grid point derived from its key (same arithmetic in the SQL
+    oracle), and the filter keeps keys whose great-circle distance from the
+    origin is under the radius.  Output is integer keys only — the float
+    distance never crosses the engine/oracle hash compare; the grid
+    quantization keeps every point hundreds of km of margin away from any
+    float disagreement at the radius boundary (asserted in pytest).
+
+    Scale shape: stateless vectorized ``map_batches`` filter (numpy
+    haversine), no shuffle, no driver state."""
+    from ..functions.valuesources import geodist_km
+
+    def keep(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t["c_custkey"], dtype=np.int64)
+        lat = ((keys * 7) % 1800) / 10.0 - 90.0
+        lon = ((keys * 13) % 3600) / 10.0 - 180.0
+        d = np.asarray(geodist_km(lat, lon, 0.0, 0.0))
+        return t.filter(pa.array(d < GEO_RADIUS_KM))
+
+    out = (
+        rd.read_parquet(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"])
+        .map_batches(keep, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return pa.table(
+        {"c_custkey": sorted(out["c_custkey"].astype("int64").tolist())}
+    )
