@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_vectors_docs": ft.term_vectors_docs,
         "realtime_get_docs": ft.realtime_get_docs,
         "geofilt_customers": rl.geofilt_customers,
+        "edismax_bf_topk": ft.edismax_bf_topk,
         "search_phrase_slop": ft.search_phrase_slop,
         "pivot_refined_lang_source": ft.pivot_refined_lang_source,
         "mlt_topk_docs": ft.mlt_topk_docs,
@@ -295,6 +296,23 @@ def oracle_sql() -> dict[str, str]:
               FROM scored GROUP BY doc_id)
             SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS rank, doc_id
             FROM disj
+            QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 20
+            ORDER BY rank""",
+        # edismax + bf=log(n_chars): ReqOptSum adds the f32 function value to
+        # the f32 disjunction score (two-f32 add via DOUBLE + FLOAT cast is
+        # exact — double rounding is innocuous at p'=53 >= 2*24+2)
+        "edismax_bf_topk": _bm25_scored_sql("(0, 'join'), (0, 'vector')") + """
+            , disj AS (
+              SELECT doc_id, CAST(sum(CAST(score AS DOUBLE)) AS FLOAT) AS score
+              FROM scored GROUP BY doc_id)
+            , boosted AS (
+              SELECT disj.doc_id,
+                     CAST(disj.score
+                          + CAST(log10(CAST(d.n_chars AS DOUBLE)) AS FLOAT)
+                          AS FLOAT) AS score
+              FROM disj JOIN documents d ON disj.doc_id = d.doc_id)
+            SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS rank, doc_id
+            FROM boosted
             QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 20
             ORDER BY rank""",
         "search_after_page2": _bm25_scored_sql("(0, 'join')") + """

@@ -317,6 +317,16 @@ class IndexPartition(TermSource):
     def has_field(self, name: str) -> bool:
         return name == "dl" or name in self.columns or name in self.list_columns
 
+    def numeric_values(self, field: str) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids asc, float64 values) of a numeric doc-values column —
+        the FunctionQuery value source (missing column -> empty)."""
+        if field == "dl":
+            return self.doc_ids, self.dls.astype(np.float64)
+        col = self.columns.get(field)
+        if col is None or isinstance(col, (pa.Array, pa.ChunkedArray)):
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        return self.doc_ids, np.asarray(col, dtype=np.float64)
+
     def fetch_stored(self, fields: list, doc_ids) -> dict:
         """Lazy stored-fields fetch (`CompressingStoredFieldsReader` analog):
         reads only the requested doc ids from this partition's ``stored/``
@@ -494,6 +504,14 @@ class LocalIndex(TermSource):
 
     def all_docs(self):
         return self._concat([p.all_docs() for p in self.parts])
+
+    def numeric_values(self, field):
+        pieces = [p.numeric_values(field) for p in self.parts]
+        docs = self._concat([d for d, _ in pieces])
+        vals = [v for _, v in pieces if len(v)]
+        return docs, (
+            np.concatenate(vals) if vals else np.empty(0, dtype=np.float64)
+        )
 
     def global_df(self, field, term):
         return self.stats.df.get(field_term_key(field, term), 0)

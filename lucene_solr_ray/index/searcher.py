@@ -305,6 +305,18 @@ class SegmentSearcher:
                     out.setdefault(d, {}).update(vals)
         return out
 
+    def explain_doc(self, query, doc_id: int) -> dict | None:
+        """Explanation tree for one doc if this actor owns it and it matches
+        (`IndexSearcher.explain`; Solr debugQuery per-hit explain)."""
+        from ..query.explain import explain
+
+        for part in self.parts:
+            if len(part.doc_ids) and part.doc_ids[0] <= doc_id <= part.doc_ids[-1]:
+                e = explain(part, query, doc_id)
+                if e is not None:
+                    return e
+        return None
+
     def scores_for_docs(self, query, doc_ids: list[int]) -> dict:
         """Scores of *query* restricted to the given docs (ReRank support:
         `solr/core/src/java/org/apache/solr/search/ReRankQParserPlugin.java`
@@ -533,6 +545,15 @@ class RayIndexSearcher:
         scores = {d: s for s, d in res["topk"]}
         pinned = [(scores.get(d, 0.0), d) for d in elevated_ids]
         return (pinned + organic)[:k]
+
+    def explain(self, query, doc_id: int) -> dict | None:
+        """debugQuery explain for one hit: one round-trip, answered by the
+        actor owning the doc's partition range (None = doc doesn't match)."""
+        futs = [a.explain_doc.remote(query, doc_id) for a in self.actors]
+        for r in ray.get(futs):
+            if r is not None:
+                return r
+        return None
 
     def search_highlighted(
         self, query, k: int = 10, field: str = "text",

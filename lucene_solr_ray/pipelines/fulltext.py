@@ -822,3 +822,32 @@ def realtime_get_docs(sf_dir: str) -> pa.Table:
             "n_chars": pa.array([int(got[d]["n_chars"]) for d in ids], type=pa.int64()),
         }
     )
+
+
+def edismax_bf_topk(sf_dir: str) -> pa.Table:
+    """edismax with an additive boost function under the SQL gate:
+    'join vector' mm=1 plus ``bf=log(n_chars)``
+    (`solr/core/src/java/org/apache/solr/search/DisMaxQParser.java`
+    ``getBoostFunctions``; value source `LogFloatFunction` = log10).  Engine
+    float semantics: disjunction f64-accumulated -> f32, bf value
+    f32(log10(f64 n_chars)), ReqOptSumScorer f32 addition — the oracle
+    replays the same op order (two-f32-add via DOUBLE then FLOAT cast is
+    exact by the 2p+2 double-rounding theorem)."""
+    from ..query.ast import FunctionQ
+    from ..query.edismax import EDisMaxParser
+
+    ast = EDisMaxParser(
+        qf=(("text", 1.0),), mm=1, bf=(FunctionQ("n_chars", fn="log"),)
+    ).parse("join vector")
+    ix = documents_index(sf_dir)
+    docs, scores = Evaluator(LocalIndex(ix)).scored(ast)
+    ranks, ids = [], []
+    for rank, (_s, doc) in enumerate(top_k(docs, scores, 20)):
+        ranks.append(rank)
+        ids.append(doc)
+    return pa.table(
+        {
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(ids, type=pa.int64()),
+        }
+    )

@@ -113,6 +113,31 @@ class MatchAllQ:
 
 
 @dataclass(frozen=True)
+class FunctionQ:
+    """FunctionQuery over a numeric doc-values field
+    (`lucene/queries/src/java/org/apache/lucene/queries/function/FunctionQuery.java`
+    ``AllScorer``: score = boost * floatVal(doc)); ``fn`` maps to the
+    reference value sources (`log` = `LogFloatFunction` **log10**, `ln`,
+    `sqrt` = `SqrtFloatFunction`, `identity` = the raw field source).
+    Matches every doc that has the field (missing -> 0.0, the numeric
+    doc-values default)."""
+
+    field: str
+    fn: str = "identity"  # identity | log | ln | sqrt
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class BoostedQ:
+    """BoostedQuery (`lucene/queries/src/java/org/apache/lucene/queries/
+    function/BoostedQuery.java`): score = child score * function value
+    (float32 product) — the edismax multiplicative ``boost`` param."""
+
+    child: object
+    func: "FunctionQ" = None
+
+
+@dataclass(frozen=True)
 class BoostQ:
     """Multiplies the child subtree's scores by ``boost`` (float32) — the
     classic parser's ``(clause)^N`` on any node type (`BoostQuery.java`:
@@ -240,6 +265,23 @@ _EMPTY_I = np.empty(0, dtype=np.int64)
 _EMPTY_F = np.empty(0, dtype=np.float32)
 
 
+def _function_scores(vals: np.ndarray, fn: str, boost: float) -> np.ndarray:
+    """float32 FunctionQuery scores from float64 field values (the
+    ``FloatFieldSource``/``DualFloatFunction`` float pipeline: value source
+    computed in double, cast to float per doc, times the query boost)."""
+    v = np.asarray(vals, dtype=np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        if fn == "log":
+            v = np.log10(v)  # LogFloatFunction: Math.log10 (0 -> -Infinity)
+        elif fn == "ln":
+            v = np.log(v)
+        elif fn == "sqrt":
+            v = np.sqrt(v)  # Math.sqrt semantics (negative -> NaN)
+        elif fn != "identity":
+            raise ValueError(fn)
+    return (v.astype(np.float32) * np.float32(boost)).astype(np.float32)
+
+
 def _align(scores_docs: np.ndarray, scores: np.ndarray, subset: np.ndarray) -> np.ndarray:
     """scores for `subset` (subset ⊆ scores_docs, both sorted asc)."""
     idx = np.searchsorted(scores_docs, subset)
@@ -285,6 +327,21 @@ class Evaluator:
         if isinstance(q, MatchAllQ):
             docs = self.src.all_docs()
             return docs, np.full(len(docs), np.float32(1.0), dtype=np.float32)
+
+        if isinstance(q, FunctionQ):
+            docs, vals = self.src.numeric_values(q.field)
+            return docs, _function_scores(vals, q.fn, q.boost)
+
+        if isinstance(q, BoostedQ):
+            docs, scores = self.scored(q.child)
+            if len(docs) == 0:
+                return docs, scores
+            fdocs, vals = self.src.numeric_values(q.func.field)
+            fv = np.zeros(len(docs), dtype=np.float32)
+            idx = np.searchsorted(fdocs, docs)
+            ok = (idx < len(fdocs)) & (fdocs[np.minimum(idx, len(fdocs) - 1)] == docs)
+            fv[ok] = _function_scores(vals[idx[ok]], q.func.fn, q.func.boost)
+            return docs, (scores * fv).astype(np.float32)
 
         if isinstance(q, DisMaxQ):
             evaled = [self.scored(c) for c in q.clauses]

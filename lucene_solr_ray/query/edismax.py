@@ -11,6 +11,13 @@ each scored as a DisjunctionMax over the ``qf`` field/boost list, with
 * ``pf``  — phrase-boost fields: the WHOLE query as a phrase on each pf
   field, added as an optional boosted clause (``pf``/``pf2`` family);
 * ``tie`` — DisjunctionMax tiebreaker;
+* ``bf``  — additive boost functions (`DisMaxQParser.java` ``getBoostFunctions``):
+  each FunctionQ is appended as a pure optional clause, so its float32 value
+  adds to every matching doc's score via ReqOptSumScorer — it never gates
+  matching and never counts toward mm;
+* ``boost`` — multiplicative boost functions
+  (`ExtendedDismaxQParser.java` ``getMultiplicativeBoosts`` / BoostedQuery):
+  the whole query is wrapped in BoostedQ per function;
 * ``+`` / ``-`` prefixes and quoted phrases as in the classic parser.
 
 The output is an ordinary AST (BoolQ/DisMaxQ/TermQ/PhraseQ/BoostQ), so the
@@ -22,7 +29,7 @@ from __future__ import annotations
 import re
 
 from ..stages.tokenize import query_analyzer
-from .ast import BoolQ, BoostQ, DisMaxQ, MatchAllQ, PhraseQ, TermQ
+from .ast import BoolQ, BoostQ, BoostedQ, DisMaxQ, FunctionQ, MatchAllQ, PhraseQ, TermQ
 
 _CLAUSE_RE = re.compile(r'([+-]?)(?:"([^"]*)"|(\S+))')
 
@@ -35,11 +42,15 @@ class EDisMaxParser:
         tie: float = 0.0,
         mm: int | str = 0,
         analyzer: str = "standard",
+        bf: tuple = (),
+        boost: tuple = (),
     ):
         self.qf = tuple(qf)
         self.pf = tuple(pf)
         self.tie = float(tie)
         self.mm = mm
+        self.bf = tuple(bf)        # FunctionQ instances, additive
+        self.boost = tuple(boost)  # FunctionQ instances, multiplicative
         self._analyze = query_analyzer(analyzer)
 
     def _field_clauses(self, terms: tuple, is_phrase: bool):
@@ -88,17 +99,27 @@ class EDisMaxParser:
         n_scoring_should = len(should) - (len(self.pf) if len(all_terms) > 1 else 0)
         msm = self._resolve_mm(n_scoring_should)
         if not must and not should and must_not:
-            return BoolQ(must=(MatchAllQ(),), must_not=tuple(must_not))
-        if len(should) == 1 and not must and not must_not:
-            return should[0]
-        if len(must) == 1 and not should and not must_not:
-            return must[0]
-        return BoolQ(
-            must=tuple(must),
-            should=tuple(should),
-            must_not=tuple(must_not),
-            minimum_should_match=msm,
-        )
+            out = BoolQ(must=(MatchAllQ(),), must_not=tuple(must_not))
+        elif len(should) == 1 and not must and not must_not:
+            out = should[0]
+        elif len(must) == 1 and not should and not must_not:
+            out = must[0]
+        else:
+            out = BoolQ(
+                must=tuple(must),
+                should=tuple(should),
+                must_not=tuple(must_not),
+                minimum_should_match=msm,
+            )
+        if self.bf:
+            # `+(user query) (bf) (bf)` (DisMaxQParser.getBoostFunctions):
+            # the base query keeps its own mm internally; bf clauses are
+            # optional on top, so they add score via ReqOptSumScorer but
+            # never gate matching and never count toward mm
+            out = BoolQ(must=(out,), should=tuple(self.bf))
+        for fq in self.boost:
+            out = BoostedQ(out, fq)
+        return out
 
     def _dismax(self, clauses: tuple):
         if len(clauses) == 1:
