@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": ft.bm25_topk,
         "bm25_and_topk": ft.bm25_and_topk,
         "multimodal_decode": rl.multimodal_decode,
+        "kmeans_clusters_docs": rl.kmeans_clusters_docs,
     }
 
 

@@ -949,3 +949,20 @@ def geofilt_customers(sf_dir: str) -> pa.Table:
     return pa.table(
         {"c_custkey": sorted(out["c_custkey"].astype("int64").tolist())}
     )
+
+
+def kmeans_clusters_docs(sf_dir: str) -> pa.Table:
+    """Corpus k-means clustering (clustering-contrib surface analog,
+    `solr/contrib/clustering/`): hashed-TF-IDF Lloyd iterations with
+    broadcast centroids; rows-only driver gate (iterative, not
+    SQL-expressible), planted-topic purity gated in pytest."""
+    from ..stages.clustering import kmeans_docs
+
+    out, _ = kmeans_docs(_docs(sf_dir, ["doc_id", "text"]), k=8, dim=128, iters=8)
+    pdf = out.to_pandas().sort_values("doc_id")
+    return pa.table(
+        {
+            "doc_id": pdf["doc_id"].astype("int64").tolist(),
+            "cluster": pdf["cluster"].astype("int64").tolist(),
+        }
+    )
