@@ -106,7 +106,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shingle_top_bigrams": ft.shingle_top_bigrams,
         "spellcheck_terms": ft.spellcheck_terms,
         "incremental_union_term_df": ft.incremental_union_term_df,
-        "search_and": ft.search_and,
+        # round-3 addition; rows-only (iterative, purity-gated in pytest).
+        # search_and demoted below the cap to make room (conjunction still
+        # driver-covered by bm25_and_topk_simple).
+        "kmeans_clusters_docs": rl.kmeans_clusters_docs,
         "search_must_not": ft.search_must_not,
         "search_phrase": ft.search_phrase,
         "search_msm": ft.search_msm,
@@ -132,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---------------- driver cap (50) is around here ----------------
         # ---- (5) round-2-green, redundant in-family coverage ----
         "term_ttf_top100": ft.term_ttf_top100,
+        "search_and": ft.search_and,
         "search_or": ft.search_or,
         "search_span_near_unordered": ft.search_span_near_unordered,
         "search_span_first": ft.search_span_first,
