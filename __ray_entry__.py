@@ -24,6 +24,14 @@ _TOK = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
 _HAS = "list_contains(" + _TOK + ", '{t}')"
 
 
+def _stop33() -> str:
+    """SQL literal list of Lucene's 33 English stopwords
+    (StopAnalyzer.ENGLISH_STOP_WORDS_SET) — shared with the engine kernel."""
+    from lucene_solr_ray.analysis.tokenizer import ENGLISH_STOP_WORDS
+
+    return ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: build the inverted index over
     ``documents`` (StandardAnalyzer chain, positions, facets), run BM25
@@ -92,6 +100,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_clusters_docs": rl.jaccard_clusters_docs,
         "ann_brute_topk": rl.ann_brute_topk,
         "ann_ivf_full_probe": rl.ann_ivf_full_probe,
+        # round-3 wave 2: MultiTerm/frange/dismax under the gate + LLM
+        # quality signals (Gopher repetition, stopword ratio)
+        "search_prefix_docs": ft.search_prefix_docs,
+        "search_wildcard_docs": ft.search_wildcard_docs,
+        "search_fuzzy_docs": ft.search_fuzzy_docs,
+        "search_numeric_range_docs": ft.search_numeric_range_docs,
+        "frange_docs": ft.frange_docs,
+        "dismax_topk_simple": ft.dismax_topk_simple,
+        "repetition_docs": rl.repetition_docs,
+        "stopword_docs": rl.stopword_docs,
         # ---- (3) last row is from round 1 ----
         "group_top1_orders": rl.group_top1_orders,
         "export_sorted_lineitem": rl.export_sorted_lineitem,
@@ -159,7 +177,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": ft.bm25_topk,
         "bm25_and_topk": ft.bm25_and_topk,
         "multimodal_decode": rl.multimodal_decode,
-        "kmeans_clusters_docs": rl.kmeans_clusters_docs,
     }
 
 
@@ -243,6 +260,7 @@ def oracle_sql() -> dict[str, str]:
     tok_terms = (
         "SELECT doc_id, unnest(" + _TOK + ") AS term FROM documents"
     )
+    _STOP33 = _stop33()
     from lucene_solr_ray.pipelines.fulltext import SEARCH_TERMS
 
     bm25_terms = ", ".join(f"({i}, '{t}')" for i, t in enumerate(SEARCH_TERMS))
@@ -474,6 +492,87 @@ def oracle_sql() -> dict[str, str]:
                     + cos(radians(0.0)) * cos(radians(lat))
                       * pow(sin(radians(lon) / 2), 2))) < 2000.0
             ORDER BY c_custkey""",
+        # MultiTermQ expansions: hit set = docs containing ANY matching term
+        "search_prefix_docs": f"""
+            SELECT doc_id FROM documents
+            WHERE len(list_filter({_TOK}, t -> t LIKE 's%')) > 0
+            ORDER BY doc_id""",
+        # '?' matches exactly one char; tokens are [a-z0-9]+ so '.' == any
+        "search_wildcard_docs": f"""
+            SELECT doc_id FROM documents
+            WHERE len(list_filter({_TOK}, t -> regexp_matches(t, '^s.a.*$'))) > 0
+            ORDER BY doc_id""",
+        "search_fuzzy_docs": f"""
+            SELECT doc_id FROM documents
+            WHERE len(list_filter({_TOK}, t -> t != '' AND levenshtein(t, 'slot') <= 2)) > 0
+            ORDER BY doc_id""",
+        "search_numeric_range_docs": """
+            SELECT doc_id FROM documents
+            WHERE n_chars >= 200 AND n_chars <= 400
+            ORDER BY doc_id""",
+        # frange compares the FUNCTION value in float32 (ValueSourceRangeFilter
+        # floatVal), so the oracle casts log10 to FLOAT before the bounds
+        "frange_docs": """
+            SELECT doc_id FROM documents
+            WHERE CAST(log10(CAST(n_chars AS DOUBLE)) AS FLOAT)
+                    >= CAST('2.5' AS FLOAT)
+              AND CAST(log10(CAST(n_chars AS DOUBLE)) AS FLOAT)
+                    <= CAST('2.8' AS FLOAT)
+            ORDER BY doc_id""",
+        # DisMax tiebreak: score = smax + f32(f32(ssum - smax) * f32(0.3)),
+        # every step rounded to float32 like DisjunctionMaxScorer
+        "dismax_topk_simple": _bm25_scored_sql(
+            "(0, 'join'), (1, 'hash'), (2, 'window'), (3, 'stream')"
+        ) + """
+            , pairs AS (SELECT qid, qid // 2 AS pid FROM (VALUES (0),(1),(2),(3)) v(qid)),
+            perdoc AS (
+              SELECT p.pid, s.doc_id,
+                     CAST(max(s.score) AS FLOAT) AS smax,
+                     CAST(sum(CAST(s.score AS DOUBLE)) AS FLOAT) AS ssum
+              FROM scored s JOIN pairs p ON s.qid = p.qid
+              GROUP BY 1, 2),
+            dm AS (
+              SELECT pid AS qid, doc_id,
+                     CAST(smax + CAST(CAST(ssum - smax AS FLOAT) * CAST('0.3' AS FLOAT) AS FLOAT) AS FLOAT) AS score
+              FROM perdoc)
+            SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS rank, doc_id
+            FROM dm
+            QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) <= 10
+            ORDER BY qid, rank""",
+        "repetition_docs": f"""
+            WITH toks AS (SELECT doc_id, list_filter({_TOK}, t -> t != '') AS tk FROM documents),
+            tg AS (SELECT doc_id, unnest(tk) AS tok, unnest(range(1, len(tk)+1)) AS pos FROM toks),
+            g AS (
+              SELECT doc_id,
+                     tok || ' ' || lead(tok, 1) OVER w AS g2,
+                     lead(tok, 1) OVER w IS NOT NULL AS ok2,
+                     tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS g3,
+                     lead(tok, 2) OVER w IS NOT NULL AS ok3
+              FROM tg WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+            t3 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+                          CAST(count(DISTINCT g3) AS BIGINT) AS n_dist
+                   FROM g WHERE ok3 GROUP BY doc_id),
+            t2 AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bi
+                   FROM (SELECT doc_id, g2, count(*) AS c FROM g WHERE ok2 GROUP BY doc_id, g2)
+                   GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(t3.n_tri, 0) AS BIGINT) AS n_trigrams,
+                   CAST(coalesce(t3.n_tri - t3.n_dist, 0) AS BIGINT) AS n_dup_trigrams,
+                   CASE WHEN coalesce(t3.n_tri, 0) > 0
+                        THEN CAST(t3.n_tri - t3.n_dist AS DOUBLE) / t3.n_tri
+                        ELSE 0.0 END AS dup_trigram_frac,
+                   CAST(coalesce(t2.top_bi, 0) AS BIGINT) AS top_bigram_n
+            FROM documents d LEFT JOIN t3 USING (doc_id) LEFT JOIN t2 USING (doc_id)
+            ORDER BY d.doc_id""",
+        "stopword_docs": f"""
+            WITH c AS (
+              SELECT doc_id,
+                     CAST(len(list_filter({_TOK}, t -> t IN ({_STOP33}))) AS BIGINT) AS n_stopwords,
+                     CAST(len(list_filter({_TOK}, t -> t != '')) AS BIGINT) AS n_tokens
+              FROM documents)
+            SELECT doc_id, n_stopwords, n_tokens,
+                   CAST(n_stopwords AS DOUBLE) / greatest(n_tokens, 1) AS stop_ratio
+            FROM c ORDER BY doc_id""",
         "search_msm": f"""
             SELECT doc_id FROM documents
             WHERE CAST({_HAS.format(t='join')} AS INT) + CAST({_HAS.format(t='vector')} AS INT)

@@ -234,6 +234,84 @@ def parsed_query_search(sf_dir: str) -> pa.Table:
     return _search_docs(sf_dir, ast)
 
 
+def search_prefix_docs(sf_dir: str) -> pa.Table:
+    """PrefixQuery 'cust*' hit set (`search/PrefixQuery.java`, constant-score
+    rewrite): expansion is a sorted-dictionary RANGE scan (BlockTree prefix
+    seek analog) — the entry S-gates the prefix_terms shard-pruned path."""
+    from ..query.ast import MultiTermQ
+
+    # 's' expands to several terms (scan/slow/small/sort/spark/stream in the
+    # fixture vocabulary) so the union-of-postings path is exercised
+    return _search_docs(sf_dir, MultiTermQ("prefix", "s"))
+
+
+def search_wildcard_docs(sf_dir: str) -> pa.Table:
+    """WildcardQuery 's?a*' hit set (`search/WildcardQuery.java`): literal-
+    prefix-bounded dictionary scan, then full-pattern match in the slice
+    (multi-term expansion: scan/small/spark in the fixture vocabulary)."""
+    from ..query.ast import MultiTermQ
+
+    return _search_docs(sf_dir, MultiTermQ("wildcard", "s?a*"))
+
+
+def search_fuzzy_docs(sf_dir: str) -> pa.Table:
+    """FuzzyQuery 'slot'~2 hit set (`search/FuzzyQuery.java`): expansion via
+    the DP-guided seek over the sorted dictionary (the LevenshteinAutomata ∩
+    BlockTree intersect analog, round-3) — multi-term expansion (slow + sort
+    in the fixture vocabulary), S-gated against DuckDB ``levenshtein`` over
+    the distinct token vocabulary."""
+    from ..query.ast import MultiTermQ
+
+    return _search_docs(sf_dir, MultiTermQ("fuzzy", "slot", arg2=2))
+
+
+def search_numeric_range_docs(sf_dir: str) -> pa.Table:
+    """NumericRangeQuery n_chars:[200 TO 400] hit set
+    (`search/NumericRangeQuery.java` / Solr TrieField ranges): evaluated on
+    the numeric doc-values column (we always materialize doc values at build,
+    so no Trie precision-step terms are needed)."""
+    from ..query.ast import RangeQ
+
+    return _search_docs(sf_dir, RangeQ("n_chars", 200, 400))
+
+
+def frange_docs(sf_dir: str) -> pa.Table:
+    """{!frange l=2.5 u=2.8}log(n_chars) hit set (FunctionRangeQParserPlugin /
+    `ValueSourceRangeFilter.java`): bounds compared in float32 exactly as the
+    reference's floatVal path — the oracle casts log10 to FLOAT before
+    comparing."""
+    from ..query.ast import FRangeQ, FunctionQ
+
+    return _search_docs(sf_dir, FRangeQ(FunctionQ("n_chars", fn="log"), lo=2.5, hi=2.8))
+
+
+def dismax_topk_simple(sf_dir: str) -> pa.Table:
+    """DisjunctionMaxQuery (tiebreak=0.3) top-10 under the SQL gate: score =
+    max(clause scores) + 0.3 * (sum - max), float32 at every step
+    (`DisjunctionMaxScorer.java` ``scoreMax + (scoreSum - scoreMax) * tie``)
+    — the oracle replays the same f32 rounding points in SQL."""
+    ix = documents_index(sf_dir)
+    from ..query.ast import DisMaxQ
+
+    loc = LocalIndex(ix)
+    ev = Evaluator(loc)
+    out = {"qid": [], "rank": [], "doc_id": []}
+    pairs = [("join", "hash"), ("window", "stream")]
+    for qid, (a, b) in enumerate(pairs):
+        docs, scores = ev.scored(DisMaxQ((TermQ(a), TermQ(b)), tiebreak=0.3))
+        for rank, (_score, doc) in enumerate(top_k(docs, scores, 10)):
+            out["qid"].append(qid)
+            out["rank"].append(rank)
+            out["doc_id"].append(doc)
+    return pa.table(
+        {
+            "qid": pa.array(out["qid"], type=pa.int64()),
+            "rank": pa.array(out["rank"], type=pa.int64()),
+            "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+        }
+    )
+
+
 # ---- BM25 ranking (oracle: pytest vs pure-Python; driver: rows-only) --------
 
 

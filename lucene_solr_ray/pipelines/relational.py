@@ -149,6 +149,55 @@ def quality_docs(sf_dir: str) -> pa.Table:
     )
 
 
+def repetition_docs(sf_dir: str) -> pa.Table:
+    """Gopher-style repetition quality signals (duplicate-trigram fraction +
+    top-bigram occurrence count) per document — the within-doc counterpart of
+    the corpus-level dedup family, used to drop boilerplate from LLM training
+    corpora."""
+    from ..stages.textstats import repetition_batch
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(repetition_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_trigrams", "n_dup_trigrams", "dup_trigram_frac", "top_bigram_n"])
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    return pa.table(
+        {
+            "doc_id": out["doc_id"].astype("int64").tolist(),
+            "n_trigrams": out["n_trigrams"].astype("int64").tolist(),
+            "n_dup_trigrams": out["n_dup_trigrams"].astype("int64").tolist(),
+            "dup_trigram_frac": out["dup_trigram_frac"].astype("float64").tolist(),
+            "top_bigram_n": out["top_bigram_n"].astype("int64").tolist(),
+        }
+    )
+
+
+def stopword_docs(sf_dir: str) -> pa.Table:
+    """Stopword-ratio quality signal (the classic CCNet/Gopher language-
+    quality heuristic): count of Lucene's 33 English stopwords
+    (`StopAnalyzer.ENGLISH_STOP_WORDS_SET`) over the simple tokenization,
+    plus the ratio."""
+    from ..stages.textstats import stopword_batch
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(stopword_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_stopwords", "n_tokens", "stop_ratio"])
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    return pa.table(
+        {
+            "doc_id": out["doc_id"].astype("int64").tolist(),
+            "n_stopwords": out["n_stopwords"].astype("int64").tolist(),
+            "n_tokens": out["n_tokens"].astype("int64").tolist(),
+            "stop_ratio": out["stop_ratio"].astype("float64").tolist(),
+        }
+    )
+
+
 def langid_docs(sf_dir: str) -> pa.Table:
     """LanguageIdentifierUpdateProcessor analog (rows-only oracle)."""
     from ..stages.textstats import LanguageId

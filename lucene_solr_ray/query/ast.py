@@ -128,6 +128,20 @@ class FunctionQ:
 
 
 @dataclass(frozen=True)
+class FRangeQ:
+    """FunctionRangeQuery — the Solr ``{!frange l= u= incl= incu=}func``
+    parser (`solr/core/src/java/org/apache/solr/search/FunctionRangeQParserPlugin.java`,
+    `ValueSourceRangeFilter.java`): matches docs whose FUNCTION value falls in
+    [l, u], compared in float32 (``floatVal``), constant score 1.0."""
+
+    func: "FunctionQ"
+    lo: float = None
+    hi: float = None
+    include_lo: bool = True
+    include_hi: bool = True
+
+
+@dataclass(frozen=True)
 class BoostedQ:
     """BoostedQuery (`lucene/queries/src/java/org/apache/lucene/queries/
     function/BoostedQuery.java`): score = child score * function value
@@ -331,6 +345,19 @@ class Evaluator:
         if isinstance(q, FunctionQ):
             docs, vals = self.src.numeric_values(q.field)
             return docs, _function_scores(vals, q.fn, q.boost)
+
+        if isinstance(q, FRangeQ):
+            docs, vals = self.src.numeric_values(q.func.field)
+            fv = _function_scores(vals, q.func.fn, q.func.boost)
+            mask = np.ones(len(docs), dtype=bool)
+            if q.lo is not None:
+                lo = np.float32(q.lo)
+                mask &= (fv >= lo) if q.include_lo else (fv > lo)
+            if q.hi is not None:
+                hi = np.float32(q.hi)
+                mask &= (fv <= hi) if q.include_hi else (fv < hi)
+            docs = docs[mask]
+            return docs, np.full(len(docs), np.float32(1.0), dtype=np.float32)
 
         if isinstance(q, BoostedQ):
             docs, scores = self.scored(q.child)

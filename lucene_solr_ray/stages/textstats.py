@@ -139,6 +139,85 @@ def quality_score_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
     return t.append_column("alpha_ratio", alpha_ratio)
 
 
+def stopword_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Stopword count/ratio over Lucene's 33-word English stop set
+    (`StopAnalyzer.ENGLISH_STOP_WORDS_SET`) — the CCNet-style language-
+    quality heuristic, vectorized (one flatten + ``pc.is_in`` + bincounts)."""
+    from ..analysis.tokenizer import ENGLISH_STOP_WORDS
+
+    flat, row_of, tok_len = _token_lists(batch[text_col])
+    n = batch.num_rows
+    n_tokens = np.bincount(row_of[tok_len > 0], minlength=n).astype(np.int64)
+    stop_mask = np.asarray(
+        pc.is_in(flat, value_set=pa.array(sorted(ENGLISH_STOP_WORDS))), dtype=bool
+    )
+    n_stop = np.bincount(row_of[stop_mask], minlength=n).astype(np.int64)
+    out = dict(zip(batch.column_names, batch.columns))
+    out["n_stopwords"] = pa.array(n_stop, type=pa.int64())
+    out["n_tokens"] = pa.array(n_tokens, type=pa.int64())
+    out["stop_ratio"] = pa.array(
+        n_stop / np.maximum(n_tokens, 1), type=pa.float64()
+    )
+    return pa.table(out)
+
+
+def repetition_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    "Scaling Language Models", §A.1.1 quality filters): per doc over the
+    simple tokenization —
+
+    * ``n_trigrams`` / ``n_dup_trigrams``: total vs duplicated token 3-grams
+      (total - distinct); ``dup_trigram_frac`` = dup/total (0.0 when no
+      trigrams).  High values flag boilerplate/spam for LLM corpus filtering.
+    * ``top_bigram_n``: occurrences of the doc's most frequent token 2-gram.
+
+    Vectorized: one Arrow token flatten, adjacency joins via
+    ``binary_join_element_wise``, per-row distinct/max via pandas C groupby
+    (exact string keys — no hash-collision risk vs the SQL oracle)."""
+    import pandas as pd
+
+    flat, row_of, tok_len = _token_lists(batch[text_col])
+    n = batch.num_rows
+    keep = tok_len > 0
+    ftoks = flat.filter(pa.array(keep))
+    frow = row_of[keep]
+
+    def grams(k: int) -> tuple[np.ndarray, pa.Array]:
+        """rows + joined gram strings for within-row runs of k tokens."""
+        if len(frow) < k:
+            return np.empty(0, dtype=np.int64), pa.array([], type=pa.string())
+        ok = frow[: len(frow) - k + 1] == frow[k - 1 :]
+        parts = [ftoks.slice(i, len(frow) - k + 1) for i in range(k)]
+        joined = pc.binary_join_element_wise(*parts, " ")
+        return frow[: len(frow) - k + 1][ok], joined.filter(pa.array(ok))
+
+    tri_rows, tri = grams(3)
+    n_tri = np.bincount(tri_rows, minlength=n).astype(np.int64)
+    if len(tri_rows):
+        df3 = pd.DataFrame({"r": tri_rows, "g": tri.to_pandas()})
+        dist = df3.groupby("r")["g"].nunique()
+        n_dist = np.zeros(n, dtype=np.int64)
+        n_dist[dist.index.to_numpy()] = dist.to_numpy()
+    else:
+        n_dist = np.zeros(n, dtype=np.int64)
+    n_dup = n_tri - n_dist
+
+    bi_rows, bi = grams(2)
+    top_bi = np.zeros(n, dtype=np.int64)
+    if len(bi_rows):
+        df2 = pd.DataFrame({"r": bi_rows, "g": bi.to_pandas()})
+        mx = df2.groupby(["r", "g"]).size().groupby("r").max()
+        top_bi[mx.index.to_numpy()] = mx.to_numpy()
+
+    frac = np.where(n_tri > 0, n_dup / np.maximum(n_tri, 1), 0.0)
+    out = dict(zip(batch.column_names, batch.columns))
+    out["n_trigrams"] = pa.array(n_tri, type=pa.int64())
+    out["n_dup_trigrams"] = pa.array(n_dup, type=pa.int64())
+    out["dup_trigram_frac"] = pa.array(frac, type=pa.float64())
+    out["top_bigram_n"] = pa.array(top_bi, type=pa.int64())
+    return pa.table(out)
+
+
 def fingerprint_batch(batch: pa.Table, *, text_col: str = "text", out: str = "fingerprint") -> pa.Table:
     """64-bit rolling-hash document fingerprint over the normalized token
     stream (tokens joined by \\x1f, polynomial hash) — order-sensitive,

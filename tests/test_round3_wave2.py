@@ -1,0 +1,140 @@
+"""Differential gates for the round-3 wave-2 surfaces: MultiTerm hit sets
+(prefix/wildcard/fuzzy), NumericRangeQuery, {!frange}, DisMax-with-tiebreak
+top-k, and the LLM quality signals (Gopher repetition, stopword ratio) —
+engine vs the same DuckDB SQL the driver runs (sf0.001 for speed; the driver
+re-checks at sf0.01), plus crafted-input kernel checks."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(SF, "documents.parquet")),
+    reason="testdata not present",
+)
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{os.path.join(SF, 'documents')}.parquet')"
+    )
+    return c
+
+
+def _both(ray_session, con, name):
+    import __ray_entry__
+
+    eng = __ray_entry__.queries()[name](SF)
+    if hasattr(eng, "to_pandas"):
+        eng = eng.to_pandas()
+    ora = con.execute(__ray_entry__.oracle_sql()[name]).fetchdf()
+    eng = eng[sorted(eng.columns)].reset_index(drop=True)
+    ora = ora[sorted(ora.columns)].reset_index(drop=True)
+    return eng, ora
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "search_prefix_docs",
+        "search_wildcard_docs",
+        "search_fuzzy_docs",
+        "search_numeric_range_docs",
+        "frange_docs",
+        "dismax_topk_simple",
+        "repetition_docs",
+        "stopword_docs",
+    ],
+)
+def test_wave2_entry_matches_oracle(ray_session, con, name):
+    eng, ora = _both(ray_session, con, name)
+    assert list(eng.columns) == list(ora.columns)
+    assert len(eng) == len(ora) > 0
+    for c in eng.columns:
+        if eng[c].dtype.kind == "f":
+            assert np.allclose(eng[c].to_numpy(), ora[c].to_numpy(), rtol=0, atol=0), c
+        else:
+            assert (eng[c].astype(str) == ora[c].astype(str)).all(), c
+
+
+def test_fuzzy_entry_expands_to_multiple_terms(ray_session):
+    """The S-gated fuzzy query must exercise a MULTI-term expansion."""
+    from lucene_solr_ray.index.reader import LocalIndex
+    from lucene_solr_ray.pipelines.fulltext import documents_index
+    from lucene_solr_ray.query.ast import MultiTermQ, expand_multiterm
+
+    ix = documents_index(SF)
+    vocab = list(LocalIndex(ix).vocabulary("text"))
+    terms = expand_multiterm(MultiTermQ("fuzzy", "slot", arg2=2), vocab)
+    assert len(terms) >= 2 and "slow" in terms and "sort" in terms
+
+
+def test_frange_bounds_are_float32_and_exclusive_flags_work():
+    """FRangeQ compares in float32 (ValueSourceRangeFilter.floatVal) and
+    honors incl/incu — checked against a hand-built numeric source."""
+    from lucene_solr_ray.query.ast import Evaluator, FRangeQ, FunctionQ
+
+    class Src:
+        def numeric_values(self, field):
+            return (
+                np.arange(4, dtype=np.int64),
+                np.array([1.0, 2.5, 2.8, 3.0], dtype=np.float64),
+            )
+
+    ev = Evaluator(Src())
+    docs, scores = ev.scored(FRangeQ(FunctionQ("x"), lo=2.5, hi=2.8))
+    assert docs.tolist() == [1, 2] and (scores == np.float32(1.0)).all()
+    docs, _ = ev.scored(FRangeQ(FunctionQ("x"), lo=2.5, hi=2.8, include_lo=False))
+    assert docs.tolist() == [2]
+    docs, _ = ev.scored(FRangeQ(FunctionQ("x"), lo=2.5, hi=2.8, include_hi=False))
+    assert docs.tolist() == [1]
+    docs, _ = ev.scored(FRangeQ(FunctionQ("x"), lo=None, hi=2.5))
+    assert docs.tolist() == [0, 1]
+
+
+def test_repetition_kernel_crafted():
+    """Known trigram/bigram counts on crafted rows (Gopher signals)."""
+    from lucene_solr_ray.stages.textstats import repetition_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "text": [
+                "a b c a b c a b c",  # 7 trigrams, 3 distinct -> 4 dups
+                "x y z w",            # 2 trigrams, both distinct
+                "q q q q",            # 2 trigrams 'q q q' -> 1 dup; top bigram 'q q' x3
+                "one two",            # no trigrams
+            ],
+        }
+    )
+    out = repetition_batch(t)
+    assert out["n_trigrams"].to_pylist() == [7, 2, 2, 0]
+    assert out["n_dup_trigrams"].to_pylist() == [4, 0, 1, 0]
+    assert out["dup_trigram_frac"].to_pylist() == [4 / 7, 0.0, 0.5, 0.0]
+    # 'a b' occurs 3x in row 0; 'q q' occurs 3x in row 2; row 3 has 1
+    assert out["top_bigram_n"].to_pylist() == [3, 1, 3, 1]
+
+
+def test_stopword_kernel_crafted():
+    from lucene_solr_ray.stages.textstats import stopword_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], type=pa.int64()),
+            "text": ["the cat and the hat", "zebra quux"],
+        }
+    )
+    out = stopword_batch(t)
+    # 'the', 'and', 'the' are stopwords; 'cat'/'hat' are not
+    assert out["n_stopwords"].to_pylist() == [3, 0]
+    assert out["n_tokens"].to_pylist() == [5, 2]
+    assert out["stop_ratio"].to_pylist() == [0.6, 0.0]
