@@ -105,7 +105,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_prefix_docs": ft.search_prefix_docs,
         "search_wildcard_docs": ft.search_wildcard_docs,
         "search_fuzzy_docs": ft.search_fuzzy_docs,
+        "search_term_range_docs": ft.search_term_range_docs,
         "search_numeric_range_docs": ft.search_numeric_range_docs,
+        "facet_source_prefix": ft.facet_source_prefix,
         "frange_docs": ft.frange_docs,
         "dismax_topk_simple": ft.dismax_topk_simple,
         "repetition_docs": rl.repetition_docs,
@@ -128,10 +130,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # search_and demoted below the cap to make room (conjunction still
         # driver-covered by bm25_and_topk_simple).
         "kmeans_clusters_docs": rl.kmeans_clusters_docs,
-        "search_must_not": ft.search_must_not,
         "search_phrase": ft.search_phrase,
-        "search_msm": ft.search_msm,
-        "search_span_near_ordered": ft.search_span_near_ordered,
+        "facet_lang_for_term": ft.facet_lang_for_term,
         "parsed_query_search": ft.parsed_query_search,
         # simple-analyzer BM25 entries are S-gated (full float32 BM25 in
         # SQL); standard-analyzer variants are rows-only (UAX#29 not
@@ -141,7 +141,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edismax_topk": ft.edismax_topk,
         "rerank_topk_simple": ft.rerank_topk_simple,
         "search_after_page2": ft.search_after_page2,
-        "facet_lang_for_term": ft.facet_lang_for_term,
+        "search_must_not": ft.search_must_not,
+        "search_msm": ft.search_msm,
+        "search_span_near_ordered": ft.search_span_near_ordered,
         "facet_source_index_order": ft.facet_source_index_order,
         "function_query_index_stats": ft.function_query_index_stats,
         "pivot_lang_source": ft.pivot_lang_source,
@@ -506,6 +508,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE len(list_filter({_TOK}, t -> t != '' AND levenshtein(t, 'slot') <= 2)) > 0
             ORDER BY doc_id""",
+        "search_term_range_docs": f"""
+            SELECT doc_id FROM documents
+            WHERE len(list_filter({_TOK}, t -> t >= 'order' AND t <= 'scan')) > 0
+            ORDER BY doc_id""",
+        "facet_source_prefix": f"""
+            SELECT CAST(row_number() OVER (ORDER BY n DESC, source) - 1 AS BIGINT) AS rank, source, n
+            FROM (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents
+                  WHERE {_HAS.format(t='join')} AND source LIKE 'src1%' GROUP BY source)
+            ORDER BY n DESC, source""",
         "search_numeric_range_docs": """
             SELECT doc_id FROM documents
             WHERE n_chars >= 200 AND n_chars <= 400

@@ -153,6 +153,42 @@ class GlobalStats:
             out.append(body)
         return out
 
+    def range_terms(
+        self,
+        field: str,
+        lo: str | None,
+        hi: str | None,
+        include_lo: bool = True,
+        include_hi: bool = True,
+    ) -> list[str]:
+        """TermRangeQuery expansion (`search/TermRangeQuery.java`): sorted-
+        dictionary range scan over [lo, hi] with inclusive/exclusive ends —
+        same shard-pruned seek as :meth:`prefix_terms` (a bytewise
+        ``lower_bound`` per end, O(range) scan between)."""
+        from ..stages.tokenize import FIELD_SEP
+
+        key_pref = field_term_key(field, "")
+        f_lo, f_hi = self.terms.prefix_range(key_pref) if key_pref else (0, len(self.terms))
+        if lo is None:
+            i_lo = f_lo
+        else:
+            b = field_term_key(field, lo).encode("utf-8")
+            i_lo = self.terms.lower_bound(b if include_lo else b + b"\x00")
+        if hi is None:
+            i_hi = f_hi
+        else:
+            b = field_term_key(field, hi).encode("utf-8")
+            i_hi = self.terms.lower_bound(b + b"\x00" if include_hi else b)
+        i_lo, i_hi = max(i_lo, f_lo), min(i_hi, f_hi)
+        strip = len(key_pref)
+        out = []
+        for t in self.terms.iter_range(i_lo, i_hi):
+            body = t[strip:]
+            if FIELD_SEP in body:  # another field's keys interleaved in range
+                continue
+            out.append(body)
+        return out
+
     def field_vocabulary(self, field: str):
         """All terms of one field (streamed full dictionary scan; with the
         sharded dictionary, one shard is resident at a time — MultiTermQ
@@ -407,6 +443,9 @@ class IndexPartition(TermSource):
     def fuzzy_terms(self, field, word, max_edits):
         return self.stats.fuzzy_terms(field, word, max_edits)
 
+    def range_terms(self, field, lo, hi, include_lo=True, include_hi=True):
+        return self.stats.range_terms(field, lo, hi, include_lo, include_hi)
+
     # -- faceting support -----------------------------------------------------
 
     def facet_missing(self, field: str, hit_doc_ids: np.ndarray) -> int:
@@ -529,3 +568,6 @@ class LocalIndex(TermSource):
 
     def fuzzy_terms(self, field, word, max_edits):
         return self.stats.fuzzy_terms(field, word, max_edits)
+
+    def range_terms(self, field, lo, hi, include_lo=True, include_hi=True):
+        return self.stats.range_terms(field, lo, hi, include_lo, include_hi)

@@ -265,6 +265,16 @@ def search_fuzzy_docs(sf_dir: str) -> pa.Table:
     return _search_docs(sf_dir, MultiTermQ("fuzzy", "slot", arg2=2))
 
 
+def search_term_range_docs(sf_dir: str) -> pa.Table:
+    """TermRangeQuery text:[order TO scan] hit set
+    (`search/TermRangeQuery.java`): expansion is a two-seek sorted-dictionary
+    range scan (order/part/query/row/scan in the fixture vocabulary),
+    constant-score union of the matched postings."""
+    from ..query.ast import TermRangeQ
+
+    return _search_docs(sf_dir, TermRangeQ(lo="order", hi="scan"))
+
+
 def search_numeric_range_docs(sf_dir: str) -> pa.Table:
     """NumericRangeQuery n_chars:[200 TO 400] hit set
     (`search/NumericRangeQuery.java` / Solr TrieField ranges): evaluated on
@@ -625,6 +635,25 @@ def facet_lang_for_term(sf_dir: str) -> pa.Table:
         vals = [v for v, _ in res["facets"]["lang"]]
         cnts = [c for _, c in res["facets"]["lang"]]
         return _rank_table({"lang": vals, "n": cnts})
+    finally:
+        s.shutdown()
+
+
+def facet_source_prefix(sf_dir: str) -> pa.Table:
+    """facet.prefix=src1 over hits of term 'join': the sorted facet
+    dictionary makes the prefix an ORDINAL RANGE (`SimpleFacets.java`
+    FACET_PREFIX handling / `SparseDocValuesFacets.java:201-224` lookupTerm
+    bounds), applied as a vectorized mask in the merge."""
+    ix = documents_index(sf_dir)
+    s = RayIndexSearcher(ix, num_actors=2)
+    try:
+        res = s.search(
+            TermQ("join"), k=1, facet_fields=("source",),
+            facet_limit=100, facet_mincount=1, facet_prefix="src1",
+        )
+        vals = [v for v, _ in res["facets"]["source"]]
+        cnts = [c for _, c in res["facets"]["source"]]
+        return _rank_table({"source": vals, "n": cnts})
     finally:
         s.shutdown()
 

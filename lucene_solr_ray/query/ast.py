@@ -182,6 +182,21 @@ class MultiTermQ:
     arg2: int = 2
 
 
+@dataclass(frozen=True)
+class TermRangeQ:
+    """TermRangeQuery (`lucene/core/src/java/org/apache/lucene/search/
+    TermRangeQuery.java`): terms lexicographically in [lo, hi] (bytewise
+    UTF-8 order, open ends via None), expanded over the sorted dictionary
+    (a two-seek range scan, no automaton needed) and evaluated as a
+    constant-score union like MultiTermQ."""
+
+    lo: str = None
+    hi: str = None
+    field: str = DEFAULT_FIELD
+    include_lo: bool = True
+    include_hi: bool = True
+
+
 # ---- data source protocol ---------------------------------------------------
 
 
@@ -385,6 +400,27 @@ class Evaluator:
             tie = np.float32(q.tiebreak)
             out = (smax + (ssum - smax) * tie).astype(np.float32)
             return all_docs, out
+
+        if isinstance(q, TermRangeQ):
+            if hasattr(self.src, "range_terms"):
+                terms = self.src.range_terms(
+                    q.field, q.lo, q.hi, q.include_lo, q.include_hi
+                )
+            else:
+                def _in(t: str) -> bool:
+                    if q.lo is not None and (t < q.lo or (t == q.lo and not q.include_lo)):
+                        return False
+                    if q.hi is not None and (t > q.hi or (t == q.hi and not q.include_hi)):
+                        return False
+                    return True
+
+                terms = sorted(t for t in self.src.vocabulary(q.field) if _in(t))
+            docs_parts = [self.src.postings(q.field, t)[0] for t in terms]
+            docs_parts = [d for d in docs_parts if len(d)]
+            if not docs_parts:
+                return _EMPTY_I, _EMPTY_F
+            docs = np.unique(np.concatenate(docs_parts))
+            return docs, np.full(len(docs), np.float32(1.0), dtype=np.float32)
 
         if isinstance(q, MultiTermQ):
             if q.kind == "prefix" and hasattr(self.src, "prefix_terms"):

@@ -33,21 +33,31 @@ def _concat_fields(batch: pa.Table, fields: list[str]) -> list[str]:
 
 
 def md5_signature_batch(batch: pa.Table, *, fields: list[str], out: str = "signature") -> pa.Table:
+    # MD5 is the reference's exact signature contract — the per-row digest
+    # loop is inherent (hashlib has no batch API); the concat stays columnar
     sigs = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in _concat_fields(batch, fields)]
     return batch.append_column(out, pa.array(sigs, type=pa.string()))
 
 
-def _fnv1a64(data: bytes) -> int:
-    h = 0xCBF29CE484222325
-    for b in data:
-        h ^= b
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
-
-
 def lookup3_signature_batch(batch: pa.Table, *, fields: list[str], out: str = "signature") -> pa.Table:
-    sigs = [f"{_fnv1a64(s.encode('utf-8')):016x}" for s in _concat_fields(batch, fields)]
-    return batch.append_column(out, pa.array(sigs, type=pa.string()))
+    """64-bit non-crypto signature, fully vectorized (one polynomial-hash
+    pass over the flat byte buffer — ``hashing.hash_strings_u64``).  Same
+    documented deviation as before: the bit pattern differs from Bob Jenkins'
+    lookup3; the exact-dedup semantics (equal text <=> equal signature up to
+    64-bit collisions) do not."""
+    import pyarrow.compute as pc
+
+    from ..hashing import hash_strings_u64
+
+    cols = [pc.fill_null(pc.cast(batch[f], pa.string()), "") for f in fields]
+    joined = cols[0] if len(cols) == 1 else pc.binary_join_element_wise(*cols, "")
+    sigs = hash_strings_u64(joined)
+    hexed = pc.utf8_lpad(
+        pc.cast(pa.array(sigs, type=pa.uint64()), pa.string()), 20, "0"
+    )
+    # decimal (zero-padded, order-preserving) rather than hex: keeps the
+    # whole row vectorized; the signature contract is opaque-token equality
+    return batch.append_column(out, hexed)
 
 
 def text_profile_signature(text: str, quant_rate: float = 0.01, min_token_len: int = 2) -> str:
@@ -67,5 +77,39 @@ def text_profile_signature(text: str, quant_rate: float = 0.01, min_token_len: i
 
 
 def text_profile_signature_batch(batch: pa.Table, *, text_col: str = "text", out: str = "signature") -> pa.Table:
-    sigs = [text_profile_signature(t) for t in batch[text_col].to_pylist()]
+    """Vectorized TextProfileSignature: tokenize + per-(row, term) counting +
+    freq quantization happen columnar (one Arrow flatten + pandas C groupby);
+    only the final per-row MD5 digest of the profile blob is a Python loop
+    (inherent — hashlib has no batch API).  Output is identical to
+    :func:`text_profile_signature` (differential-tested)."""
+    import pandas as pd
+
+    from .textstats import _token_lists
+
+    flat, row_of, tok_len = _token_lists(batch[text_col])
+    n = batch.num_rows
+    keep = tok_len >= 2  # MIN_TOKEN_LEN
+    empty_sig = hashlib.md5(b"").hexdigest()
+    sigs = [empty_sig] * n
+    if keep.any():
+        df = pd.DataFrame(
+            {"r": row_of[keep], "t": flat.filter(pa.array(keep)).to_pandas()}
+        )
+        cnt = df.groupby(["r", "t"], sort=False).size().reset_index(name="f")
+        mx = cnt.groupby("r")["f"].transform("max").to_numpy()
+        f = cnt["f"].to_numpy()
+        # quant = max(2, int(max_freq * QUANT_RATE)) when max_freq > 1 else 1
+        quant = np.where(
+            mx > 1, np.maximum(2, (mx * 0.01).astype(np.int64)), 1
+        ).astype(np.int64)
+        cnt["qf"] = (f // quant) * quant
+        cnt = cnt[cnt["qf"] > 0]
+        if len(cnt):
+            cnt = cnt.sort_values(
+                ["r", "qf", "t"], ascending=[True, False, True], kind="mergesort"
+            )
+            pairs = cnt["t"] + " " + cnt["qf"].astype(str)
+            blobs = pairs.groupby(cnt["r"].to_numpy()).agg(" ".join)
+            for r, blob in blobs.items():
+                sigs[r] = hashlib.md5(blob.encode("utf-8")).hexdigest()
     return batch.append_column(out, pa.array(sigs, type=pa.string()))

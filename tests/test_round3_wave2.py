@@ -48,7 +48,9 @@ def _both(ray_session, con, name):
         "search_prefix_docs",
         "search_wildcard_docs",
         "search_fuzzy_docs",
+        "search_term_range_docs",
         "search_numeric_range_docs",
+        "facet_source_prefix",
         "frange_docs",
         "dismax_topk_simple",
         "repetition_docs",
@@ -76,6 +78,40 @@ def test_fuzzy_entry_expands_to_multiple_terms(ray_session):
     vocab = list(LocalIndex(ix).vocabulary("text"))
     terms = expand_multiterm(MultiTermQ("fuzzy", "slot", arg2=2), vocab)
     assert len(terms) >= 2 and "slow" in terms and "sort" in terms
+
+
+def test_term_range_expansion_matches_vocabulary_filter(ray_session):
+    """range_terms (two-seek dictionary scan) == brute vocabulary filter,
+    for every inclusive/exclusive/open-end combination."""
+    from lucene_solr_ray.index.reader import LocalIndex
+    from lucene_solr_ray.pipelines.fulltext import documents_index
+
+    ix = documents_index(SF)
+    loc = LocalIndex(ix)
+    vocab = sorted(loc.vocabulary("text"))
+
+    def brute(lo, hi, il, ih):
+        out = []
+        for t in vocab:
+            if lo is not None and (t < lo or (t == lo and not il)):
+                continue
+            if hi is not None and (t > hi or (t == hi and not ih)):
+                continue
+            out.append(t)
+        return out
+
+    cases = [
+        ("order", "scan", True, True),
+        ("order", "scan", False, False),
+        ("order", "scan", True, False),
+        (None, "hash", True, True),
+        ("stream", None, False, True),
+        (None, None, True, True),
+        ("aaa", "aab", True, True),  # empty range
+    ]
+    for lo, hi, il, ih in cases:
+        got = loc.range_terms("text", lo, hi, il, ih)
+        assert got == brute(lo, hi, il, ih), (lo, hi, il, ih)
 
 
 def test_frange_bounds_are_float32_and_exclusive_flags_work():
