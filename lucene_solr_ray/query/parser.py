@@ -245,6 +245,17 @@ class QueryParser:
             f, lo, hi, inc_lo, inc_hi = val
             lo = None if lo == "*" else lo
             hi = None if hi == "*" else hi
+            if f in self.text_fields or f == self.default_field:
+                # a range on an ANALYZED field is a TermRangeQuery over the
+                # dictionary; endpoints lowercased (lowercaseExpandedTerms
+                # default, `QueryParserBase.getRangeQuery`)
+                from .ast import TermRangeQ
+
+                return TermRangeQ(
+                    None if lo is None else str(lo).lower(),
+                    None if hi is None else str(hi).lower(),
+                    field=f, include_lo=inc_lo, include_hi=inc_hi,
+                )
             return RangeQ(f, lo, hi, inc_lo, inc_hi)
         if kind == "fielded":
             self._i += 1

@@ -114,6 +114,20 @@ def test_term_range_expansion_matches_vocabulary_filter(ray_session):
         assert got == brute(lo, hi, il, ih), (lo, hi, il, ih)
 
 
+def test_parser_text_range_builds_term_range_query():
+    """`text:[order TO scan]` through the classic parser -> TermRangeQ with
+    lowercased bounds; non-text fields keep the doc-values RangeQ."""
+    from lucene_solr_ray.query.ast import RangeQ, TermRangeQ
+    from lucene_solr_ray.query.parser import QueryParser
+
+    p = QueryParser()
+    assert p.parse("text:[Order TO Scan]") == TermRangeQ("order", "scan", field="text")
+    assert p.parse("text:{order TO scan}") == TermRangeQ(
+        "order", "scan", field="text", include_lo=False, include_hi=False
+    )
+    assert isinstance(p.parse("dl:[1 TO 5]"), RangeQ)
+
+
 def test_frange_bounds_are_float32_and_exclusive_flags_work():
     """FRangeQ compares in float32 (ValueSourceRangeFilter.floatVal) and
     honors incl/incu — checked against a hand-built numeric source."""
