@@ -165,6 +165,17 @@ def run_bench() -> dict:
         # (BASELINE.md round-3 notes); the ratio probe/reference is the host
         # slowdown factor to apply to query_p50_ms across rounds.
         extra["host_probe_ms_before"] = _latency_probe_ms()
+        # the query lane's REAL floor on this box is the bare Ray actor
+        # round-trip (scoring itself is ~0.06 ms in-process): report the
+        # same-window fan-out ping p50 so query_p50_ms is self-qualifying —
+        # round-3 analysis measured ping p50 17-59 ms during noisy windows
+        # vs ~1-2 ms quiet, fully explaining cross-round p50 swings
+        pings = []
+        for _ in range(30):
+            t1 = time.perf_counter()
+            _ray.get([a.ping.remote() for a in s.actors])
+            pings.append(time.perf_counter() - t1)
+        extra["ray_fanout_ping_ms"] = round(statistics.median(pings) * 1000, 2)
         lat = []
         t0 = time.time()
         for ast in qs:

@@ -272,6 +272,11 @@ class SegmentSearcher:
             ords, counts = ords[sel], counts[sel]
         return ords, counts
 
+    def ping(self) -> int:
+        """No-op RPC (bench telemetry: measures the bare actor round-trip —
+        the floor under any per-query latency on the host)."""
+        return 0
+
     def memory_mb(self) -> float:
         """Resident set size of this searcher's process (telemetry)."""
         try:
