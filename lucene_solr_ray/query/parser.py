@@ -10,7 +10,13 @@ Recursive-descent re-specification of the classic JavaCC grammar
 * ``+required -prohibited`` prefixes and ``AND / OR / NOT`` operators;
 * parenthesized groups;
 * ``term^2.5`` boosts;
-* ``field:[a TO b]`` / ``{a TO b}`` ranges -> RangeQ.
+* ``field:[a TO b]`` / ``{a TO b}`` ranges -> RangeQ (doc values) or
+  TermRangeQ (analyzed fields);
+* Solr local-params dispatch ``{!name k=v ...}rest`` for the ``lucene``,
+  ``term``, ``prefix`` and ``frange`` QParserPlugins
+  (`solr/core/src/java/org/apache/solr/search/QParserPlugin.java:40-70`;
+  `TermQParserPlugin` takes the RAW value with no analysis,
+  `FunctionRangeQParserPlugin` takes l/u/incl/incu over a value source).
 
 Default operator is OR (``QueryParserBase.operators`` default), matching the
 reference's default ``q.op``.
@@ -71,7 +77,63 @@ class QueryParser:
         self.text_fields = set(text_fields)  # analyzed fields -> scored TermQ
         self._analyze = query_analyzer(analyzer)  # same chain as the index
 
+    _LOCAL_RE = re.compile(
+        r"^\{!(?P<name>[A-Za-z_]\w*)(?P<params>[^}]*)\}(?P<rest>.*)$", re.DOTALL
+    )
+    _PARAM_RE = re.compile(r"(\w+)=(\"[^\"]*\"|\S+)")
+
     def parse(self, q: str):
+        m = self._LOCAL_RE.match(q.strip())
+        if m:
+            return self._parse_local(
+                m.group("name"),
+                {
+                    k: v.strip('"')
+                    for k, v in self._PARAM_RE.findall(m.group("params"))
+                },
+                m.group("rest").strip(),
+            )
+        return self._parse_classic(q)
+
+    def _parse_local(self, name: str, params: dict, rest: str):
+        """QParserPlugin dispatch (`QParserPlugin.java:40-70` registry)."""
+        if name == "lucene":
+            return self._parse_classic(rest)
+        if name == "term":
+            # TermQParserPlugin: RAW value, no analysis
+            f = params.get("f", self.default_field)
+            if f in self.keyword_fields:
+                return FilterQ(f, rest)
+            return TermQ(rest, field=f if f in self.text_fields else self.default_field)
+        if name == "prefix":
+            f = params.get("f", self.default_field)
+            target = f if f in self.text_fields else self.default_field
+            return MultiTermQ("prefix", rest, field=target)
+        if name == "frange":
+            from .ast import FRangeQ
+
+            return FRangeQ(
+                self._parse_func(rest),
+                lo=float(params["l"]) if "l" in params else None,
+                hi=float(params["u"]) if "u" in params else None,
+                include_lo=params.get("incl", "true").lower() != "false",
+                include_hi=params.get("incu", "true").lower() != "false",
+            )
+        raise QueryParseError(f"unknown query parser {{!{name}}}")
+
+    _FUNC_RE = re.compile(r"^(?:(?P<fn>log|ln|sqrt)\()?(?P<field>[A-Za-z_][\w.]*)\)?$")
+
+    def _parse_func(self, s: str):
+        """Minimal value-source parser: ``field`` | ``log|ln|sqrt(field)``
+        (the ValueSourceParser subset FunctionQ evaluates)."""
+        from .ast import FunctionQ
+
+        m = self._FUNC_RE.match(s.strip())
+        if not m:
+            raise QueryParseError(f"cannot parse function {s!r}")
+        return FunctionQ(m.group("field"), fn=m.group("fn") or "identity")
+
+    def _parse_classic(self, q: str):
         self._toks = self._lex(q)
         self._i = 0
         node = self._parse_or()

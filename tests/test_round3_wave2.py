@@ -128,6 +128,35 @@ def test_parser_text_range_builds_term_range_query():
     assert isinstance(p.parse("dl:[1 TO 5]"), RangeQ)
 
 
+def test_parser_local_params_dispatch():
+    """Solr {!name k=v}rest local-params syntax -> QParserPlugin dispatch."""
+    from lucene_solr_ray.query.ast import (
+        FilterQ,
+        FRangeQ,
+        FunctionQ,
+        MultiTermQ,
+        TermQ,
+    )
+    from lucene_solr_ray.query.parser import QueryParseError, QueryParser
+
+    p = QueryParser()
+    assert p.parse("{!term f=lang}en") == FilterQ("lang", "en")
+    # raw value, no analysis: 'Running' stays unstemmed/uncased
+    assert p.parse("{!term f=text}Running") == TermQ("Running", field="text")
+    assert p.parse("{!prefix f=text}cust") == MultiTermQ("prefix", "cust")
+    fr = p.parse("{!frange l=2.5 u=2.8 incu=false}log(n_chars)")
+    assert fr == FRangeQ(
+        FunctionQ("n_chars", fn="log"), lo=2.5, hi=2.8, include_hi=False
+    )
+    assert p.parse("{!frange l=1}n_chars") == FRangeQ(FunctionQ("n_chars"), lo=1.0)
+    # {!lucene} is the classic parser itself
+    assert p.parse("{!lucene}join AND hash") == p.parse("join AND hash")
+    import pytest as _pytest
+
+    with _pytest.raises(QueryParseError):
+        p.parse("{!nosuch}x")
+
+
 def test_frange_bounds_are_float32_and_exclusive_flags_work():
     """FRangeQ compares in float32 (ValueSourceRangeFilter.floatVal) and
     honors incl/incu — checked against a hand-built numeric source."""
