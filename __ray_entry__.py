@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dismax_topk_simple": ft.dismax_topk_simple,
         "repetition_docs": rl.repetition_docs,
         "stopword_docs": rl.stopword_docs,
+        "dup_span_docs": rl.dup_span_docs,
         # ---- (3) last row is from round 1 ----
         "group_top1_orders": rl.group_top1_orders,
         "export_sorted_lineitem": rl.export_sorted_lineitem,
@@ -575,6 +576,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(t2.top_bi, 0) AS BIGINT) AS top_bigram_n
             FROM documents d LEFT JOIN t3 USING (doc_id) LEFT JOIN t2 USING (doc_id)
             ORDER BY d.doc_id""",
+        # ExactSubstr dedup spans: all occurrences of 8-token grams appearing
+        # >= 2 times corpus-wide, minus the canonical (min doc_id, pos) first
+        "dup_span_docs": f"""
+            WITH toks AS (SELECT doc_id, list_filter({_TOK}, t -> t != '') AS tk FROM documents),
+            tg AS (SELECT doc_id, unnest(tk) AS tok, unnest(range(1, len(tk)+1)) AS p FROM toks),
+            g AS (
+              SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos,
+                     tok || ' ' || {" || ' ' || ".join(f"lead(tok, {i}) OVER w" for i in range(1, 8))} AS gram,
+                     lead(tok, 7) OVER w IS NOT NULL AS ok
+              FROM tg WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+            d AS (
+              SELECT doc_id, pos, gram,
+                     row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn,
+                     count(*) OVER (PARTITION BY gram) AS c
+              FROM g WHERE ok)
+            SELECT doc_id, pos, gram FROM d
+            WHERE c >= 2 AND rn >= 2
+            ORDER BY doc_id, pos, gram""",
         "stopword_docs": f"""
             WITH c AS (
               SELECT doc_id,

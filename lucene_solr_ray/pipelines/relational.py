@@ -149,6 +149,27 @@ def quality_docs(sf_dir: str) -> pa.Table:
     )
 
 
+def dup_span_docs(sf_dir: str) -> pa.Table:
+    """Exact-substring dedup (Lee et al. 2022 ExactSubstr over 8-token
+    windows): every duplicated-gram occurrence except the canonical first —
+    the corpus-wide spans a training pipeline would cut.  S-gated against
+    the full window-function recomputation in SQL."""
+    from ..stages.dedup import duplicate_ngram_spans
+
+    out = (
+        duplicate_ngram_spans(_docs(sf_dir, ["doc_id", "text"]), window=8)
+        .to_pandas()
+        .sort_values(["doc_id", "pos", "gram"])
+    )
+    return pa.table(
+        {
+            "doc_id": out["doc_id"].astype("int64").tolist(),
+            "pos": out["pos"].astype("int64").tolist(),
+            "gram": out["gram"].tolist(),
+        }
+    )
+
+
 def repetition_docs(sf_dir: str) -> pa.Table:
     """Gopher-style repetition quality signals (duplicate-trigram fraction +
     top-bigram occurrence count) per document — the within-doc counterpart of

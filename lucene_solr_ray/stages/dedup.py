@@ -853,3 +853,95 @@ def clusters_from_pairs(pair_rows: list[dict], all_ids) -> list[dict]:
                 ra, rb = rb, ra
             parent[rb] = ra
     return [{"doc_id": i, "cluster_id": find(i)} for i in sorted(parent)]
+
+
+# ---- exact-substring (duplicate n-gram span) dedup ---------------------------
+
+
+def _gram_rows_batch(batch: pa.Table, *, text_col: str, id_col: str,
+                     window: int, buckets: int) -> pa.Table:
+    """-> (gram, doc_id, pos, __b) rows: every within-doc run of ``window``
+    consecutive non-empty simple tokens, joined with ' '.  One Arrow flatten
+    + adjacency joins; ``pos`` is 0-based over the doc's non-empty tokens."""
+    from ..hashing import bucket_strings
+    from .textstats import _token_lists
+
+    flat, row_of, tok_len = _token_lists(batch[text_col])
+    keep = tok_len > 0
+    ftoks = flat.filter(pa.array(keep))
+    frow = row_of[keep]
+    n = len(frow)
+    empty = pa.table(
+        {
+            "gram": pa.array([], type=pa.string()),
+            "doc_id": pa.array([], type=pa.int64()),
+            "pos": pa.array([], type=pa.int64()),
+            "__b": pa.array([], type=pa.int64()),
+        }
+    )
+    if n < window:
+        return empty
+    starts = _cumsum0(np.bincount(frow, minlength=batch.num_rows))
+    pos_in_row = np.arange(n, dtype=np.int64) - starts[frow]
+    ok = frow[: n - window + 1] == frow[window - 1 :]
+    if not ok.any():
+        return empty
+    parts = [ftoks.slice(i, n - window + 1) for i in range(window)]
+    gram = pc.binary_join_element_wise(*parts, " ").filter(pa.array(ok))
+    rows = frow[: n - window + 1][ok]
+    ids = np.asarray(batch[id_col], dtype=np.int64)[rows]
+    return pa.table(
+        {
+            "gram": gram,
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "pos": pa.array(pos_in_row[: n - window + 1][ok], type=pa.int64()),
+            "__b": pa.array(bucket_strings(gram, buckets), type=pa.int64()),
+        }
+    )
+
+
+def duplicate_ngram_spans(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                          window: int = 8, shuffle_buckets: int = 256):
+    """Exact-substring dedup spans (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better" — the ExactSubstr pass, re-expressed
+    over token windows): emit every occurrence of a ``window``-token gram
+    that appears >= 2 times in the corpus, EXCEPT the canonical first
+    occurrence (min (doc_id, pos)) — the spans a training-data pipeline
+    would cut.
+
+    Shuffle-native: the exchange ships skinny (gram, doc_id, pos) rows
+    bucketed by a vectorized gram hash (never full documents); each bucket
+    resolves its grams EXACTLY (dictionary-encode + lexsort — 64-bit
+    collisions cannot cross buckets' correctness since grouping is by the
+    string inside the bucket).  Driver holds nothing.
+    """
+
+    def bucket_spans(group: pa.Table) -> pa.Table:
+        group = group.combine_chunks()
+        codes = np.asarray(
+            pc.dictionary_encode(group["gram"].combine_chunks()).indices,
+            dtype=np.int64,
+        )
+        ids = np.asarray(group["doc_id"], dtype=np.int64)
+        pos = np.asarray(group["pos"], dtype=np.int64)
+        order = np.lexsort((pos, ids, codes))
+        c = codes[order]
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = c[1:] != c[:-1]
+        # duplicated gram = its code appears >= 2 times; emit non-first rows
+        seg = np.cumsum(first) - 1
+        sizes = np.bincount(seg)
+        dup = sizes[seg] >= 2
+        take = order[dup & ~first]
+        return group.take(pa.array(np.sort(take))).drop_columns(["__b"])
+
+    return (
+        ds.map_batches(
+            _gram_rows_batch,
+            batch_format="pyarrow",
+            fn_kwargs=dict(text_col=text_col, id_col=id_col, window=window,
+                           buckets=shuffle_buckets),
+        )
+        .groupby("__b")
+        .map_groups(bucket_spans, batch_format="pyarrow")
+    )

@@ -55,6 +55,7 @@ def _both(ray_session, con, name):
         "dismax_topk_simple",
         "repetition_docs",
         "stopword_docs",
+        "dup_span_docs",
     ],
 )
 def test_wave2_entry_matches_oracle(ray_session, con, name):
@@ -178,6 +179,35 @@ def test_frange_bounds_are_float32_and_exclusive_flags_work():
     assert docs.tolist() == [1]
     docs, _ = ev.scored(FRangeQ(FunctionQ("x"), lo=None, hi=2.5))
     assert docs.tolist() == [0, 1]
+
+
+def test_duplicate_ngram_spans_crafted(ray_session):
+    """ExactSubstr spans on crafted docs: a 4-token window shared by three
+    occurrences keeps only the (min doc, min pos) canonical one."""
+    import ray.data as rd
+
+    from lucene_solr_ray.stages.dedup import duplicate_ngram_spans
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": [
+                "alpha beta gamma delta tail0",          # canonical at (0, 0)
+                "head alpha beta gamma delta tail1",     # dup at (1, 1)
+                "alpha beta gamma delta",                # dup at (2, 0)
+            ],
+        }
+    )
+    out = (
+        duplicate_ngram_spans(rd.from_arrow(t), window=4)
+        .to_pandas()
+        .sort_values(["doc_id", "pos"])
+    )
+    spans = list(zip(out["doc_id"], out["pos"], out["gram"]))
+    assert spans == [
+        (1, 1, "alpha beta gamma delta"),
+        (2, 0, "alpha beta gamma delta"),
+    ]
 
 
 def test_repetition_kernel_crafted():
