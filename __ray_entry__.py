@@ -114,7 +114,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stopword_docs": rl.stopword_docs,
         "dup_span_docs": rl.dup_span_docs,
         # ---- (3) last row is from round 1 ----
-        "group_top1_orders": rl.group_top1_orders,
+        # (group_top1_orders demoted below the cap: the grouping family is
+        # in-cap via group_topk_orders + expand_orders)
         "export_sorted_lineitem": rl.export_sorted_lineitem,
         "semi_join_customers": rl.semi_join_customers,
         "hash_join_orders_customer": rl.hash_join_orders_customer,
@@ -156,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---------------- driver cap (50) is around here ----------------
         # ---- (5) round-2-green, redundant in-family coverage ----
         "term_ttf_top100": ft.term_ttf_top100,
+        "group_top1_orders": rl.group_top1_orders,
         "search_and": ft.search_and,
         "search_or": ft.search_or,
         "search_span_near_unordered": ft.search_span_near_unordered,
