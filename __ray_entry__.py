@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "realtime_get_docs": ft.realtime_get_docs,
         "geofilt_customers": rl.geofilt_customers,
         "edismax_bf_topk": ft.edismax_bf_topk,
+        "edismax_bq_topk": ft.edismax_bq_topk,
         "search_phrase_slop": ft.search_phrase_slop,
         "pivot_refined_lang_source": ft.pivot_refined_lang_source,
         "mlt_topk_docs": ft.mlt_topk_docs,
@@ -110,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_source_prefix": ft.facet_source_prefix,
         "frange_docs": ft.frange_docs,
         "dismax_topk_simple": ft.dismax_topk_simple,
+        "suggest_infix": ft.suggest_infix,
         "repetition_docs": rl.repetition_docs,
         "stopword_docs": rl.stopword_docs,
         "dup_span_docs": rl.dup_span_docs,
@@ -117,10 +119,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (group_top1_orders demoted below the cap: the grouping family is
         # in-cap via group_topk_orders + expand_orders)
         "export_sorted_lineitem": rl.export_sorted_lineitem,
-        "semi_join_customers": rl.semi_join_customers,
         "hash_join_orders_customer": rl.hash_join_orders_customer,
         "block_join_orders": rl.block_join_orders,
-        "function_query_part": rl.function_query_part,
         # ---- (4) round-2-green (re-run: core engine surfaces) ----
         "term_df_top100": ft.term_df_top100,
         "terms_component_prefix": ft.terms_component_prefix,
@@ -158,6 +158,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- (5) round-2-green, redundant in-family coverage ----
         "term_ttf_top100": ft.term_ttf_top100,
         "group_top1_orders": rl.group_top1_orders,
+        "semi_join_customers": rl.semi_join_customers,
+        "function_query_part": rl.function_query_part,
         "search_and": ft.search_and,
         "search_or": ft.search_or,
         "search_span_near_unordered": ft.search_span_near_unordered,
@@ -326,6 +328,28 @@ def oracle_sql() -> dict[str, str]:
             FROM disj
             QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 20
             ORDER BY rank""",
+        # edismax + bq=hash^2: the boost query's f32 BM25 score (x2 — a
+        # power-of-two boost scales every f32 rounding point exactly) adds
+        # to matching docs via ReqOptSum; it never gates matching
+        "edismax_bq_topk": _bm25_scored_sql(
+            "(0, 'join'), (0, 'vector'), (1, 'hash')"
+        ) + """
+            , disj AS (
+              SELECT doc_id, CAST(sum(CAST(score AS DOUBLE)) AS FLOAT) AS score
+              FROM scored WHERE qid = 0 GROUP BY doc_id)
+            , hash_s AS (
+              SELECT doc_id, CAST(CAST(2.0 AS FLOAT) * score AS FLOAT) AS s2
+              FROM scored WHERE qid = 1)
+            , boosted AS (
+              SELECT d.doc_id,
+                     CASE WHEN h.doc_id IS NULL THEN d.score
+                          ELSE CAST(CAST(d.score AS DOUBLE) + CAST(h.s2 AS DOUBLE) AS FLOAT)
+                     END AS score
+              FROM disj d LEFT JOIN hash_s h ON d.doc_id = h.doc_id)
+            SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS rank, doc_id
+            FROM boosted
+            QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 20
+            ORDER BY rank""",
         # edismax + bf=log(n_chars): ReqOptSum adds the f32 function value to
         # the f32 disjunction score (two-f32 add via DOUBLE + FLOAT cast is
         # exact — double rounding is innocuous at p'=53 >= 2*24+2)
@@ -413,6 +437,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN t ON t.term LIKE p.prefix || '%'
             QUALIFY row_number() OVER (PARTITION BY p.prefix ORDER BY weight DESC, term) <= 10
             ORDER BY p.prefix, rank""",
+        "suggest_infix": f"""
+            WITH t AS (SELECT term, CAST(count(*) AS BIGINT) AS weight
+                       FROM ({tok_terms}) WHERE term != '' GROUP BY term)
+            SELECT s.sub,
+                   CAST(row_number() OVER (PARTITION BY s.sub ORDER BY weight DESC, term) - 1 AS BIGINT) AS rank,
+                   term, weight
+            FROM (VALUES ('ar'), ('ow'), ('us')) s(sub)
+            JOIN t ON contains(t.term, s.sub)
+            QUALIFY row_number() OVER (PARTITION BY s.sub ORDER BY weight DESC, term) <= 10
+            ORDER BY s.sub, rank""",
         "spellcheck_terms": f"""
             WITH t AS (SELECT term, CAST(count(*) AS BIGINT) AS df
                        FROM (SELECT DISTINCT doc_id, term FROM ({tok_terms}) WHERE term != '')

@@ -189,6 +189,29 @@ class GlobalStats:
             out.append(body)
         return out
 
+    def term_chunks(self, field: str):
+        """Yield ``(terms_arrow_array, ttf_int64, rank_lo)`` chunks covering
+        one field's dictionary range — one SHARD resident at a time with the
+        sharded layout (streamed scan for kernels that cannot be
+        range-bounded, e.g. infix matching).  With the legacy single-table
+        layout, one chunk.  Chunks for the default field may contain other
+        fields' ``field\\x1fterm`` keys — callers mask on FIELD_SEP."""
+        key_pref = field_term_key(field, "")
+        lo, hi = (
+            self.terms.prefix_range(key_pref) if key_pref else (0, len(self.terms))
+        )
+        if self._tt is None:
+            yield self.terms.arr.slice(lo, hi - lo), self._ttf[lo:hi], lo
+            return
+        i = lo
+        while i < hi:
+            si = self._tt._si_for_rank(i)
+            strings, _df, ttf = self._tt._shard(si)
+            base = int(self._tt._cum[si])
+            end = min(hi, int(self._tt._cum[si + 1]))
+            yield strings.arr.slice(i - base, end - i), ttf[i - base : end - base], i
+            i = end
+
     def field_vocabulary(self, field: str):
         """All terms of one field (streamed full dictionary scan; with the
         sharded dictionary, one shard is resident at a time — MultiTermQ

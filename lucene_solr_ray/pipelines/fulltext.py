@@ -639,6 +639,32 @@ def facet_lang_for_term(sf_dir: str) -> pa.Table:
         s.shutdown()
 
 
+def suggest_infix(sf_dir: str) -> pa.Table:
+    """AnalyzingInfixSuggester analog: terms CONTAINING each substring,
+    (weight=ttf desc, term asc) top-10 — streamed shard-at-a-time dictionary
+    scan with vectorized substring matching."""
+    from ..index.reader import GlobalStats
+    from ..query.suggest import infix_suggest
+
+    ix = documents_index(sf_dir)
+    stats = GlobalStats(ix)
+    out = {"sub": [], "rank": [], "term": [], "weight": []}
+    for sub in ("ar", "ow", "us"):
+        for rank, (term, w) in enumerate(infix_suggest(stats, sub, top=10)):
+            out["sub"].append(sub)
+            out["rank"].append(rank)
+            out["term"].append(term)
+            out["weight"].append(w)
+    return pa.table(
+        {
+            "sub": pa.array(out["sub"], type=pa.string()),
+            "rank": pa.array(out["rank"], type=pa.int64()),
+            "term": pa.array(out["term"], type=pa.string()),
+            "weight": pa.array(out["weight"], type=pa.int64()),
+        }
+    )
+
+
 def facet_source_prefix(sf_dir: str) -> pa.Table:
     """facet.prefix=src1 over hits of term 'join': the sorted facet
     dictionary makes the prefix an ORDINAL RANGE (`SimpleFacets.java`
@@ -927,6 +953,30 @@ def realtime_get_docs(sf_dir: str) -> pa.Table:
                 [dicts["source"][got[d]["source_ord"]] for d in ids], type=pa.string()
             ),
             "n_chars": pa.array([int(got[d]["n_chars"]) for d in ids], type=pa.int64()),
+        }
+    )
+
+
+def edismax_bq_topk(sf_dir: str) -> pa.Table:
+    """edismax with an additive boost QUERY under the SQL gate:
+    'join vector' mm=1 plus ``bq=hash^2`` (`DisMaxQParser.java`
+    ``getBoostQueries``): the bq clause's f32 BM25 score (×2 boost) adds to
+    matching docs via ReqOptSumScorer, never gates matching."""
+    from ..query.edismax import EDisMaxParser
+
+    ast = EDisMaxParser(
+        qf=(("text", 1.0),), mm=1, bq=(TermQ("hash", boost=2.0),)
+    ).parse("join vector")
+    ix = documents_index(sf_dir)
+    docs, scores = Evaluator(LocalIndex(ix)).scored(ast)
+    ranks, ids = [], []
+    for rank, (_s, doc) in enumerate(top_k(docs, scores, 20)):
+        ranks.append(rank)
+        ids.append(doc)
+    return pa.table(
+        {
+            "rank": pa.array(ranks, type=pa.int64()),
+            "doc_id": pa.array(ids, type=pa.int64()),
         }
     )
 

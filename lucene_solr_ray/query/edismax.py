@@ -15,6 +15,9 @@ each scored as a DisjunctionMax over the ``qf`` field/boost list, with
   each FunctionQ is appended as a pure optional clause, so its float32 value
   adds to every matching doc's score via ReqOptSumScorer — it never gates
   matching and never counts toward mm;
+* ``bq``  — additive boost QUERIES (`DisMaxQParser.java` ``getBoostQueries``):
+  arbitrary query ASTs appended as optional clauses exactly like ``bf``
+  (score adds where they match, never gate, never count toward mm);
 * ``boost`` — multiplicative boost functions
   (`ExtendedDismaxQParser.java` ``getMultiplicativeBoosts`` / BoostedQuery):
   the whole query is wrapped in BoostedQ per function;
@@ -44,6 +47,7 @@ class EDisMaxParser:
         analyzer: str = "standard",
         bf: tuple = (),
         boost: tuple = (),
+        bq: tuple = (),
     ):
         self.qf = tuple(qf)
         self.pf = tuple(pf)
@@ -51,6 +55,7 @@ class EDisMaxParser:
         self.mm = mm
         self.bf = tuple(bf)        # FunctionQ instances, additive
         self.boost = tuple(boost)  # FunctionQ instances, multiplicative
+        self.bq = tuple(bq)        # query ASTs, additive (getBoostQueries)
         self._analyze = query_analyzer(analyzer)
 
     def _field_clauses(self, terms: tuple, is_phrase: bool):
@@ -111,12 +116,13 @@ class EDisMaxParser:
                 must_not=tuple(must_not),
                 minimum_should_match=msm,
             )
-        if self.bf:
-            # `+(user query) (bf) (bf)` (DisMaxQParser.getBoostFunctions):
-            # the base query keeps its own mm internally; bf clauses are
-            # optional on top, so they add score via ReqOptSumScorer but
-            # never gate matching and never count toward mm
-            out = BoolQ(must=(out,), should=tuple(self.bf))
+        if self.bf or self.bq:
+            # `+(user query) (bq) (bf)` (DisMaxQParser.getBoostQueries /
+            # getBoostFunctions): the base query keeps its own mm internally;
+            # bq/bf clauses are optional on top, so they add score via
+            # ReqOptSumScorer but never gate matching and never count
+            # toward mm
+            out = BoolQ(must=(out,), should=tuple(self.bq) + tuple(self.bf))
         for fq in self.boost:
             out = BoostedQ(out, fq)
         return out

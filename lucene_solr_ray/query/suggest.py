@@ -163,3 +163,36 @@ def spellcheck(stats, word: str, *, field: str = "text", max_edits: int = 2,
         cands.append((d, -int(stats.df.get(field_term_key(field, t), 0)), t))
     cands.sort()
     return [(t, d, -negdf) for d, negdf, t in cands[:top]]
+
+
+def infix_suggest(stats, sub: str, *, field: str = "text", top: int = 10) -> list[tuple[str, int]]:
+    """AnalyzingInfixSuggester analog
+    (`lucene/suggest/src/java/org/apache/lucene/search/suggest/analyzing/AnalyzingInfixSuggester.java`):
+    terms CONTAINING ``sub``, ordered (weight desc, term asc) with
+    weight = ttf.  Infix matching cannot be range-bounded, so this is a
+    STREAMED full-dictionary scan — one shard resident at a time
+    (``GlobalStats.term_chunks``), matching vectorized per shard with
+    ``pc.match_substring``; the running top-N is merged per chunk.  (The
+    reference builds a dedicated infix Lucene index; at web vocab the analog
+    is a persisted ngram->term auxiliary table — documented trade.)"""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    key_pref = field_term_key(field, "")
+    strip = len(key_pref)
+    best: list[tuple[int, str]] = []  # (-weight, term) merged per chunk
+    for arr, ttf, _lo in stats.term_chunks(field):
+        mask = pc.match_substring(arr, sub)
+        if field == "text":
+            # exclude other fields' interleaved `field\x1fterm` keys
+            mask = pc.and_(mask, pc.invert(pc.match_substring(arr, FIELD_SEP)))
+        sel = np.asarray(mask, dtype=bool)
+        if not sel.any():
+            continue
+        idx = np.flatnonzero(sel)
+        terms = arr.take(pa.array(idx))
+        for t, w in zip(terms.to_pylist(), ttf[idx].tolist()):
+            best.append((-int(w), t[strip:]))
+        best.sort()
+        del best[top:]
+    return [(t, -nw) for nw, t in best]

@@ -56,6 +56,8 @@ def _both(ray_session, con, name):
         "repetition_docs",
         "stopword_docs",
         "dup_span_docs",
+        "suggest_infix",
+        "edismax_bq_topk",
     ],
 )
 def test_wave2_entry_matches_oracle(ray_session, con, name):
