@@ -112,6 +112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frange_docs": ft.frange_docs,
         "dismax_topk_simple": ft.dismax_topk_simple,
         "suggest_infix": ft.suggest_infix,
+        "facet_refined_lang": ft.facet_refined_lang,
+        "events_sliding_counts": rl.events_sliding_counts,
         "repetition_docs": rl.repetition_docs,
         "stopword_docs": rl.stopword_docs,
         "dup_span_docs": rl.dup_span_docs,
@@ -124,8 +126,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- (4) round-2-green (re-run: core engine surfaces) ----
         "term_df_top100": ft.term_df_top100,
         "terms_component_prefix": ft.terms_component_prefix,
-        "suggest_prefix": ft.suggest_prefix,
-        "shingle_top_bigrams": ft.shingle_top_bigrams,
         "spellcheck_terms": ft.spellcheck_terms,
         "incremental_union_term_df": ft.incremental_union_term_df,
         # round-3 addition; rows-only (iterative, purity-gated in pytest).
@@ -160,6 +160,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_top1_orders": rl.group_top1_orders,
         "semi_join_customers": rl.semi_join_customers,
         "function_query_part": rl.function_query_part,
+        "suggest_prefix": ft.suggest_prefix,
+        "shingle_top_bigrams": ft.shingle_top_bigrams,
         "search_and": ft.search_and,
         "search_or": ft.search_or,
         "search_span_near_unordered": ft.search_span_near_unordered,
@@ -671,6 +673,26 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents
                   WHERE {_HAS.format(t='join')} GROUP BY lang)
             ORDER BY n DESC, lang""",
+        # refinement makes over-requested facets EXACT: same oracle shape as
+        # the plain entry, truncated to the requested limit
+        "facet_refined_lang": f"""
+            SELECT CAST(row_number() OVER (ORDER BY n DESC, lang) - 1 AS BIGINT) AS rank, lang, n
+            FROM (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents
+                  WHERE {_HAS.format(t='join')} GROUP BY lang)
+            ORDER BY n DESC, lang LIMIT 3""",
+        # hopping windows: every event lands in the <=4 hop-aligned 1-hour
+        # windows covering it
+        "events_sliding_counts": """
+            WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+            x AS (
+              SELECT event_type,
+                     (us // 900000000) * 900000000 - CAST(k AS BIGINT) * 900000000 AS ws
+              FROM e CROSS JOIN (VALUES (0), (1), (2), (3)) v(k)
+              WHERE (us // 900000000) * 900000000 - CAST(k AS BIGINT) * 900000000 > us - 3600000000)
+            SELECT event_type, make_timestamp(ws) AS window_start,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM x GROUP BY event_type, ws
+            ORDER BY event_type, window_start""",
         "facet_source_all": """
             SELECT CAST(row_number() OVER (ORDER BY n DESC, source) - 1 AS BIGINT) AS rank, source, n
             FROM (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source)

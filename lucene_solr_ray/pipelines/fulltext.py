@@ -684,6 +684,26 @@ def facet_source_prefix(sf_dir: str) -> pa.Table:
         s.shutdown()
 
 
+def facet_refined_lang(sf_dir: str) -> pa.Table:
+    """Distributed facet over-request + refinement under the SQL gate: actors
+    return only limit*1.5+10 entries (`FacetComponent.java:495-503`), then
+    possibly-undercounted candidates get exact per-ordinal recounts
+    (`FacetComponent.refineFacets:802-822`) — the refined result must equal
+    the exact counts the oracle computes directly."""
+    ix = documents_index(sf_dir)
+    s = RayIndexSearcher(ix, num_actors=2)
+    try:
+        res = s.search(
+            TermQ("join"), k=1, facet_fields=("lang",),
+            facet_limit=3, facet_mincount=1, facet_overrequest=True,
+        )
+        vals = [v for v, _ in res["facets"]["lang"]]
+        cnts = [c for _, c in res["facets"]["lang"]]
+        return _rank_table({"lang": vals, "n": cnts})
+    finally:
+        s.shutdown()
+
+
 def mlt_topk_docs(sf_dir: str) -> pa.Table:
     """MoreLikeThis (`MoreLikeThis.java` / `MoreLikeThisHandler.java`): docs
     most similar to doc 42, via the top tf*idf_classic source terms

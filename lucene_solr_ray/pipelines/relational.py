@@ -397,6 +397,55 @@ def embedding_near_dup_docs(sf_dir: str) -> pa.Table:
 # ---- events (windowed aggregate) --------------------------------------------
 
 
+def events_sliding_counts(sf_dir: str) -> pa.Table:
+    """Hopping (sliding) window: 1-hour windows every 15 minutes, events per
+    (event_type, window_start).  Each event lands in up to 4 windows — a
+    vectorized flat-map (numpy repeat over hop offsets) then one groupby;
+    the streaming-window family's third member next to tumbling + session."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts"])
+    HOP_US = 15 * 60 * 1_000_000
+    WIN_US = 60 * 60 * 1_000_000
+    K = WIN_US // HOP_US  # windows per event
+
+    def explode(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        us = np.asarray(pc.cast(t["ts"], pa.int64()))  # epoch micros
+        # last hop-aligned start <= ts, then the K-1 earlier hops that still
+        # cover ts (window_start > ts - WIN)
+        last = (us // HOP_US) * HOP_US
+        starts = last[:, None] - np.arange(K, dtype=np.int64)[None, :] * HOP_US
+        keep = starts > (us[:, None] - WIN_US)
+        ev = np.repeat(np.arange(len(us), dtype=np.int64), K)[keep.ravel()]
+        ws = starts.ravel()[keep.ravel()]
+        return pa.table(
+            {
+                "event_type": t["event_type"].take(pa.array(ev)),
+                "window_start": pa.array(ws, type=pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values(["event_type", "window_start"])
+    )
+    import pandas as pd
+
+    return pa.table(
+        {
+            "event_type": out["event_type"].tolist(),
+            "window_start": pa.array(
+                pd.to_datetime(out["window_start"].astype("int64"), unit="us"),
+                type=pa.timestamp("us"),
+            ),
+            "n": out["n"].astype("int64").tolist(),
+        }
+    )
+
+
 def events_hourly_counts(sf_dir: str) -> pa.Table:
     """Tumbling 1-hour window: events per (event_type, hour)."""
     ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts"])

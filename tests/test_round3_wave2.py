@@ -24,9 +24,10 @@ pytestmark = pytest.mark.skipif(
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
-    c.execute(
-        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{os.path.join(SF, 'documents')}.parquet')"
-    )
+    for t in ("documents", "events"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{os.path.join(SF, t)}.parquet')"
+        )
     return c
 
 
@@ -58,6 +59,8 @@ def _both(ray_session, con, name):
         "dup_span_docs",
         "suggest_infix",
         "edismax_bq_topk",
+        "facet_refined_lang",
+        "events_sliding_counts",
     ],
 )
 def test_wave2_entry_matches_oracle(ray_session, con, name):
