@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_infix": ft.suggest_infix,
         "facet_refined_lang": ft.facet_refined_lang,
         "events_sliding_counts": rl.events_sliding_counts,
+        "search_with_deletes": ft.search_with_deletes,
         "repetition_docs": rl.repetition_docs,
         "stopword_docs": rl.stopword_docs,
         "dup_span_docs": rl.dup_span_docs,
@@ -133,7 +134,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver-covered by bm25_and_topk_simple).
         "kmeans_clusters_docs": rl.kmeans_clusters_docs,
         "search_phrase": ft.search_phrase,
-        "facet_lang_for_term": ft.facet_lang_for_term,
         "parsed_query_search": ft.parsed_query_search,
         # simple-analyzer BM25 entries are S-gated (full float32 BM25 in
         # SQL); standard-analyzer variants are rows-only (UAX#29 not
@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "function_query_part": rl.function_query_part,
         "suggest_prefix": ft.suggest_prefix,
         "shingle_top_bigrams": ft.shingle_top_bigrams,
+        "facet_lang_for_term": ft.facet_lang_for_term,
         "search_and": ft.search_and,
         "search_or": ft.search_or,
         "search_span_near_unordered": ft.search_span_near_unordered,
@@ -461,6 +462,13 @@ def oracle_sql() -> dict[str, str]:
             JOIN t ON levenshtein(w.word, t.term) BETWEEN 1 AND 2
             QUALIFY row_number() OVER (PARTITION BY w.word ORDER BY levenshtein(w.word, t.term), df DESC, term) <= 5
             ORDER BY w.word, rank""",
+        # liveDocs: docs with doc_id%7==3 OR containing 'dup' are tombstoned
+        "search_with_deletes": f"""
+            SELECT doc_id FROM documents
+            WHERE {_HAS.format(t='join')} AND {_HAS.format(t='vector')}
+              AND doc_id % 7 != 3
+              AND NOT {_HAS.format(t='dup')}
+            ORDER BY doc_id""",
         "search_and": f"""
             SELECT doc_id FROM documents
             WHERE {_HAS.format(t='join')} AND {_HAS.format(t='vector')}

@@ -97,6 +97,11 @@ class GlobalStats:
             t_dict = read_dict_table(index_dir, f)
             if t_dict is not None:
                 self.dicts[f] = SortedStrings(t_dict["value"])
+        # live-docs tombstones (deleteDocuments analog): loaded ONCE at
+        # reader open — point-in-time semantics, reopen to observe deletes
+        from .deletes import load_deleted
+
+        self.deleted = load_deleted(index_dir)
         # union-manifest support (incremental ingest): member roots + the
         # per-member old_ord -> global_ord OrdinalMaps (MultiDocValues analog)
         self._members: list[str] = self.manifest.get("members", [])
@@ -241,6 +246,10 @@ class IndexPartition(TermSource):
         self.pid = pid
         self.stats = stats
         self.with_positions = stats.manifest["with_positions"]
+        # tombstones owned by THIS partition (liveDocs slice): the global
+        # sorted set intersected with our doc range — masking below is a
+        # vectorized searchsorted membership test per posting list
+        self.deleted = stats.deleted
         index_dir = stats.root_for(pid)  # union manifests link member artifacts
 
         tfiles = _partition_files(os.path.join(index_dir, "postings"), pid)
@@ -337,13 +346,37 @@ class IndexPartition(TermSource):
         self._cell_cache[key] = cell
         return cell
 
+    # -- live-docs masking ------------------------------------------------------
+
+    @property
+    def has_deletes(self) -> bool:
+        return len(self.deleted) > 0
+
+    def _live_rows(self) -> np.ndarray:
+        """Boolean live mask over this partition's rows (cached)."""
+        m = getattr(self, "_live_rows_cache", None)
+        if m is None:
+            from .deletes import mask_deleted
+
+            m = self._live_rows_cache = mask_deleted(self.deleted, self.doc_ids)
+        return m
+
+    def _mask_live(self, docs: np.ndarray) -> np.ndarray:
+        from .deletes import mask_deleted
+
+        return mask_deleted(self.deleted, docs)
+
     # -- TermSource -----------------------------------------------------------
 
     def postings(self, field, term):
         cell = self.cell(field_term_key(field, term))
         if cell is None:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-        return decode_docs_freqs(cell["docs"], cell["freqs"], cell["df"])
+        docs, tfs = decode_docs_freqs(cell["docs"], cell["freqs"], cell["df"])
+        if self.has_deletes:
+            live = self._mask_live(docs)
+            docs, tfs = docs[live], tfs[live]
+        return docs, tfs
 
     def positions(self, field, term):
         if not self.with_positions:
@@ -356,7 +389,14 @@ class IndexPartition(TermSource):
             e = np.empty(0, dtype=np.int64)
             return e, e, []
         docs, tfs = decode_docs_freqs(cell["docs"], cell["freqs"], cell["df"])
-        return docs, tfs, decode_positions(cell["positions"], tfs)
+        pls = decode_positions(cell["positions"], tfs)
+        if self.has_deletes:
+            live = self._mask_live(docs)
+            if not live.all():
+                keep = np.flatnonzero(live)
+                docs, tfs = docs[live], tfs[live]
+                pls = [pls[i] for i in keep.tolist()]
+        return docs, tfs, pls
 
     def norm_bytes(self, field, doc_ids):
         idx = np.searchsorted(self.doc_ids, doc_ids)
@@ -380,16 +420,26 @@ class IndexPartition(TermSource):
         """(doc_ids asc, float64 values) of a numeric doc-values column —
         the FunctionQuery value source (missing column -> empty)."""
         if field == "dl":
-            return self.doc_ids, self.dls.astype(np.float64)
-        col = self.columns.get(field)
-        if col is None or isinstance(col, (pa.Array, pa.ChunkedArray)):
-            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-        return self.doc_ids, np.asarray(col, dtype=np.float64)
+            vals = self.dls.astype(np.float64)
+        else:
+            col = self.columns.get(field)
+            if col is None or isinstance(col, (pa.Array, pa.ChunkedArray)):
+                return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+            vals = np.asarray(col, dtype=np.float64)
+        if self.has_deletes:
+            live = self._live_rows()
+            return self.doc_ids[live], vals[live]
+        return self.doc_ids, vals
 
     def fetch_stored(self, fields: list, doc_ids) -> dict:
         """Lazy stored-fields fetch (`CompressingStoredFieldsReader` analog):
         reads only the requested doc ids from this partition's ``stored/``
-        files via parquet predicate pushdown — nothing stays resident."""
+        files via parquet predicate pushdown — nothing stays resident.
+        Tombstoned docs are not retrievable (RealTimeGet of a deleted id
+        misses, `RealTimeGetComponent` + deleted-doc semantics)."""
+        if self.has_deletes:
+            ids = np.asarray(list(doc_ids), dtype=np.int64)
+            doc_ids = ids[self._mask_live(ids)]
         want = [f for f in fields if f in self.stats.stored_fields]
         if not want:
             return {}
@@ -417,6 +467,8 @@ class IndexPartition(TermSource):
                     mask = pc.fill_null(pc.equal(col, q.value), False).to_numpy(zero_copy_only=False)
                 else:
                     mask = col == q.value
+                if self.has_deletes:
+                    mask = mask & self._live_rows()
                 return self.doc_ids[mask]
             if q.field in self.stats.dicts and (q.field + "_ords") in self._list_flat:
                 o = self.stats.ord_of(q.field, q.value)
@@ -428,6 +480,8 @@ class IndexPartition(TermSource):
                 flat, row_of = self._list_flat[q.field + "_ords"]
                 mask = np.zeros(len(self.doc_ids), dtype=bool)
                 mask[row_of[flat == o]] = True
+                if self.has_deletes:
+                    mask &= self._live_rows()
                 return self.doc_ids[mask]
             return np.empty(0, dtype=np.int64)
         if isinstance(q, RangeQ):
@@ -443,10 +497,14 @@ class IndexPartition(TermSource):
                 mask &= (v >= q.lo) if q.include_lo else (v > q.lo)
             if q.hi is not None:
                 mask &= (v <= q.hi) if q.include_hi else (v < q.hi)
+            if self.has_deletes:
+                mask &= self._live_rows()
             return self.doc_ids[mask]
         raise TypeError(type(q))
 
     def all_docs(self):
+        if self.has_deletes:
+            return self.doc_ids[self._live_rows()]
         return self.doc_ids
 
     def global_df(self, field, term):

@@ -115,6 +115,11 @@ class SegmentSearcher:
         self.parts = [IndexPartition(index_dir, pid, self.stats) for pid in partition_ids]
         self.counter_pool = CounterPool()
         self._maxima_cache: dict[str, np.ndarray] = {}
+        # live-docs tombstones force the general evaluator (the WAND /
+        # block-skipping fast paths decode raw cells and would surface
+        # deleted docs; Lucene's scorers consult liveDocs per-iteration —
+        # here the exhaustive path masks at the postings level instead)
+        self._has_deletes = bool(len(self.stats.deleted))
 
     def _field_maxima(self, field: str, n_ords: int) -> np.ndarray:
         """Per-ordinal count upper bounds for THIS actor's partitions (=
@@ -190,8 +195,10 @@ class SegmentSearcher:
         as the reference's facet collection.
         """
         # a deadline forces the general evaluator loop (it checks
-        # time_allowed_ms at partition boundaries; the fast paths don't)
-        conj = _conjunction_eligible(query) if time_allowed_ms is None else None
+        # time_allowed_ms at partition boundaries; the fast paths don't);
+        # so do live-docs tombstones (fast paths decode raw cells)
+        fast_ok = time_allowed_ms is None and not self._has_deletes
+        conj = _conjunction_eligible(query) if fast_ok else None
         if conj is not None and not facet_fields and after is None:
             # block-skipping conjunction: exact top-k AND exact hit count
             from .wand import conjunction_topk
@@ -202,7 +209,7 @@ class SegmentSearcher:
             )
             return {"topk": topk, "total_hits": total, "facets": {}, "partial": False}
 
-        wand_terms = _wand_eligible(query) if time_allowed_ms is None else None
+        wand_terms = _wand_eligible(query) if fast_ok else None
         if wand_terms is not None and not facet_fields and after is None:
             from .wand import wand_topk
 

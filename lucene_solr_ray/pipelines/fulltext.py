@@ -36,11 +36,11 @@ CACHE_ROOT = os.environ.get("LSR_CACHE", "/tmp/lsr_index_cache")
 SEARCH_TERMS = ["join", "hash", "window", "vector", "stream", "customer", "merge"]
 
 
-def documents_index(sf_dir: str, analyzer: str = "simple") -> str:
+def documents_index(sf_dir: str, analyzer: str = "simple", variant: str = "") -> str:
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
     key = hashlib.md5(
-        f"{src}:{st.st_size}:{st.st_mtime_ns}:{analyzer}:v3".encode()
+        f"{src}:{st.st_size}:{st.st_mtime_ns}:{analyzer}:{variant}:v3".encode()
     ).hexdigest()[:16]
     index_dir = os.path.join(CACHE_ROOT, key)
     build_index(
@@ -682,6 +682,30 @@ def facet_source_prefix(sf_dir: str) -> pa.Table:
         return _rank_table({"source": vals, "n": cnts})
     finally:
         s.shutdown()
+
+
+def search_with_deletes(sf_dir: str) -> pa.Table:
+    """deleteDocuments + liveDocs under the SQL gate: a dedicated index copy
+    tombstones every doc with doc_id % 7 == 3 (by-id) plus every doc
+    containing 'dup' (by-query, `IndexWriter.deleteDocuments(Query)`), then
+    the hit set of 'join AND vector' must equal the oracle's live filter.
+    Stats stay stale (Lucene semantics) so this gates the hit SET mask."""
+    from ..index.deletes import apply_deletes, load_deleted
+    from ..index.reader import LocalIndex
+
+    ix = documents_index(sf_dir, variant="del1")
+    if len(load_deleted(ix)) == 0:
+        import pyarrow.parquet as pqf
+
+        ids = pqf.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )["doc_id"].to_numpy()
+        apply_deletes(ix, doc_ids=ids[ids % 7 == 3])
+        apply_deletes(ix, query=TermQ("dup"))
+    docs, _ = Evaluator(LocalIndex(ix)).scored(
+        BoolQ(must=(TermQ("join"), TermQ("vector")))
+    )
+    return pa.table({"doc_id": pa.array(np.sort(docs), type=pa.int64())})
 
 
 def facet_refined_lang(sf_dir: str) -> pa.Table:
