@@ -136,3 +136,63 @@ def test_point_in_time_readers(deleted_index):
         os.remove(gens[-1])
         assert len(Evaluator(LocalIndex(ix)).scored(TermQ("join"))[0]) == before
         del clear_deletes  # imported for symmetry; not used
+
+
+def test_expunge_equals_fresh_build_over_filtered_input(ray_session, tmp_path):
+    """expungeDeletes == a fresh build over the filtered table: doc ids are
+    content-derived, so hit sets AND float32 scores must be bit-identical,
+    and the recomputed global stats must match."""
+    import pyarrow as pa
+    import pyarrow.parquet as pqf
+
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.index.deletes import apply_deletes, expunge_deletes
+    from lucene_solr_ray.index.reader import GlobalStats, LocalIndex
+    from lucene_solr_ray.pipelines.fulltext import documents_index
+    from lucene_solr_ray.query.ast import (
+        BoolQ,
+        Evaluator,
+        MatchAllQ,
+        PhraseQ,
+        TermQ,
+    )
+
+    base = documents_index(SF)
+    ix = str(tmp_path / "ix")
+    shutil.copytree(base, ix)
+    tbl = pqf.read_table(os.path.join(SF, "documents.parquet"))
+    ids = tbl["doc_id"].to_numpy()
+    dead = ids[ids % 5 == 2]
+    apply_deletes(ix, doc_ids=dead)
+
+    out = str(tmp_path / "expunged")
+    man = expunge_deletes(ix, out)
+    assert man["max_doc"] == len(ids) - len(dead)
+
+    filt = str(tmp_path / "filtered.parquet")
+    pqf.write_table(tbl.filter(pa.array([int(i) % 5 != 2 for i in ids])), filt)
+    fresh = str(tmp_path / "fresh")
+    build_index(
+        [filt], fresh, rows_per_partition=128, extract_html=False,
+        dedup_url=False, analyzer="simple", facet_fields=("lang", "source"),
+        numeric_fields=("n_chars",),
+    )
+
+    ev_x = Evaluator(LocalIndex(out))
+    ev_f = Evaluator(LocalIndex(fresh))
+    for q in (
+        TermQ("join"),
+        BoolQ(must=(TermQ("join"), TermQ("vector"))),
+        PhraseQ(("join", "hash")),
+        MatchAllQ(),
+    ):
+        dx, sx = ev_x.scored(q)
+        df_, sf_ = ev_f.scored(q)
+        assert dx.tolist() == df_.tolist(), q
+        assert sx.tolist() == sf_.tolist(), q  # bit-exact f32 (fresh stats)
+
+    gx, gf = GlobalStats(out), GlobalStats(fresh)
+    assert gx.max_doc == gf.max_doc and gx.sum_dl == gf.sum_dl
+    for t in ("join", "hash", "window", "the"):
+        assert gx.df.get(t, 0) == gf.df.get(t, 0), t
+        assert gx.ttf.get(t, 0) == gf.ttf.get(t, 0), t
