@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_refined_lang": ft.facet_refined_lang,
         "events_sliding_counts": rl.events_sliding_counts,
         "search_with_deletes": ft.search_with_deletes,
+        "expunge_index_stats": ft.expunge_index_stats,
         "repetition_docs": rl.repetition_docs,
         "stopword_docs": rl.stopword_docs,
         "dup_span_docs": rl.dup_span_docs,
@@ -126,7 +127,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "block_join_orders": rl.block_join_orders,
         # ---- (4) round-2-green (re-run: core engine surfaces) ----
         "term_df_top100": ft.term_df_top100,
-        "terms_component_prefix": ft.terms_component_prefix,
         "spellcheck_terms": ft.spellcheck_terms,
         "incremental_union_term_df": ft.incremental_union_term_df,
         # round-3 addition; rows-only (iterative, purity-gated in pytest).
@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_prefix": ft.suggest_prefix,
         "shingle_top_bigrams": ft.shingle_top_bigrams,
         "facet_lang_for_term": ft.facet_lang_for_term,
+        "terms_component_prefix": ft.terms_component_prefix,
         "search_and": ft.search_and,
         "search_or": ft.search_or,
         "search_span_near_unordered": ft.search_span_near_unordered,
@@ -469,6 +470,13 @@ def oracle_sql() -> dict[str, str]:
               AND doc_id % 7 != 3
               AND NOT {_HAS.format(t='dup')}
             ORDER BY doc_id""",
+        # after expunge of doc_id%7==3: stats recomputed over survivors
+        "expunge_index_stats": f"""
+            WITH live AS (SELECT * FROM documents WHERE doc_id % 7 != 3)
+            SELECT CAST((SELECT count(*) FROM live) AS BIGINT) AS maxdoc,
+                   CAST((SELECT count(*) FROM live WHERE {_HAS.format(t='join')}) AS BIGINT) AS docfreq_join,
+                   CAST((SELECT coalesce(sum(len(list_filter({_TOK}, t -> t = 'join'))), 0) FROM live) AS BIGINT) AS ttf_join,
+                   CAST((SELECT count(*) FROM live WHERE {_HAS.format(t='join')}) AS BIGINT) AS n_hits_join""",
         "search_and": f"""
             SELECT doc_id FROM documents
             WHERE {_HAS.format(t='join')} AND {_HAS.format(t='vector')}

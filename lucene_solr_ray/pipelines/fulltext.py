@@ -708,6 +708,37 @@ def search_with_deletes(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(np.sort(docs), type=pa.int64())})
 
 
+def expunge_index_stats(sf_dir: str) -> pa.Table:
+    """expungeDeletes under the SQL gate: after tombstoning doc_id % 7 == 3
+    and rewriting (`IndexWriter.forceMergeDeletes` analog), the GLOBAL
+    statistics reflect only survivors — maxdoc, per-term docfreq and the live
+    hit set must equal the oracle's direct computation over live docs."""
+    from ..index.deletes import apply_deletes, expunge_deletes, load_deleted
+    from ..index.reader import GlobalStats, LocalIndex
+
+    src_ix = documents_index(sf_dir, variant="del2")
+    if len(load_deleted(src_ix)) == 0:
+        import pyarrow.parquet as pqf
+
+        ids = pqf.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )["doc_id"].to_numpy()
+        apply_deletes(src_ix, doc_ids=ids[ids % 7 == 3])
+    out_ix = src_ix + "_expunged"
+    if not os.path.exists(os.path.join(out_ix, "manifest.json")):
+        expunge_deletes(src_ix, out_ix)
+    stats = GlobalStats(out_ix)
+    docs, _ = Evaluator(LocalIndex(out_ix)).scored(TermQ("join"))
+    return pa.table(
+        {
+            "maxdoc": pa.array([stats.max_doc], type=pa.int64()),
+            "docfreq_join": pa.array([stats.df.get("join", 0)], type=pa.int64()),
+            "ttf_join": pa.array([stats.ttf.get("join", 0)], type=pa.int64()),
+            "n_hits_join": pa.array([len(docs)], type=pa.int64()),
+        }
+    )
+
+
 def facet_refined_lang(sf_dir: str) -> pa.Table:
     """Distributed facet over-request + refinement under the SQL gate: actors
     return only limit*1.5+10 entries (`FacetComponent.java:495-503`), then

@@ -61,6 +61,8 @@ def _both(ray_session, con, name):
         "edismax_bq_topk",
         "facet_refined_lang",
         "events_sliding_counts",
+        "search_with_deletes",
+        "expunge_index_stats",
     ],
 )
 def test_wave2_entry_matches_oracle(ray_session, con, name):
