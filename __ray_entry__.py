@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_docs": rl.repetition_docs,
         "stopword_docs": rl.stopword_docs,
         "dup_span_docs": rl.dup_span_docs,
+        "pii_scrub_docs": rl.pii_scrub_docs,
         # ---- (3) last row is from round 1 ----
         # (group_top1_orders demoted below the cap: the grouping family is
         # in-cap via group_topk_orders + expand_orders)
@@ -127,7 +128,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "block_join_orders": rl.block_join_orders,
         # ---- (4) round-2-green (re-run: core engine surfaces) ----
         "term_df_top100": ft.term_df_top100,
-        "spellcheck_terms": ft.spellcheck_terms,
         "incremental_union_term_df": ft.incremental_union_term_df,
         # round-3 addition; rows-only (iterative, purity-gated in pytest).
         # search_and demoted below the cap to make room (conjunction still
@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shingle_top_bigrams": ft.shingle_top_bigrams,
         "facet_lang_for_term": ft.facet_lang_for_term,
         "terms_component_prefix": ft.terms_component_prefix,
+        "spellcheck_terms": ft.spellcheck_terms,
         "search_and": ft.search_and,
         "search_or": ft.search_or,
         "search_span_near_unordered": ft.search_span_near_unordered,
@@ -648,6 +649,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, pos, gram FROM d
             WHERE c >= 2 AND rn >= 2
             ORDER BY doc_id, pos, gram""",
+        # PII scrub over synthetically-planted contact lines; the oracle
+        # replays the same RE2 patterns in the same order (count each pattern
+        # on the PREVIOUS stage's text, like the engine kernel)
+        "pii_scrub_docs": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                     coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com at 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+                       || ' tel +1 555 000 ' || CAST(doc_id AS VARCHAR) || ' end' AS t0
+              FROM documents),
+            s1 AS (SELECT doc_id,
+                          regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1,
+                          len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS c1
+                   FROM aug),
+            s2 AS (SELECT doc_id,
+                          regexp_replace(t1, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS t2,
+                          len(regexp_extract_all(t1, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS c2, c1
+                   FROM s1),
+            s3 AS (SELECT doc_id,
+                          regexp_replace(t2, '\+?\d[\d\-\(\) ]{7,}\d', '<PHONE>', 'g') AS t3,
+                          len(regexp_extract_all(t2, '\+?\d[\d\-\(\) ]{7,}\d')) AS c3, c1, c2
+                   FROM s2)
+            SELECT doc_id, t3 AS scrubbed, CAST(c1 + c2 + c3 AS BIGINT) AS n_pii
+            FROM s3 ORDER BY doc_id""",
         "stopword_docs": f"""
             WITH c AS (
               SELECT doc_id,

@@ -170,6 +170,47 @@ def dup_span_docs(sf_dir: str) -> pa.Table:
     )
 
 
+def pii_scrub_docs(sf_dir: str) -> pa.Table:
+    """PII scrub (emails/IPv4/phone-like) over documents augmented with
+    deterministic synthetic contact lines (the fixture corpus is letter-only,
+    so the entry plants PII derived from doc_id in BOTH engine and oracle —
+    the scrub itself is the production kernel, vectorized RE2)."""
+    import pyarrow.compute as pc
+
+    from ..stages.textstats import pii_scrub_batch
+
+    def augment(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = pc.cast(t["doc_id"], pa.string())
+        mod = pa.array(
+            (np.asarray(t["doc_id"], dtype=np.int64) % 256).astype(str)
+        )
+        txt = pc.binary_join_element_wise(
+            pc.fill_null(t["text"], ""),
+            " contact user", ids, "@example.com at 10.0.0.", mod,
+            " tel +1 555 000 ", ids, " end",
+            "",
+        )
+        return pa.table({"doc_id": t["doc_id"], "text": txt})
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(augment, batch_format="pyarrow")
+        .map_batches(pii_scrub_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "scrubbed", "n_pii"])
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    return pa.table(
+        {
+            "doc_id": out["doc_id"].astype("int64").tolist(),
+            "scrubbed": out["scrubbed"].tolist(),
+            "n_pii": out["n_pii"].astype("int64").tolist(),
+        }
+    )
+
+
 def repetition_docs(sf_dir: str) -> pa.Table:
     """Gopher-style repetition quality signals (duplicate-trigram fraction +
     top-bigram occurrence count) per document — the within-doc counterpart of

@@ -139,6 +139,36 @@ def quality_score_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
     return t.append_column("alpha_ratio", alpha_ratio)
 
 
+# PII patterns (RE2-compatible — both pyarrow and DuckDB compile via RE2, so
+# the SQL oracle is bit-identical by construction): the standard web-corpus
+# scrub set (emails, IPv4, long digit runs/phone-like)
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d\-\(\) ]{7,}\d", "<PHONE>"),
+)
+
+
+def pii_scrub_batch(batch: pa.Table, *, text_col: str = "text",
+                    out: str = "scrubbed") -> pa.Table:
+    """PII redaction for training corpora (the CCNet/Dolma-style scrub pass):
+    emails -> <EMAIL>, IPv4 -> <IP>, phone-like digit runs -> <PHONE>.
+    One vectorized RE2 replace per pattern; adds a per-row replacement
+    count so pipelines can quarantine PII-heavy docs."""
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    cur = pc.fill_null(col, "")
+    n_hits = np.zeros(batch.num_rows, dtype=np.int64)
+    for pat, repl in PII_PATTERNS:
+        n_hits += np.asarray(pc.count_substring_regex(cur, pat), dtype=np.int64)
+        cur = pc.replace_substring_regex(cur, pat, repl)
+    out_cols = dict(zip(batch.column_names, batch.columns))
+    out_cols[out] = cur
+    out_cols["n_pii"] = pa.array(n_hits, type=pa.int64())
+    return pa.table(out_cols)
+
+
 def stopword_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
     """Stopword count/ratio over Lucene's 33-word English stop set
     (`StopAnalyzer.ENGLISH_STOP_WORDS_SET`) — the CCNet-style language-

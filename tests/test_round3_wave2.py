@@ -63,6 +63,7 @@ def _both(ray_session, con, name):
         "events_sliding_counts",
         "search_with_deletes",
         "expunge_index_stats",
+        "pii_scrub_docs",
     ],
 )
 def test_wave2_entry_matches_oracle(ray_session, con, name):
@@ -238,6 +239,24 @@ def test_repetition_kernel_crafted():
     assert out["dup_trigram_frac"].to_pylist() == [4 / 7, 0.0, 0.5, 0.0]
     # 'a b' occurs 3x in row 0; 'q q' occurs 3x in row 2; row 3 has 1
     assert out["top_bigram_n"].to_pylist() == [3, 1, 3, 1]
+
+
+def test_pii_scrub_kernel_crafted():
+    from lucene_solr_ray.stages.textstats import pii_scrub_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], type=pa.int64()),
+            "text": [
+                "mail a.b+c@ex-ample.org or 192.168.0.1 call +1 (555) 123-4567 ok",
+                "no pii here",
+            ],
+        }
+    )
+    out = pii_scrub_batch(t)
+    assert out["scrubbed"][0].as_py() == "mail <EMAIL> or <IP> call <PHONE> ok"
+    assert out["n_pii"].to_pylist() == [3, 0]
+    assert out["scrubbed"][1].as_py() == "no pii here"
 
 
 def test_stopword_kernel_crafted():
