@@ -120,6 +120,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stopword_docs": rl.stopword_docs,
         "dup_span_docs": rl.dup_span_docs,
         "pii_scrub_docs": rl.pii_scrub_docs,
+        "tfidf_topk_simple": ft.tfidf_topk_simple,
+        "decontaminate_docs": rl.decontaminate_docs,
+        "collapse_lang_docs": ft.collapse_lang_docs,
+        "unigram_lm_docs": rl.unigram_lm_docs,
         # ---- (3) last row is from round 1 ----
         # (group_top1_orders demoted below the cap: the grouping family is
         # in-cap via group_topk_orders + expand_orders)
@@ -127,35 +131,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_join_orders_customer": rl.hash_join_orders_customer,
         "block_join_orders": rl.block_join_orders,
         # ---- (4) round-2-green (re-run: core engine surfaces) ----
-        "term_df_top100": ft.term_df_top100,
+        # (term_df_top100 demoted r3: the same term-df top-100 oracle shape
+        # is in-cap via incremental_union_term_df; search_phrase demoted:
+        # positions machinery in-cap via search_phrase_slop — both keep rows)
         "incremental_union_term_df": ft.incremental_union_term_df,
         # round-3 addition; rows-only (iterative, purity-gated in pytest).
         # search_and demoted below the cap to make room (conjunction still
         # driver-covered by bm25_and_topk_simple).
         "kmeans_clusters_docs": rl.kmeans_clusters_docs,
-        "search_phrase": ft.search_phrase,
-        "parsed_query_search": ft.parsed_query_search,
+        # (parsed_query_search demoted r3, r2-green: parser syntax surfaces
+        # are P-gated and its AND/NOT hit-set shape is in-cap via
+        # search_with_deletes + bm25_and_topk_simple; keeps its r2 row)
         # simple-analyzer BM25 entries are S-gated (full float32 BM25 in
         # SQL); standard-analyzer variants are rows-only (UAX#29 not
         # SQL-expressible) with rank-identity tested vs the Python oracle
         "bm25_topk_simple": ft.bm25_topk_simple,
         "bm25_and_topk_simple": ft.bm25_and_topk_simple,
+        # ---------------- driver cap (50) is here ----------------
+        # (edismax_topk r2-green; edismax family stays in-cap via the
+        # bf/bq variants, which replay the same scoring plus boosts)
         "edismax_topk": ft.edismax_topk,
         "rerank_topk_simple": ft.rerank_topk_simple,
         "search_after_page2": ft.search_after_page2,
-        "search_must_not": ft.search_must_not,
+        # (search_must_not demoted r3: NOT semantics in-cap via
+        # parsed_query_search's '-hash' clause; keeps its r2 row)
         "search_msm": ft.search_msm,
         "search_span_near_ordered": ft.search_span_near_ordered,
-        "facet_source_index_order": ft.facet_source_index_order,
+        # (facet_source_index_order demoted r3: facet.sort family in-cap via
+        # facet_source_prefix + facet_refined_lang; keeps its r2 row)
         "function_query_index_stats": ft.function_query_index_stats,
         "pivot_lang_source": ft.pivot_lang_source,
         "dedup_exact_docs": rl.dedup_exact_docs,
         "bpe_token_counts_docs": rl.bpe_token_counts_docs,
         "quality_docs": rl.quality_docs,
+        # ---- (5) round-2-green, redundant in-family coverage ----
+        # (session_windows/datemath demoted r3: streaming family in-cap via
+        # events_sliding_counts + interval_facets_quantity; both keep r2 rows)
         "session_windows_events": rl.session_windows_events,
         "facet_range_events_datemath": rl.facet_range_events_datemath,
-        # ---------------- driver cap (50) is around here ----------------
-        # ---- (5) round-2-green, redundant in-family coverage ----
+        "term_df_top100": ft.term_df_top100,
+        "search_phrase": ft.search_phrase,
+        "facet_source_index_order": ft.facet_source_index_order,
+        "search_must_not": ft.search_must_not,
+        "parsed_query_search": ft.parsed_query_search,
         "term_ttf_top100": ft.term_ttf_top100,
         "group_top1_orders": rl.group_top1_orders,
         "semi_join_customers": rl.semi_join_customers,
@@ -192,16 +210,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
-def _norm_case_sql() -> str:
-    """dl -> decoded NORM_TABLE value as a SQL step function: the byte315
+def _norm_case_sql(table=None, else_sql: str = "CAST('Infinity' AS FLOAT)") -> str:
+    """dl -> decoded norm value as a SQL step function: the byte315
     quantization (`SmallFloat.floatToByte315`) collapses document lengths to
     a finite byte set, so the full decode is a static CASE over dl
     thresholds.  Covers EVERY reachable norm byte (binary-searched bucket
     lower bounds over the whole int64 dl range, not a capped enumeration), so
-    arbitrarily long documents decode identically to the engine."""
+    arbitrarily long documents decode identically to the engine.
+
+    ``table`` is the 256-entry byte->float decode table: BM25's NORM_TABLE
+    (1/f², default) or ClassicSimilarity's direct byte315ToFloat table."""
     import numpy as np
 
     from lucene_solr_ray.smallfloat import NORM_TABLE, encode_norm
+
+    if table is None:
+        table = NORM_TABLE
 
     def byte_of(dl: int) -> int:
         return int(encode_norm(np.array([dl], dtype=np.int64))[0])
@@ -227,10 +251,21 @@ def _norm_case_sql() -> str:
     # string literals: DuckDB parses bare decimal literals as DECIMAL, which
     # can land one ulp off after the FLOAT cast; '...'::FLOAT is exact
     parts = [
-        f"WHEN dl >= {lb} THEN CAST('{float(NORM_TABLE[b])!r}' AS FLOAT)"
+        f"WHEN dl >= {lb} THEN CAST('{float(table[b])!r}' AS FLOAT)"
         for lb, b in reversed(bounds)
     ]
-    return "CASE " + " ".join(parts) + " ELSE CAST('Infinity' AS FLOAT) END"
+    return "CASE " + " ".join(parts) + f" ELSE {else_sql} END"
+
+
+def _classic_norm_case_sql() -> str:
+    """dl -> DefaultSimilarity.decodeNormValue(byte) (byte315ToFloat direct,
+    NOT BM25's 1/f² table) as a static CASE; dl=0 encodes to byte 255."""
+    from lucene_solr_ray.index.tfidf import DECODE_TABLE
+
+    return _norm_case_sql(
+        table=DECODE_TABLE,
+        else_sql=f"CAST('{float(DECODE_TABLE[255])!r}' AS FLOAT)",
+    )
 
 
 def _bm25_scored_sql(terms_values: str | None, qterms_sql: str | None = None) -> str:
@@ -673,6 +708,90 @@ def oracle_sql() -> dict[str, str]:
                    FROM s2)
             SELECT doc_id, t3 AS scrubbed, CAST(c1 + c2 + c3 AS BIGINT) AS n_pii
             FROM s3 ORDER BY doc_id""",
+        # ClassicSimilarity (Solr 4.10's DEFAULT similarity): replay tf =
+        # f32(sqrt(freq)), idf = f32(ln(n/(df+1))+1), the f32 queryNorm over
+        # summed squared clause weights, value = f32(f32(idf*qn)*idf), and
+        # score = f32(f32(tf_f*value) * byte315-DECODED norm); disjunction
+        # sums per-term doc scores in double, cast f32.  Two-f32 binary ops
+        # via DOUBLE + FLOAT cast are exact (p'=53 >= 2*24+2).
+        "tfidf_topk_simple": f"""
+            WITH toks AS (
+              SELECT doc_id, list_filter({_TOK}, t -> t != '') AS tk FROM documents
+            ),
+            stats AS (SELECT CAST(count(*) AS BIGINT) n FROM toks),
+            qterms(qid, term) AS (VALUES (0, 'join'), (1, 'window'), (1, 'stream'),
+                                         (2, 'vector'), (2, 'customer')),
+            hits AS (
+              SELECT q.qid, q.term, d.doc_id,
+                     len(list_filter(d.tk, x -> x = q.term)) AS tf, len(d.tk) AS dl
+              FROM toks d CROSS JOIN qterms q),
+            hits2 AS (SELECT * FROM hits WHERE tf > 0),
+            dfs AS (SELECT qid, term, CAST(count(*) AS BIGINT) df FROM hits2 GROUP BY qid, term),
+            idfs AS (SELECT qid, term,
+                            CAST(ln(s.n / (df + 1.0)) + 1.0 AS FLOAT) AS idf
+                     FROM dfs, stats s),
+            qn AS (SELECT qid,
+                          CAST(1.0 / sqrt(CAST(CAST(sum(CAST(CAST(CAST(idf AS DOUBLE) * CAST(idf AS DOUBLE) AS FLOAT) AS DOUBLE)) AS FLOAT) AS DOUBLE)) AS FLOAT) AS qnorm
+                   FROM idfs GROUP BY qid),
+            vals AS (SELECT i.qid, i.term,
+                            CAST(CAST(CAST(CAST(i.idf AS DOUBLE) * CAST(q.qnorm AS DOUBLE) AS FLOAT) AS DOUBLE) * CAST(i.idf AS DOUBLE) AS FLOAT) AS value
+                     FROM idfs i JOIN qn q ON i.qid = q.qid),
+            scored AS (
+              SELECT h.qid, h.doc_id,
+                CAST(CAST(CAST(CAST(CAST(sqrt(CAST(h.tf AS DOUBLE)) AS FLOAT) AS DOUBLE) * CAST(v.value AS DOUBLE) AS FLOAT) AS DOUBLE)
+                     * CAST(({_classic_norm_case_sql()}) AS DOUBLE) AS FLOAT) AS score
+              FROM hits2 h JOIN vals v ON v.qid = h.qid AND v.term = h.term),
+            agg AS (
+              SELECT qid, doc_id, CAST(sum(CAST(score AS DOUBLE)) AS FLOAT) AS score
+              FROM scored GROUP BY qid, doc_id)
+            SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS rank, doc_id
+            FROM agg
+            QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) <= 10
+            ORDER BY qid, rank""",
+        # CollapsingQParserPlugin: one head doc per lang (max f32 BM25 score,
+        # ties -> lower docID), heads ranked (score desc, doc_id)
+        "collapse_lang_docs": _bm25_scored_sql("(0, 'join')") + """
+            , heads AS (
+              SELECT s.doc_id, d.lang, s.score,
+                     row_number() OVER (PARTITION BY d.lang ORDER BY s.score DESC, s.doc_id) AS rn
+              FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+              WHERE d.lang IS NOT NULL)
+            SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS rank,
+                   lang, doc_id
+            FROM heads WHERE rn = 1
+            ORDER BY rank""",
+        # CCNet-style unigram LM: avg token ln-prob under the corpus unigram
+        # distribution; 6-decimal rounding is the output contract (keeps the
+        # value independent of float summation order across engines)
+        "unigram_lm_docs": f"""
+            WITH toks AS (SELECT doc_id, list_filter({_TOK}, t -> t != '') AS tk FROM documents),
+            tg AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+            ttf AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tg GROUP BY tok),
+            tot AS (SELECT CAST(sum(c) AS DOUBLE) AS T FROM ttf),
+            per AS (
+              SELECT g.doc_id, sum(ln(t.c / tot.T)) AS lp, count(*) AS n
+              FROM tg g JOIN ttf t ON g.tok = t.tok, tot GROUP BY g.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(per.n, 0) AS BIGINT) AS n_tokens,
+                   round(coalesce(per.lp / per.n, 0.0), 6) AS avg_logprob
+            FROM documents d LEFT JOIN per USING (doc_id)
+            ORDER BY d.doc_id""",
+        # eval-set decontamination: held-out set = doc_id % 7 == 0; count
+        # DISTINCT shared 8-token grams per training doc (window-function
+        # gram construction identical to dup_span_docs)
+        "decontaminate_docs": f"""
+            WITH toks AS (SELECT doc_id, list_filter({_TOK}, t -> t != '') AS tk FROM documents),
+            tg AS (SELECT doc_id, unnest(tk) AS tok, unnest(range(1, len(tk)+1)) AS p FROM toks),
+            g AS (
+              SELECT doc_id,
+                     tok || ' ' || {" || ' ' || ".join(f"lead(tok, {i}) OVER w" for i in range(1, 8))} AS gram,
+                     lead(tok, 7) OVER w IS NOT NULL AS ok
+              FROM tg WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+            ev AS (SELECT DISTINCT gram FROM g WHERE ok AND doc_id % 7 = 0),
+            tr AS (SELECT DISTINCT doc_id, gram FROM g WHERE ok AND doc_id % 7 <> 0)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated_grams
+            FROM tr JOIN ev USING (gram)
+            GROUP BY doc_id ORDER BY doc_id""",
         "stopword_docs": f"""
             WITH c AS (
               SELECT doc_id,

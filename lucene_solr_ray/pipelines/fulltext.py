@@ -400,6 +400,93 @@ def bm25_and_topk_simple(sf_dir: str) -> pa.Table:
     )
 
 
+def tfidf_topk_simple(sf_dir: str) -> pa.Table:
+    """ClassicSimilarity (TF-IDF) top-10 per query — S-gated rank-identity.
+
+    The reference line (Solr 4.10) defaults to the vector-space TF-IDF
+    similarity, not BM25 (``DefaultSimilarity`` /
+    ``TFIDFSimilarity.java:773-782``): ``score = tf(freq) * value *
+    decodeNorm(b)`` with ``tf = (float)sqrt(freq)``, ``idf =
+    (float)(ln(N/(df+1))+1)``, a global queryNorm over the f32 sum of
+    squared clause weights, and byte315 norm DECODE (not BM25's 1/f²
+    table).  The DuckDB oracle replays every float32 rounding point; the
+    disjunction accumulates per-term doc scores in double and casts f32
+    (DisjunctionSumScorer semantics)."""
+    from ..index import tfidf
+
+    ix = documents_index(sf_dir)
+    loc = LocalIndex(ix)
+    n, _ = loc.global_stats("text")
+    queries = [("join",), ("window", "stream"), ("vector", "customer")]
+    out = {"qid": [], "rank": [], "doc_id": []}
+    for qid, terms in enumerate(queries):
+        idfs = [tfidf.idf(loc.global_df("text", t), n) for t in terms]
+        qn = tfidf.query_norm(tfidf.sum_sq_weights(idfs))
+        all_docs: list[np.ndarray] = []
+        all_scores: list[np.ndarray] = []
+        for t, idf_v in zip(terms, idfs):
+            docs, tfs = loc.postings("text", t)
+            if len(docs) == 0:
+                continue
+            nb = loc.norm_bytes("text", docs)
+            all_docs.append(docs)
+            all_scores.append(
+                tfidf.term_scores(tfs, nb, tfidf.term_value(idf_v, qn))
+            )
+        if not all_docs:
+            continue
+        d = np.concatenate(all_docs)
+        sc = np.concatenate(all_scores).astype(np.float64)
+        uniq, inv = np.unique(d, return_inverse=True)
+        acc = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(acc, inv, sc)
+        for rank, (_score, doc) in enumerate(
+            top_k(uniq, acc.astype(np.float32), 10)
+        ):
+            out["qid"].append(qid)
+            out["rank"].append(rank)
+            out["doc_id"].append(doc)
+    return pa.table(
+        {
+            "qid": pa.array(out["qid"], type=pa.int64()),
+            "rank": pa.array(out["rank"], type=pa.int64()),
+            "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+        }
+    )
+
+
+def collapse_lang_docs(sf_dir: str) -> pa.Table:
+    """Field collapsing (``{!collapse field=lang}``,
+    `solr/core/src/java/org/apache/solr/search/CollapsingQParserPlugin.java`):
+    keep only the top-scoring doc per collapse-field value in the result set
+    (group head = max float32 BM25 score, ties -> lower docID; null field
+    values dropped, the default nullPolicy=ignore), heads ranked
+    (score desc, doc_id) — S-gated via the float32 BM25 SQL replay."""
+    ix = documents_index(sf_dir)
+    loc = LocalIndex(ix)
+    ev = Evaluator(loc)
+    docs, scores = ev.scored(TermQ("join"))
+    od, ov = loc.numeric_values("lang_ord")
+    ords = ov[np.searchsorted(od, docs)].astype(np.int64)
+    live = ords >= 0  # negative ordinal = missing value (nullPolicy=ignore)
+    docs, scores, ords = docs[live], scores[live], ords[live]
+    # head per group: lexsort (ord asc, score desc, doc asc) -> first per ord
+    order = np.lexsort((docs, -scores, ords))
+    first = np.ones(len(order), dtype=bool)
+    first[1:] = ords[order][1:] != ords[order][:-1]
+    heads = order[first]
+    hd, hs, ho = docs[heads], scores[heads], ords[heads]
+    rank_order = np.lexsort((hd, -hs))
+    langs = loc.stats.dicts["lang"]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(rank_order)), type=pa.int64()),
+            "lang": pa.array([langs[o] for o in ho[rank_order]], type=pa.string()),
+            "doc_id": pa.array(hd[rank_order], type=pa.int64()),
+        }
+    )
+
+
 def rerank_topk_simple(sf_dir: str) -> pa.Table:
     """ReRank under the SQL gate: first pass = 'join OR vector' top-20, then
     +2.0x the 'hash' score for matches (ReRankQParserPlugin semantics,

@@ -149,6 +149,68 @@ def quality_docs(sf_dir: str) -> pa.Table:
     )
 
 
+def unigram_lm_docs(sf_dir: str) -> pa.Table:
+    """CCNet-style unigram LM quality score: per-doc average token
+    log-probability under the corpus unigram distribution (one distributed
+    ttf pass -> broadcast LM -> one scoring pass).  S-gated: the oracle
+    recomputes the distribution and per-doc average in SQL; avg_logprob is
+    rounded to 6 decimals in BOTH (the output contract)."""
+    from ..stages.textstats import unigram_lm_scores
+
+    out = (
+        unigram_lm_scores(_docs(sf_dir, ["doc_id", "text"]))
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    return pa.table(
+        {
+            "doc_id": out["doc_id"].astype("int64").tolist(),
+            "n_tokens": out["n_tokens"].astype("int64").tolist(),
+            "avg_logprob": out["avg_logprob"].astype("float64").tolist(),
+        }
+    )
+
+
+def decontaminate_docs(sf_dir: str) -> pa.Table:
+    """Eval-set decontamination: docs with ``doc_id % 7 == 0`` form the
+    deterministic held-out set; every OTHER doc sharing an 8-token gram with
+    it is flagged with its distinct contaminated-gram count.  S-gated: the
+    oracle recomputes the gram join with window functions in SQL (the engine
+    probes 64-bit gram hashes against one broadcast array — same distinct
+    counts absent a 2^-64 collision, none in the fixed corpus)."""
+    from ..stages.dedup import decontaminate
+
+    def _part(is_eval: bool):
+        def f(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            m = (np.asarray(t["doc_id"], dtype=np.int64) % 7) == 0
+            return t.filter(pa.array(m if is_eval else ~m))
+
+        return f
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    out = decontaminate(
+        docs.map_batches(_part(False), batch_format="pyarrow"),
+        docs.map_batches(_part(True), batch_format="pyarrow"),
+        n=8,
+    ).to_pandas()
+    if len(out) == 0:  # all-empty blocks can lose the schema in to_pandas
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_contaminated_grams": pa.array([], type=pa.int64()),
+            }
+        )
+    out = out.sort_values("doc_id")
+    return pa.table(
+        {
+            "doc_id": out["doc_id"].astype("int64").tolist(),
+            "n_contaminated_grams": out["n_contaminated_grams"].astype("int64").tolist(),
+        }
+    )
+
+
 def dup_span_docs(sf_dir: str) -> pa.Table:
     """Exact-substring dedup (Lee et al. 2022 ExactSubstr over 8-token
     windows): every duplicated-gram occurrence except the canonical first —

@@ -945,3 +945,58 @@ def duplicate_ngram_spans(ds, *, text_col: str = "text", id_col: str = "doc_id",
         .groupby("__b")
         .map_groups(bucket_spans, batch_format="pyarrow")
     )
+
+
+# ---- eval-set decontamination ----------------------------------------------
+
+
+def decontaminate(ds, eval_ds, *, text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 8):
+    """Eval-set n-gram decontamination (the GPT-3 appendix-C / Dolma shape):
+    flag every training doc sharing at least one ``n``-token gram with a
+    held-out evaluation set, so contaminated docs can be dropped before
+    training.
+
+    Scale shape: eval sets are benchmark-sized (MBs) while the corpus is the
+    100 TB side, so the eval gram-hash set is computed once, uniqued, and
+    broadcast via ONE ``ray.put`` (a sorted u64-as-int64 numpy array, plasma
+    zero-copy in every task); the training side is a single stateless
+    ``map_batches`` pass — per batch: distinct (doc, gram-hash) rows, then a
+    ``searchsorted`` membership probe against the broadcast array.  No
+    shuffle, no driver state beyond the eval gram array itself.
+
+    Returns a Dataset of (``id_col``, ``n_contaminated_grams``) rows for
+    contaminated docs only (distinct contaminated grams per doc).
+    """
+    import ray
+
+    ev = eval_ds.map_batches(
+        _ngram_hashes_batch, batch_format="pyarrow",
+        fn_kwargs={"text_col": text_col, "id_col": id_col, "n": n},
+    ).select_columns(["gram"]).to_pandas()  # eval side is small by contract
+    grams_sorted = np.unique(ev["gram"].to_numpy(dtype=np.int64))
+    ref = ray.put(grams_sorted)
+
+    def count_hits(batch: pa.Table) -> pa.Table:
+        g_sorted = ray.get(ref)
+        gt = _ngram_hashes_batch(batch, text_col=text_col, id_col=id_col, n=n)
+        empty = pa.table({
+            id_col: pa.array([], type=pa.int64()),
+            "n_contaminated_grams": pa.array([], type=pa.int64()),
+        })
+        if gt.num_rows == 0 or len(g_sorted) == 0:
+            return empty
+        g = np.asarray(gt["gram"], dtype=np.int64)
+        d = np.asarray(gt[id_col], dtype=np.int64)
+        idx = np.searchsorted(g_sorted, g)
+        idx_c = np.minimum(idx, len(g_sorted) - 1)
+        hit = g_sorted[idx_c] == g
+        if not hit.any():
+            return empty
+        docs, counts = np.unique(d[hit], return_counts=True)
+        return pa.table({
+            id_col: pa.array(docs, type=pa.int64()),
+            "n_contaminated_grams": pa.array(counts, type=pa.int64()),
+        })
+
+    return ds.map_batches(count_hits, batch_format="pyarrow")

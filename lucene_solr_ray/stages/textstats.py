@@ -262,3 +262,77 @@ def fingerprint_batch(batch: pa.Table, *, text_col: str = "text", out: str = "fi
     norm = pc.replace_substring_regex(norm, "^\x1f|\x1f$", "")
     fps = hash_strings_u64(norm)
     return batch.append_column(out, pa.array(fps, type=pa.uint64()))
+
+
+# ---- unigram LM quality score (CCNet-style) ---------------------------------
+
+
+def unigram_lm_scores(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-doc average token log-probability under the corpus unigram
+    distribution — the CCNet-style LM quality signal (lower = more
+    out-of-distribution; used to bucket web text into head/middle/tail).
+
+    Scale shape: a production unigram LM is a FIXED, pruned vocabulary
+    (top-K terms), i.e. broadcast-sized regardless of corpus size.  Pass 1
+    builds the (term, ttf) table distributed (per-batch partial counts ->
+    one small groupby on the term hash) and ships it to the driver at
+    vocab size only; the scoring pass is one stateless ``map_batches``
+    probing a sorted hash array + logprob array broadcast once via
+    ``ray.put``.  Returns (id_col, n_tokens, avg_logprob) rows; docs with 0
+    tokens get avg_logprob = 0.0.  ``avg_logprob`` is rounded to 6 decimals
+    (the output contract — keeps the value independent of float summation
+    order across engines).
+    """
+    import ray
+
+    from ..hashing import hash_strings_u64
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        flat, _row, tok_len = _token_lists(batch[text_col])
+        keep = tok_len > 0
+        h = hash_strings_u64(flat)[keep].astype(np.int64)
+        uniq, counts = np.unique(h, return_counts=True)
+        return pa.table({
+            "h": pa.array(uniq, type=pa.int64()),
+            "c": pa.array(counts.astype(np.int64), type=pa.int64()),
+        })
+
+    ttf = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("h")
+        .sum("c")
+        .to_pandas()  # vocab-sized by the pruned-LM contract
+    )
+    hs = ttf["h"].to_numpy(dtype=np.int64)
+    cs = ttf["sum(c)"].to_numpy(dtype=np.float64)
+    order = np.argsort(hs)
+    hs, cs = hs[order], cs[order]
+    total = float(cs.sum())
+    lp = np.log(cs / total)
+    ref = ray.put((hs, lp))
+
+    def score(batch: pa.Table) -> pa.Table:
+        h_sorted, logp = ray.get(ref)
+        flat, row_of, tok_len = _token_lists(batch[text_col])
+        keep = tok_len > 0
+        h = hash_strings_u64(flat)[keep].astype(np.int64)
+        rows = row_of[keep]
+        idx = np.searchsorted(h_sorted, h)
+        idx = np.minimum(idx, max(len(h_sorted) - 1, 0))
+        # every token is in-vocab when the LM was built on this corpus;
+        # out-of-vocab tokens (pruned LM) contribute nothing
+        hit = h_sorted[idx] == h if len(h_sorted) else np.zeros(len(h), bool)
+        n = batch.num_rows
+        n_tok = np.bincount(rows, minlength=n).astype(np.int64)
+        sums = np.zeros(n, dtype=np.float64)
+        np.add.at(sums, rows[hit], logp[idx[hit]])
+        avg = np.divide(sums, n_tok, out=np.zeros(n, dtype=np.float64),
+                        where=n_tok > 0)
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        return pa.table({
+            id_col: pa.array(ids, type=pa.int64()),
+            "n_tokens": pa.array(n_tok, type=pa.int64()),
+            "avg_logprob": pa.array(np.round(avg, 6), type=pa.float64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

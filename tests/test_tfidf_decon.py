@@ -1,0 +1,172 @@
+"""ClassicSimilarity (TF-IDF) + eval-set decontamination gates.
+
+TF-IDF: independent brute-force oracle — tokenize the raw sf0.001 corpus in
+Python, compute tf/df/dl, and replay DefaultSimilarity/TFIDFSimilarity float32
+math WITHOUT the index machinery; ranks must match the engine entry exactly.
+Decontamination: planted-contamination fixture (a train doc sharing exactly
+one 8-token window with an eval doc) + a no-false-positive assertion.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _brute_tfidf_ranks() -> list[tuple[int, int, int]]:
+    import re
+
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index import tfidf
+
+    t = pq.read_table(SF + "/documents.parquet", columns=["doc_id", "text"])
+    docs = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    # tokenize exactly like the "simple" analyzer contract (lowercase
+    # [a-z0-9]+ runs) — independent of the engine's analysis module
+    toks = {d: [w for w in re.split(r"[^a-z0-9]+", (x or "").lower()) if w] for d, x in docs.items()}
+    n = len(toks)
+    from lucene_solr_ray.smallfloat import encode_norm
+
+    queries = [("join",), ("window", "stream"), ("vector", "customer")]
+    out = []
+    for qid, terms in enumerate(queries):
+        dfs = [sum(1 for tk in toks.values() if t in tk) for t in terms]
+        idfs = [tfidf.idf(df, n) for df in dfs]
+        qn = tfidf.query_norm(tfidf.sum_sq_weights(idfs))
+        scores: dict[int, float] = {}
+        for t, idf_v in zip(terms, idfs):
+            value = tfidf.term_value(idf_v, qn)
+            for d, tk in toks.items():
+                tf = tk.count(t)
+                if tf == 0:
+                    continue
+                nb = encode_norm(np.array([len(tk)]))[0]
+                s = tfidf.term_scores(
+                    np.array([tf]), np.array([nb]), value
+                )[0]
+                scores[d] = scores.get(d, 0.0) + float(s)
+        ranked = sorted(scores.items(), key=lambda kv: (-np.float32(kv[1]), kv[0]))[:10]
+        for rank, (d, _s) in enumerate(ranked):
+            out.append((qid, rank, d))
+    return out
+
+
+def test_tfidf_topk_matches_brute(ray_session):
+    from lucene_solr_ray.pipelines.fulltext import tfidf_topk_simple
+
+    got = tfidf_topk_simple(SF)
+    eng = list(zip(got["qid"].to_pylist(), got["rank"].to_pylist(), got["doc_id"].to_pylist()))
+    assert eng == _brute_tfidf_ranks()
+
+
+def test_tfidf_float_points():
+    """idf/queryNorm/value replicate the Java op order on crafted stats."""
+    from lucene_solr_ray.index import tfidf
+
+    # idf: (float)(ln(100/(9+1)) + 1)
+    assert tfidf.idf(9, 100) == np.float32(np.log(10.0) + 1.0)
+    # single-term queryNorm: 1/sqrt(idf^2) with f32 square
+    v = tfidf.idf(9, 100)
+    ss = tfidf.sum_sq_weights([v])
+    assert ss == np.float32(np.float32(v * v))
+    qn = tfidf.query_norm(ss)
+    assert qn == np.float32(1.0 / np.sqrt(float(ss)))
+    # zero sum -> inf -> guard to 1.0 (IndexSearcher.createNormalizedWeight)
+    assert tfidf.query_norm(np.float32(0.0)) == np.float32(1.0)
+
+
+def test_decontaminate_planted(ray_session):
+    import ray.data as rd
+
+    from lucene_solr_ray.stages.dedup import decontaminate
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    eval_rows = [
+        {"doc_id": 0, "text": f"evalprefix {shared} evalsuffix"},
+        {"doc_id": 97, "text": "totally different held out content here okay fine"},
+    ]
+    train_rows = [
+        # shares exactly ONE 8-token window (surrounding tokens differ)
+        {"doc_id": 5, "text": f"trainlead {shared} traintail"},
+        # clean doc: no 8-token overlap
+        {"doc_id": 6, "text": "the quick brown fox jumps over lazy dogs again and again today"},
+        # shares a 7-token subspan only -> NOT flagged at n=8
+        {"doc_id": 7, "text": "x alpha bravo charlie delta echo foxtrot golf y"},
+    ]
+    out = decontaminate(
+        rd.from_items(train_rows), rd.from_items(eval_rows), n=8
+    ).to_pandas()
+    got = dict(zip(out["doc_id"], out["n_contaminated_grams"]))
+    assert got == {5: 1}
+
+
+def test_decontaminate_counts_distinct_grams(ray_session):
+    import ray.data as rd
+
+    from lucene_solr_ray.stages.dedup import decontaminate
+
+    text = "one two three four five six seven eight nine ten"
+    # train doc contains the full eval doc -> shares all 3 of its 8-grams
+    out = decontaminate(
+        rd.from_items([{"doc_id": 1, "text": f"lead {text} tail"}]),
+        rd.from_items([{"doc_id": 0, "text": text}]),
+        n=8,
+    ).to_pandas()
+    assert dict(zip(out["doc_id"], out["n_contaminated_grams"])) == {1: 3}
+
+
+def test_unigram_lm_planted(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from lucene_solr_ray.stages.textstats import unigram_lm_scores
+
+    rows = [
+        {"doc_id": 0, "text": "a a b"},
+        {"doc_id": 1, "text": "b c"},
+        {"doc_id": 2, "text": "..."},  # zero tokens
+    ]
+    out = unigram_lm_scores(rd.from_items(rows)).to_pandas().set_index("doc_id")
+    # ttf: a=2 b=2 c=1, T=5
+    assert out.loc[0, "n_tokens"] == 3
+    assert out.loc[0, "avg_logprob"] == round(math.log(0.4), 6)
+    assert out.loc[1, "avg_logprob"] == round((math.log(0.4) + math.log(0.2)) / 2, 6)
+    assert out.loc[2, "n_tokens"] == 0 and out.loc[2, "avg_logprob"] == 0.0
+
+
+def test_collapse_lang_invariants(ray_session):
+    """Each lang appears once; every head beats all same-lang docs by
+    (float32 score desc, doc_id) — checked against the engine's own scored()
+    output plus raw lang values from the parquet (independent join path)."""
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index.reader import LocalIndex
+    from lucene_solr_ray.pipelines.fulltext import collapse_lang_docs, documents_index
+    from lucene_solr_ray.query.ast import Evaluator, TermQ
+
+    got = collapse_lang_docs(SF)
+    langs = got["lang"].to_pylist()
+    assert len(langs) == len(set(langs))
+    t = pq.read_table(SF + "/documents.parquet", columns=["doc_id", "lang"])
+    lang_of = dict(zip(t["doc_id"].to_pylist(), t["lang"].to_pylist()))
+    ev = Evaluator(LocalIndex(documents_index(SF)))
+    docs, scores = ev.scored(TermQ("join"))
+    best: dict[str, tuple] = {}
+    for d, s in zip(docs.tolist(), scores.tolist()):
+        lg = lang_of[d]
+        if lg is None:
+            continue
+        key = (-np.float32(s), d)
+        if lg not in best or key < best[lg][0]:
+            best[lg] = (key, d)
+    expect = {lg: v[1] for lg, v in best.items()}
+    got_map = dict(zip(langs, got["doc_id"].to_pylist()))
+    assert got_map == expect
+    # ranks ordered by (score desc, doc_id)
+    keys = [(-np.float32(dict(zip(docs.tolist(), scores.tolist()))[d]), d) for d in got["doc_id"].to_pylist()]
+    assert keys == sorted(keys)
