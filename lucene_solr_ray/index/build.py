@@ -308,7 +308,16 @@ def build_index(
             keep.append("url")
         keep += [f for f in stored_fields if f not in keep]
         ds = ds.select_columns([c for c in keep if c in ds.schema().names])
-        ds.write_parquet(tokenized_dir, partition_cols=["partition_id"], mode="overwrite")
+        # checkpoint codec: the tokenized stream is the build's biggest write
+        # and the stage is write-bandwidth-bound (BASELINE.md round-3 stage
+        # split) — trading bytes for ALU helps wherever the storage side is
+        # the scarce resource (shared bus here; disks/network on a cluster)
+        ds.write_parquet(
+            tokenized_dir,
+            partition_cols=["partition_id"],
+            mode="overwrite",
+            compression=os.environ.get("LSR_TOKENIZED_CODEC", "snappy"),
+        )
         _mark_stage(index_dir, "tokenized", secs=time.time() - t0, fingerprint=fingerprint)
 
     # ---- stages 3+4 (dicts -> docmap) and stage 5 (postings) are
