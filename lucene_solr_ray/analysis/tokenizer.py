@@ -76,6 +76,14 @@ _SCANNER = re.compile(
     f"|(?P<ideo>{_IDEO})|(?P<hira>{_HIRA})"
 )
 
+# group-free twin of _SCANNER (same alternation order): with no capturing
+# groups, ``findall`` returns the matched strings as a C-built list — the
+# vectorized tokenize path (stages/tokenize.py) scans with this and does all
+# per-token work (lower/stop/maxlen/grouping) in Arrow/numpy kernels
+_SCANNER_FLAT = re.compile(
+    f"(?:{_WORD})|(?:{_KATA})|(?:{_HANG})|(?:{_IDEO})|(?:{_HIRA})"
+)
+
 _NUM_RE = re.compile(f"^[{_D}'’.,;_]+$")
 _SIMPLE = re.compile(r"[a-z0-9]+")
 

@@ -18,8 +18,19 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..analysis.tokenizer import analyze, simple_tokenize
+import pyarrow.compute as pc
+
+from ..analysis.tokenizer import (
+    ENGLISH_STOP_WORDS,
+    MAX_TOKEN_LENGTH,
+    _SCANNER_FLAT,
+    _SIMPLE,
+    analyze,
+    simple_tokenize,
+)
 from ..smallfloat import encode_norm
+
+_STOP_ARR = pa.array(sorted(ENGLISH_STOP_WORDS), type=pa.string())
 
 
 # separates field name from term in multi-field term keys; cannot occur in a
@@ -112,6 +123,102 @@ def postings_analyzer(analyzer: str):
     return fn
 
 
+def _vectorized_postings_columns(
+    texts: list, analyzer: str, with_positions: bool
+) -> tuple:
+    """Whole-batch standard/simple analysis with no per-token Python.
+
+    Per doc, only the C-level regex ``findall`` runs; lowercasing, the
+    stop/maxTokenLength filters and the (doc, term) -> tf/positions grouping
+    are single Arrow/numpy passes over the batch's flat token stream.  Output
+    is IDENTICAL to aggregating :func:`postings_analyzer` row by row (same
+    per-doc first-occurrence term order, same pre-stop-removal positions, the
+    over-length/stop position gaps of `StandardTokenizer.java:204-222` /
+    StopFilter's enablePositionIncrements) — the byte-identical-artifacts
+    determinism gate holds because nothing depends on batch boundaries.
+
+    -> (terms ListArray, tfs ListArray, positions ListArray | None,
+        dl int64 ndarray)
+    """
+    n = len(texts)
+    rex = _SCANNER_FLAT if analyzer == "standard" else _SIMPLE
+    lower_first = analyzer != "standard"  # simple lowers the whole doc first
+    toks_per_doc: list = []
+    ap = toks_per_doc.append
+    for t in texts:
+        if t:
+            ap(rex.findall(t.lower() if lower_first else t))
+        else:
+            ap(())
+    lens = np.fromiter(map(len, toks_per_doc), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+    doc_tok0 = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    pos = np.arange(total, dtype=np.int64) - np.repeat(doc_tok0, lens)
+
+    from itertools import chain as _chain
+
+    flat = pa.array(list(_chain.from_iterable(toks_per_doc)), type=pa.string())
+    if analyzer == "standard":
+        low = pc.utf8_lower(flat)
+        keep_pa = pc.and_(
+            pc.less_equal(pc.utf8_length(flat), MAX_TOKEN_LENGTH),
+            pc.invert(pc.is_in(low, value_set=_STOP_ARR)),
+        )
+        keep = np.asarray(keep_pa)
+        f_terms = low.filter(keep_pa)
+        f_doc, f_pos = doc_idx[keep], pos[keep]
+        dl = np.bincount(f_doc, minlength=n).astype(np.int64) if len(f_doc) else np.zeros(n, np.int64)
+    else:
+        f_terms, f_doc, f_pos = flat, doc_idx, pos
+        dl = lens
+
+    if len(f_terms) == 0:
+        off0 = pa.array(np.zeros(n + 1, dtype=np.int32))
+        terms_l = pa.ListArray.from_arrays(off0, pa.array([], type=pa.string()))
+        tfs_l = pa.ListArray.from_arrays(off0, pa.array([], type=pa.int32()))
+        pos_l = None
+        if with_positions:
+            inner = pa.ListArray.from_arrays(
+                pa.array([0], type=pa.int32()), pa.array([], type=pa.int32())
+            ).slice(0, 0)
+            pos_l = pa.ListArray.from_arrays(off0, inner)
+        return terms_l, tfs_l, pos_l, dl
+
+    enc = pc.dictionary_encode(f_terms)
+    codes = np.asarray(enc.indices, dtype=np.int64)
+    order = np.lexsort((f_pos, codes, f_doc))
+    s_doc, s_code, s_pos = f_doc[order], codes[order], f_pos[order]
+    change = np.empty(len(order), dtype=bool)
+    change[0] = True
+    change[1:] = (s_doc[1:] != s_doc[:-1]) | (s_code[1:] != s_code[:-1])
+    gstart = np.flatnonzero(change)
+    g_len = np.diff(np.append(gstart, len(order)))
+    # restore per-doc FIRST-OCCURRENCE term order (dict-insertion order of the
+    # row-loop path): a group's first position is its minimum (pos is the last
+    # lexsort key, so ascending within groups)
+    g_order = np.lexsort((s_pos[gstart], s_doc[gstart]))
+    g_code2, g_len2, g_doc2 = s_code[gstart][g_order], g_len[g_order], s_doc[gstart][g_order]
+    terms_vals = enc.dictionary.take(pa.array(g_code2))
+    entries_per_doc = np.bincount(g_doc2, minlength=n)
+    doc_off = pa.array(
+        np.concatenate(([0], np.cumsum(entries_per_doc))).astype(np.int32)
+    )
+    terms_l = pa.ListArray.from_arrays(doc_off, terms_vals)
+    tfs_l = pa.ListArray.from_arrays(doc_off, pa.array(g_len2.astype(np.int32)))
+    pos_l = None
+    if with_positions:
+        new_off = np.concatenate(([0], np.cumsum(g_len2)))
+        gather = np.repeat(gstart[g_order] - new_off[:-1], g_len2) + np.arange(
+            int(g_len2.sum()), dtype=np.int64
+        )
+        inner = pa.ListArray.from_arrays(
+            pa.array(new_off.astype(np.int32)), pa.array(s_pos[gather].astype(np.int32))
+        )
+        pos_l = pa.ListArray.from_arrays(doc_off, inner)
+    return terms_l, tfs_l, pos_l, dl
+
+
 def tokenize_batch(
     batch: pa.Table,
     *,
@@ -134,6 +241,27 @@ def tokenize_batch(
     Null/missing text → empty token list, dl=0 (norm byte 255 = inf norm,
     matching Java boost/sqrt(0)=inf — such docs match nothing).
     """
+    import os as _os
+
+    if (
+        analyzer in ("standard", "simple")
+        and not extra_text_fields
+        and _os.environ.get("LSR_VECTOR_TOKENIZE", "1") != "0"
+    ):
+        # vectorized fast path (identical output to the row loop below)
+        texts = batch.column("text").to_pylist()
+        terms_l, tfs_l, pos_l, dl = _vectorized_postings_columns(
+            texts, analyzer, with_positions
+        )
+        out = {name: batch.column(name) for name in batch.column_names}
+        out["terms"] = terms_l
+        out["tfs"] = tfs_l
+        if with_positions:
+            out["positions"] = pos_l
+        out["dl"] = pa.array(dl, type=pa.int64())
+        out["norm"] = pa.array(encode_norm(dl), type=pa.uint8())
+        return pa.table(out)
+
     lang_route = None
     if analyzer == "by_lang":
         # LanguageIdentifierUpdateProcessor's field-routing shape: each doc's
