@@ -112,3 +112,35 @@ def test_no_positions_variant():
     assert terms_l.to_pylist() == e_terms
     assert tfs_l.to_pylist() == e_tfs
     assert dl.tolist() == e_dl
+
+
+# ---- hypothesis: arbitrary unicode, fast path == row loop -------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_any_texts = st.lists(
+    st.one_of(st.none(), st.text(max_size=200)), min_size=1, max_size=30
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_any_texts)
+def test_hypothesis_standard_parity(texts):
+    terms_l, tfs_l, pos_l, dl = _vectorized_postings_columns(texts, "standard", True)
+    e_terms, e_tfs, e_pos, e_dl = _rowloop_reference(texts, "standard", True)
+    assert terms_l.to_pylist() == e_terms
+    assert tfs_l.to_pylist() == e_tfs
+    assert pos_l.to_pylist() == e_pos
+    assert dl.tolist() == e_dl
+
+
+@settings(max_examples=150, deadline=None)
+@given(_any_texts)
+def test_hypothesis_simple_parity(texts):
+    terms_l, tfs_l, pos_l, dl = _vectorized_postings_columns(texts, "simple", True)
+    e_terms, e_tfs, e_pos, e_dl = _rowloop_reference(texts, "simple", True)
+    assert terms_l.to_pylist() == e_terms
+    assert tfs_l.to_pylist() == e_tfs
+    assert pos_l.to_pylist() == e_pos
+    assert dl.tolist() == e_dl
