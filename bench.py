@@ -386,12 +386,21 @@ def run_scaling() -> dict:
     # number; per-cycle ratios keep both legs of a pair adjacent in time and
     # the median rejects cycles that straddle a drift edge.
     repeats = max(1, int(os.environ.get("BENCH_SCALING_REPEATS", "1")))
+    # per-leg journal: each completed leg is appended immediately, so a run
+    # killed mid-cycle (host drift can stretch a cycle past any timeout)
+    # leaves every finished leg recoverable instead of losing the whole run
+    journal = os.environ.get("BENCH_SCALING_JOURNAL", "/tmp/bench_scaling_journal.jsonl")
     cycles: list[dict[int, dict]] = []
-    for _ in range(repeats):
+    for cyc in range(repeats):
         runs: dict[int, dict] = {}
         for c in levels:
             drain()
             runs[c] = run(c)
+            try:
+                with open(journal, "a") as jf:
+                    jf.write(json.dumps({"cycle": cyc, "num_cpus": c, **runs[c]}) + "\n")
+            except OSError:
+                pass
         cycles.append(runs)
 
     def _median(xs):
