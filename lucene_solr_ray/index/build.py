@@ -224,6 +224,7 @@ def build_index(
     dict_shard_threshold: int = 5_000_000,
     dedup_broadcast_threshold: int = 50_000_000,
     stored_fields: tuple = (),
+    max_doc_chars: int | None = None,
 ) -> dict:
     """Build all index artifacts under ``index_dir``; returns the manifest.
 
@@ -241,6 +242,7 @@ def build_index(
         "analyzer": analyzer,
         "extra_text_fields": list(extra_text_fields),
         **({"stored_fields": list(stored_fields)} if stored_fields else {}),
+        **({"max_doc_chars": max_doc_chars} if max_doc_chars else {}),
     }
 
     tokenized_dir = os.path.join(index_dir, "tokenized")
@@ -282,6 +284,23 @@ def build_index(
                 )
         if extract_html:
             ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=tokenize_batch_size)
+        if max_doc_chars:
+            # giant-document guard (SCALE.md "Extract + tokenize"): cap every
+            # analyzed field at max_doc_chars code points BEFORE tokenize so
+            # one adversarially-huge page cannot blow a task's heap; the
+            # `truncate_field` ingest processor is the user-facing analog
+            _cap_fields = ("text", *extra_text_fields)
+
+            def cap_docs(t: pa.Table) -> pa.Table:
+                cols = {c: t[c] for c in t.column_names}
+                for f in _cap_fields:
+                    if f in cols:
+                        cols[f] = pc.utf8_slice_codeunits(
+                            t[f].combine_chunks(), 0, max_doc_chars
+                        )
+                return pa.table(cols)
+
+            ds = ds.map_batches(cap_docs, batch_format="pyarrow")
         ds = ds.map_batches(
             lambda t: t.append_column(
                 "partition_id",
