@@ -718,24 +718,38 @@ def stats_facet_price_by_priority(sf_dir: str) -> pa.Table:
     ``stats.facet`` + ``countDistinct``, `StatsValuesFactory.java:84-302`):
     o_totalprice stats per o_orderpriority plus distinct o_custkey count.
     countDistinct = per-batch Arrow distinct (combiner) -> pair shuffle ->
-    per-bucket count — never a driver value set."""
-    from ray.data.aggregate import Mean
+    per-bucket count — never a driver value set.
 
+    sum/mean contract is defined in EXACT integer-cents space on both the
+    engine and oracle sides (the ``stats_full_nchars`` pattern): float64
+    partial sums reduce in nondeterministic batch order under Ray, so the
+    distributed ``Sum(double)`` is not reproducible to the last ulp.  Integer
+    sums are associative-exact; one float division at the end is performed by
+    the identical formula in the SQL oracle (``sum_cents/100.0`` and
+    ``sum_cents/100.0/cnt``)."""
     ds = rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderpriority", "o_totalprice", "o_custkey"],
     )
+
+    def with_cents(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["o_totalprice"], dtype=np.float64)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        return t.append_column("cents", pa.array(cents, type=pa.int64()))
+
     base = (
-        ds.groupby("o_orderpriority")
+        ds.map_batches(with_cents, batch_format="pyarrow")
+        .groupby("o_orderpriority")
         .aggregate(
             Min("o_totalprice", alias_name="min_p"),
             Max("o_totalprice", alias_name="max_p"),
-            Sum("o_totalprice", alias_name="sum_p"),
+            Sum("cents", alias_name="sum_c"),
             Count(alias_name="cnt"),
-            Mean("o_totalprice", alias_name="mean_p"),
         )
         .to_pandas()
     )
+    base["sum_p"] = base["sum_c"].astype("int64") / 100.0
+    base["mean_p"] = base["sum_p"] / base["cnt"].astype("int64")
 
     def uniq_pairs(t: pa.Table) -> pa.Table:
         return (
