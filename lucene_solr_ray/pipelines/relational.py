@@ -98,16 +98,21 @@ def jaccard_clusters_docs(sf_dir: str) -> pa.Table:
     = min doc_id of the component), S-gated against a recursive-CTE
     transitive closure in DuckDB — the driver-verifiable analog of the
     MinHash cluster contract (clusters closed under the pair relation)."""
-    from ..stages.dedup import clusters_from_pairs, ssjoin_jaccard
+    from ..stages.dedup import pair_graph_clusters, ssjoin_jaccard
 
     ds = _docs(sf_dir, ["doc_id", "text"])
     pairs = ssjoin_jaccard(ds, threshold=0.5, n=3)
-    ids = _docs(sf_dir, ["doc_id"]).to_pandas()["doc_id"].astype("int64").tolist()
-    rows = clusters_from_pairs(pairs, ids)
+    # distributed label propagation + singleton union — the driver never
+    # holds a per-doc structure (round-4: replaces clusters_from_pairs)
+    out = (
+        pair_graph_clusters(pairs, _docs(sf_dir, ["doc_id"]))
+        .to_pandas()
+        .sort_values("doc_id")
+    )
     return pa.table(
         {
-            "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
-            "cluster_id": pa.array([r["cluster_id"] for r in rows], type=pa.int64()),
+            "doc_id": pa.array(out["doc_id"].astype("int64").tolist(), type=pa.int64()),
+            "cluster_id": pa.array(out["cluster_id"].astype("int64").tolist(), type=pa.int64()),
         }
     )
 

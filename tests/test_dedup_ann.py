@@ -338,6 +338,44 @@ class TestJaccard:
         got = {r["doc_id"]: r["cluster_id"] for r in rows}
         assert got == {1: 1, 2: 2, 5: 2, 9: 2, 7: 7, 8: 7, 11: 11}
 
+    @pytest.mark.parametrize("small_rows", [8_000_000, 0])
+    def test_pair_graph_clusters_matches_union_find(self, ray_session, small_rows):
+        """Distributed pair-graph CC (both regimes: in-memory collapse and
+        forced bucketed-shuffle label propagation) == pure-Python union-find
+        on a random graph including chains, singletons, and a star."""
+        import ray.data as rd
+
+        from lucene_solr_ray.stages.dedup import clusters_from_pairs, pair_graph_clusters
+
+        rng = np.random.default_rng(7)
+        ids = list(range(0, 120, 2))  # even ids only: exercises non-dense ids
+        pairs = []
+        # chain 0-2-4-...-20 (long diameter), star around 50, random edges
+        for i in range(0, 20, 2):
+            pairs.append({"a": i, "b": i + 2})
+        for j in (60, 70, 80, 90):
+            pairs.append({"a": 50, "b": j})
+        for _ in range(15):
+            a, b = rng.choice(ids, size=2, replace=False)
+            if a != b:
+                pairs.append({"a": int(min(a, b)), "b": int(max(a, b))})
+        want = {r["doc_id"]: r["cluster_id"] for r in clusters_from_pairs(pairs, ids)}
+        ids_ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, type=pa.int64())}))
+        got_ds = pair_graph_clusters(
+            rd.from_items(pairs), ids_ds, small_rows=small_rows, shuffle_buckets=4
+        )
+        got = {r["doc_id"]: r["cluster_id"] for r in got_ds.take_all()}
+        assert got == want
+
+    def test_pair_graph_clusters_no_pairs(self, ray_session):
+        import ray.data as rd
+
+        from lucene_solr_ray.stages.dedup import pair_graph_clusters
+
+        ids_ds = rd.from_arrow(pa.table({"doc_id": pa.array([3, 1, 2], type=pa.int64())}))
+        got = {r["doc_id"]: r["cluster_id"] for r in pair_graph_clusters([], ids_ds).take_all()}
+        assert got == {1: 1, 2: 2, 3: 3}
+
 
 @pytest.fixture(scope="module")
 def vectors():
