@@ -118,6 +118,198 @@ class _Extractor(HTMLParser):
             self._title.append(data)
 
 
+def extract_slow(html: str) -> tuple[str, str, dict[str, str]]:
+    """The html.parser reference path (kept as the differential oracle and
+    the fallback for markup outside the fast scanner's subset)."""
+    p = _Extractor()
+    p.feed(html)
+    p.close()
+    return "".join(p._title).strip(), "".join(p._body), p.meta
+
+
+# ---- hand-rolled fast scanner (round-4 build-throughput lever) --------------
+#
+# html.parser's event loop costs ~0.14 ms per fixture page — half the
+# extract+tokenize stage's per-doc ALU (ROADMAP round-4 queue).  The scanner
+# below walks the byte string directly with two compiled regexes and inlined
+# state transitions, and BAILS OUT (_Bail -> extract_slow) on any construct
+# outside its well-formed subset, so output is byte-identical by
+# construction-or-fallback; tests/test_fast_extract.py holds the
+# differential gate.  LSR_FAST_EXTRACT=0 disables it.
+
+import os as _os
+import re as _re
+from html import unescape as _unescape
+
+
+class _Bail(Exception):
+    """Markup outside the fast subset — redo the document with html.parser."""
+
+
+# start tag: name, attr blob, optional self-closing slash.  The attr blob
+# regex admits quoted values containing '>'; anything it can't consume
+# cleanly up to '>' bails.
+_START_RE = _re.compile(
+    r"([a-zA-Z][-.a-zA-Z0-9:_]*)"
+    r"((?:\s+[^\s/>=]+(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>]*))?)*)"
+    r"\s*(/?)>",
+)
+_ATTR_RE = _re.compile(
+    r"\s+([^\s/>=]+)(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]*)))?"
+)
+_END_RE = _re.compile(r"([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+_CDATA_CLOSE = {
+    "script": _re.compile(r"</\s*script\s*>", _re.IGNORECASE),
+    "style": _re.compile(r"</\s*style\s*>", _re.IGNORECASE),
+}
+
+_FAST_ON = _os.environ.get("LSR_FAST_EXTRACT", "1") != "0"
+
+
+def _extract_fast(html: str) -> tuple[str, str, dict[str, str]]:
+    in_body = in_head = in_title = 0
+    # opens of script/style are consumed by the cdata skip, so this counter
+    # only ever goes NEGATIVE — on a stray close tag — which (matching the
+    # html.parser path's `suppressed == 0` check) suppresses body data
+    suppressed = 0
+    body: list[str] = []
+    title: list[str] = []
+    meta: dict[str, str] = {}
+    find = html.find
+    n = len(html)
+    i = 0
+    while i < n:
+        lt = find("<", i)
+        seg_end = n if lt < 0 else lt
+        if seg_end > i:
+            data = html[i:seg_end]
+            if in_body > 0 and suppressed == 0:
+                body.append(_unescape(data) if "&" in data else data)
+            elif in_title > 0:
+                title.append(_unescape(data) if "&" in data else data)
+        if lt < 0:
+            break
+        i = lt
+        c = html[lt + 1 : lt + 2]
+        if c == "/":
+            m = _END_RE.match(html, lt + 2)
+            if m is None:
+                raise _Bail
+            tag = m.group(1).lower()
+            i = m.end()
+            if tag in _VOID_ELEMENTS:
+                continue  # synthesized at start already (html.parser parity)
+        elif c == "!":
+            if html.startswith("<!--", lt):
+                j = find("-->", lt + 4)
+                if j < 0:
+                    raise _Bail
+                i = j + 3
+            else:
+                j = find(">", lt + 2)
+                if j < 0:
+                    raise _Bail
+                i = j + 1
+            continue
+        elif c == "?":
+            j = find(">", lt + 2)
+            if j < 0:
+                raise _Bail
+            i = j + 1
+            continue
+        elif c and (c.isalpha()):
+            m = _START_RE.match(html, lt + 1)
+            if m is None:
+                raise _Bail
+            tag = m.group(1).lower()
+            blob = m.group(2)
+            selfclose = m.group(3) == "/"
+            i = m.end()
+            attrs: dict[str, str] | None = None
+            # only <img alt> and <meta name/http-equiv/content> are ever
+            # read by the state machine — skip attr parsing for all others
+            if blob and (tag == "img" or tag == "meta"):
+                attrs = {}
+                for am in _ATTR_RE.finditer(blob):
+                    v = am.group(2)
+                    if v is None:
+                        v = am.group(3)
+                    if v is None:
+                        v = am.group(4)
+                    if v is not None and "&" in v:
+                        v = _unescape(v)
+                    attrs[am.group(1).lower()] = v
+            # ---- inlined _Extractor._start ----
+            if in_head > 0:
+                if tag == "title":
+                    in_title += 1
+                elif tag == "meta" and attrs:
+                    name = attrs.get("name")
+                    if name is None:
+                        name = attrs.get("http-equiv")
+                    val = attrs.get("content")
+                    if name is not None and val is not None:
+                        meta[name.lower()] = val
+            elif in_body > 0:
+                if tag in SUPPRESS_ELEMENTS:
+                    pass  # handled via cdata skip below
+                elif tag == "img" and attrs:
+                    alt = attrs.get("alt")
+                    if alt is not None:
+                        body.append("[" + alt + "]")
+            elif tag == "body":
+                in_body += 1
+            elif tag == "head":
+                in_head += 1
+            elif tag == "frameset":
+                raise FramesetError("This parser does not support HTML framesets.")
+            ended = False
+            if selfclose or tag in _VOID_ELEMENTS:
+                ended = True  # synthesized end event
+            elif tag in SUPPRESS_ELEMENTS:
+                # html.parser CDATA mode: content up to the matching close
+                # tag is raw data (suppressed/ignored by the state machine);
+                # unmatched close -> data to EOF, no end event.  A negative
+                # counter (stray close earlier) flips the html.parser path's
+                # suppression accounting — out of the fast subset.
+                if suppressed != 0:
+                    raise _Bail
+                mm = _CDATA_CLOSE[tag].search(html, i)
+                if mm is None:
+                    break
+                i = mm.end()
+                ended = True
+            if ended:
+                # ---- inlined _Extractor._end ----
+                if in_body > 0:
+                    if tag == "body":
+                        in_body -= 1
+                    elif tag in ENDLINE_ELEMENTS:
+                        body.append("\n")
+                elif in_head > 0:
+                    if tag == "head":
+                        in_head -= 1
+                    elif in_title > 0 and tag == "title":
+                        in_title -= 1
+            continue
+        else:
+            raise _Bail
+        # ---- end-tag event (shared by the `</` branch) ----
+        if in_body > 0:
+            if tag == "body":
+                in_body -= 1
+            elif tag in ENDLINE_ELEMENTS:
+                body.append("\n")
+            elif tag in SUPPRESS_ELEMENTS:
+                suppressed -= 1  # stray close: html.parser parity
+        elif in_head > 0:
+            if tag == "head":
+                in_head -= 1
+            elif in_title > 0 and tag == "title":
+                in_title -= 1
+    return "".join(title).strip(), "".join(body), meta
+
+
 def extract(html: str | bytes) -> tuple[str, str, dict[str, str]]:
     """Parse *html*; return ``(title, body, meta_tags)``.
 
@@ -127,7 +319,9 @@ def extract(html: str | bytes) -> tuple[str, str, dict[str, str]]:
     """
     if isinstance(html, (bytes, bytearray, memoryview)):
         html = bytes(html).decode("utf-8")
-    p = _Extractor()
-    p.feed(html)
-    p.close()
-    return "".join(p._title).strip(), "".join(p._body), p.meta
+    if _FAST_ON:
+        try:
+            return _extract_fast(html)
+        except _Bail:
+            pass
+    return extract_slow(html)
