@@ -78,10 +78,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # ---- (1) never driver-verified (round-2 additions past the cap) ----
+        # round-4 additions: query-time multi-word synonyms, spellcheck
+        # collation, child-side block join (verdict "what's missing" 1-3)
+        "synonym_search_docs": ft.synonym_search_docs,
+        "spellcheck_collation": ft.spellcheck_collation,
+        "block_join_children": rl.block_join_children,
         "interval_facets_quantity": rl.interval_facets_quantity,
         "stats_facet_price_by_priority": rl.stats_facet_price_by_priority,
         "group_topk_orders": rl.group_topk_orders,
-        "expand_orders": rl.expand_orders,
         "update_processors_docs": rl.update_processors_docs,
         "strdist_customers": rl.strdist_customers,
         "function_query_events_ms": rl.function_query_events_ms,
@@ -101,10 +105,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_full_probe": rl.ann_ivf_full_probe,
         # round-3 wave 2: MultiTerm/frange/dismax under the gate + LLM
         # quality signals (Gopher repetition, stopword ratio)
+        # (search_wildcard_docs + search_term_range_docs demoted r4,
+        # r3-green: MultiTerm dict-scan family stays in-cap via
+        # search_prefix_docs + search_fuzzy_docs, range family via
+        # search_numeric_range_docs + frange_docs; expand_orders demoted,
+        # grouping family in-cap via group_topk_orders — all keep r3 rows)
         "search_prefix_docs": ft.search_prefix_docs,
-        "search_wildcard_docs": ft.search_wildcard_docs,
         "search_fuzzy_docs": ft.search_fuzzy_docs,
-        "search_term_range_docs": ft.search_term_range_docs,
         "search_numeric_range_docs": ft.search_numeric_range_docs,
         "facet_source_prefix": ft.facet_source_prefix,
         "frange_docs": ft.frange_docs,
@@ -159,7 +166,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_docs": rl.dedup_exact_docs,
         "bpe_token_counts_docs": rl.bpe_token_counts_docs,
         "quality_docs": rl.quality_docs,
-        # ---- (5) round-2-green, redundant in-family coverage ----
+        # ---- (5) prior-round-green, redundant in-family coverage ----
+        "search_wildcard_docs": ft.search_wildcard_docs,
+        "search_term_range_docs": ft.search_term_range_docs,
+        "expand_orders": rl.expand_orders,
         # (session_windows/datemath demoted r3: streaming family in-cap via
         # events_sliding_counts + interval_facets_quantity; both keep r2 rows)
         "session_windows_events": rl.session_windows_events,
@@ -1002,6 +1012,39 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
             GROUP BY l_orderkey ORDER BY o_orderkey""",
+        "block_join_children": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000)
+            ORDER BY l_orderkey, l_linenumber, l_extendedprice""",
+        # multi-word synonym expansion replayed clause-by-clause: the
+        # equivalence rule "table hash, scan" -> (phrase OR term), the
+        # explicit rule "customer join => merge group" -> phrase only
+        # (input replaced, SynonymFilter keepOrig=false for "=>")
+        "synonym_search_docs": f"""
+            SELECT doc_id FROM documents
+            WHERE (regexp_matches(lower(text), '(^|[^a-z0-9])table[^a-z0-9]+hash([^a-z0-9]|$)')
+                   OR {_HAS.format(t='scan')})
+              AND regexp_matches(lower(text), '(^|[^a-z0-9])merge[^a-z0-9]+group([^a-z0-9]|$)')
+            ORDER BY doc_id""",
+        # replays DirectSpellChecker's (distance asc, df desc, term asc)
+        # top-1 pick per misspelling over the distinct-token dictionary,
+        # then the SpellCheckCollator re-query hit count.  (Engine keeps an
+        # in-dictionary word verbatim; both query words are out-of-corpus
+        # by construction so the branch never fires here.)
+        "spellcheck_collation": """
+            WITH dict AS (
+              SELECT t, CAST(count(*) AS BIGINT) AS df FROM (
+                SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(text), '[^a-z0-9]+'))) AS t
+                FROM documents) WHERE t <> '' GROUP BY t),
+            c1 AS (SELECT t FROM dict WHERE t <> 'custoner' AND levenshtein(t, 'custoner') <= 2
+                   ORDER BY levenshtein(t, 'custoner') ASC, df DESC, t ASC LIMIT 1),
+            c2 AS (SELECT t FROM dict WHERE t <> 'joim' AND levenshtein(t, 'joim') <= 2
+                   ORDER BY levenshtein(t, 'joim') ASC, df DESC, t ASC LIMIT 1)
+            SELECT (SELECT t FROM c1) || ' ' || (SELECT t FROM c2) AS collation,
+                   CAST((SELECT count(*) FROM documents
+                         WHERE list_contains(regexp_split_to_array(lower(text), '[^a-z0-9]+'), (SELECT t FROM c1))
+                           AND list_contains(regexp_split_to_array(lower(text), '[^a-z0-9]+'), (SELECT t FROM c2))) AS BIGINT) AS hits""",
         # sum/mean defined in exact integer-cents space (same formula as the
         # engine): float64 sum order is nondeterministic under distributed
         # reduction, integer cents sums are associative-exact.

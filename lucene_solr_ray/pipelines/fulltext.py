@@ -710,6 +710,48 @@ def spellcheck_terms(sf_dir: str) -> pa.Table:
     )
 
 
+def spellcheck_collation(sf_dir: str) -> pa.Table:
+    """SpellCheckCollator analog (`spelling/SpellCheckCollator.java:60-140`):
+    the misspelled query "custoner joim" gets its out-of-dictionary terms
+    replaced by the top-1 DirectSpellChecker suggestion (distance asc, df
+    desc, term asc — replayed verbatim by the DuckDB oracle via
+    ``levenshtein`` over the distinct-token dictionary), then the collation
+    is re-run as a conjunction and its hit count reported — the reference's
+    collation-verification step."""
+    from ..index.reader import GlobalStats
+    from ..query.suggest import spellcheck_collate
+
+    ix = documents_index(sf_dir)
+    stats = GlobalStats(ix)
+    corrected = spellcheck_collate(stats, ["custoner", "joim"], max_edits=2)
+    q = BoolQ(must=tuple(TermQ(t) for t in corrected))
+    docs, _ = Evaluator(LocalIndex(ix)).scored(q)
+    return pa.table(
+        {
+            "collation": pa.array([" ".join(corrected)], type=pa.string()),
+            "hits": pa.array([len(docs)], type=pa.int64()),
+        }
+    )
+
+
+def synonym_search_docs(sf_dir: str) -> pa.Table:
+    """Query-time MULTI-WORD synonym expansion
+    (`analysis/synonym/SynonymFilter.java:93-107` greedy longest-only
+    matching + Solr sow=false query building): the query
+    "scan customer join" under rules ``table hash, scan`` (equivalence:
+    every member expands to the whole class) and
+    ``customer join => merge group`` (explicit: input replaced) with
+    q.op=AND yields hit set
+    (scan OR "table hash") AND "merge group" — the two-token input
+    "customer join" matches ACROSS whitespace, which is the graph behavior
+    index-time single-token expansion cannot express."""
+    from ..analysis.synonyms import SynonymMap, expand_synonyms
+
+    syn = SynonymMap.parse(["table hash, scan", "customer join => merge group"])
+    q = expand_synonyms("scan customer join", syn, analyzer="simple", op="and")
+    return _search_docs(sf_dir, q)
+
+
 # ---- faceting ---------------------------------------------------------------
 
 

@@ -165,6 +165,25 @@ def spellcheck(stats, word: str, *, field: str = "text", max_edits: int = 2,
     return [(t, d, -negdf) for d, negdf, t in cands[:top]]
 
 
+def spellcheck_collate(stats, words, *, field: str = "text", max_edits: int = 2) -> list[str]:
+    """SpellCheckCollator analog
+    (`solr/core/src/java/org/apache/solr/spelling/SpellCheckCollator.java:60-140`):
+    substitute the TOP-1 suggestion for every query term missing from the
+    dictionary (df == 0), keep in-dictionary terms verbatim, and return the
+    collated term list; the caller re-runs the collation as one query and
+    reports its hit count, which is exactly how the reference verifies
+    candidate collations (re-query with substituted terms, keep those with
+    hits)."""
+    out = []
+    for w in words:
+        if stats.df.get(field_term_key(field, w), 0) > 0:
+            out.append(w)
+            continue
+        sug = spellcheck(stats, w, field=field, max_edits=max_edits, top=1)
+        out.append(sug[0][0] if sug else w)
+    return out
+
+
 def infix_suggest(stats, sub: str, *, field: str = "text", top: int = 10) -> list[tuple[str, int]]:
     """AnalyzingInfixSuggester analog
     (`lucene/suggest/src/java/org/apache/lucene/search/suggest/analyzing/AnalyzingInfixSuggester.java`):
@@ -182,7 +201,11 @@ def infix_suggest(stats, sub: str, *, field: str = "text", top: int = 10) -> lis
     strip = len(key_pref)
     best: list[tuple[int, str]] = []  # (-weight, term) merged per chunk
     for arr, ttf, _lo in stats.term_chunks(field):
-        mask = pc.match_substring(arr, sub)
+        # slice the `field\x1f` key prefix off BEFORE matching, so a
+        # substring occurring in the field NAME can never match (mirrors
+        # prefix_terms' key stripping; ADVICE round-3 fix)
+        bodies = pc.utf8_slice_codeunits(arr, strip) if strip else arr
+        mask = pc.match_substring(bodies, sub)
         if field == "text":
             # exclude other fields' interleaved `field\x1fterm` keys
             mask = pc.and_(mask, pc.invert(pc.match_substring(arr, FIELD_SEP)))
@@ -190,9 +213,9 @@ def infix_suggest(stats, sub: str, *, field: str = "text", top: int = 10) -> lis
         if not sel.any():
             continue
         idx = np.flatnonzero(sel)
-        terms = arr.take(pa.array(idx))
+        terms = bodies.take(pa.array(idx))
         for t, w in zip(terms.to_pylist(), ttf[idx].tolist()):
-            best.append((-int(w), t[strip:]))
+            best.append((-int(w), t))
         best.sort()
         del best[top:]
     return [(t, -nw) for nw, t in best]

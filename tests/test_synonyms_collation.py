@@ -1,0 +1,167 @@
+"""Round-4 surfaces: query-time multi-word synonyms (SynonymFilter graph
+semantics), spellcheck collation, child-side block join — unit semantics
+plus the same DuckDB differentials the driver runs (sf0.001)."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from lucene_solr_ray.analysis.synonyms import SynonymMap, expand_synonyms
+from lucene_solr_ray.query.ast import BoolQ, MatchAllQ, PhraseQ, TermQ
+
+SF = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(SF, "documents.parquet")),
+    reason="testdata not present",
+)
+
+
+class TestSynonymMap:
+    def test_equivalence_expands_to_whole_class(self):
+        syn = SynonymMap.parse(["big apple, new york, nyc"])
+        segs = syn.segments(["nyc"])
+        assert segs == [
+            (("nyc",), [("big", "apple"), ("new", "york"), ("nyc",)])
+        ]
+
+    def test_explicit_mapping_replaces_input(self):
+        syn = SynonymMap.parse(["usa => united states"])
+        assert syn.segments(["usa"]) == [(("usa",), [("united", "states")])]
+        # output side never matches as input
+        assert syn.segments(["united", "states"]) == [
+            (("united",), []),
+            (("states",), []),
+        ]
+
+    def test_greedy_longest_match_wins(self):
+        syn = SynonymMap.parse(["new york city => nyc", "new york => ny"])
+        assert syn.segments(["new", "york", "city"]) == [
+            (("new", "york", "city"), [("nyc",)])
+        ]
+        assert syn.segments(["new", "york", "state"]) == [
+            (("new", "york"), [("ny",)]),
+            (("state",), []),
+        ]
+
+    def test_matches_do_not_overlap_and_scan_resumes(self):
+        syn = SynonymMap.parse(["a b => x", "b c => y"])
+        assert syn.segments(["a", "b", "c"]) == [
+            (("a", "b"), [("x",)]),
+            (("c",), []),
+        ]
+
+    def test_expand_false_collapses_to_first(self):
+        syn = SynonymMap.parse(["car, automobile"], expand=False)
+        assert syn.segments(["automobile"]) == [(("automobile",), [("car",)])]
+
+    def test_comments_and_blank_lines_ignored(self):
+        syn = SynonymMap.parse(["# comment", "", "a => b  # trailing"])
+        assert syn.segments(["a"]) == [(("a",), [("b",)])]
+
+    def test_rules_analyzed_through_chain(self):
+        # analyzer normalizes case/punctuation on BOTH sides
+        syn = SynonymMap.parse(["Table-Hash, SCAN"])
+        assert (("table", "hash")) in syn.rules
+        assert syn.segments(["scan"])[0][1] == [("table", "hash"), ("scan",)]
+
+
+class TestExpandSynonyms:
+    SYN = SynonymMap.parse(["table hash, scan", "customer join => merge group"])
+
+    def test_ast_shape_and_op(self):
+        q = expand_synonyms("scan customer join", self.SYN, op="and")
+        assert isinstance(q, BoolQ) and len(q.must) == 2 and not q.should
+        g1, g2 = q.must
+        assert isinstance(g1, BoolQ)
+        assert set(type(c).__name__ for c in g1.should) == {"PhraseQ", "TermQ"}
+        assert isinstance(g2, PhraseQ) and g2.terms == ("merge", "group")
+
+    def test_passthrough_token_stays_term(self):
+        q = expand_synonyms("window scan", self.SYN, op="or")
+        assert isinstance(q, BoolQ) and len(q.should) == 2
+        assert q.should[0] == TermQ("window")
+
+    def test_single_clause_unwrapped(self):
+        assert isinstance(expand_synonyms("window", self.SYN), TermQ)
+
+    def test_empty_query_matches_all(self):
+        assert isinstance(expand_synonyms("...", self.SYN), MatchAllQ)
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ("documents", "orders", "lineitem"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{os.path.join(SF, t)}.parquet')"
+        )
+    return c
+
+
+def _both(con, name):
+    import __ray_entry__
+
+    eng = __ray_entry__.queries()[name](SF)
+    if hasattr(eng, "to_pandas"):
+        eng = eng.to_pandas()
+    ora = con.execute(__ray_entry__.oracle_sql()[name]).fetchdf()
+    eng = eng[sorted(eng.columns)].reset_index(drop=True)
+    ora = ora[sorted(ora.columns)].reset_index(drop=True)
+    return eng, ora
+
+
+class TestDriverGates:
+    def test_synonym_search_matches_oracle(self, ray_session, con):
+        eng, ora = _both(con, "synonym_search_docs")
+        assert len(eng) == len(ora) > 0
+        assert (eng["doc_id"] == ora["doc_id"]).all()
+
+    def test_synonym_or_requires_multiword_graph(self, ray_session, con):
+        # docs matched ONLY via the "table hash" phrase alternative prove the
+        # multi-token input/alternative path does real work (vs plain 'scan')
+        import __ray_entry__
+
+        eng, _ = _both(con, "synonym_search_docs")
+        plain = con.execute(
+            """SELECT doc_id FROM documents
+               WHERE list_contains(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 'scan')
+                 AND regexp_matches(lower(text), '(^|[^a-z0-9])merge[^a-z0-9]+group([^a-z0-9]|$)')
+               ORDER BY doc_id"""
+        ).fetchdf()
+        assert set(plain["doc_id"]) <= set(eng["doc_id"])
+
+    def test_spellcheck_collation_matches_oracle(self, ray_session, con):
+        eng, ora = _both(con, "spellcheck_collation")
+        assert eng["collation"].iloc[0] == ora["collation"].iloc[0]
+        assert int(eng["hits"].iloc[0]) == int(ora["hits"].iloc[0]) > 0
+
+    def test_block_join_children_matches_oracle(self, ray_session, con):
+        eng, ora = _both(con, "block_join_children")
+        assert len(eng) == len(ora) > 0
+        for c in eng.columns:
+            assert (eng[c].astype(str) == ora[c].astype(str)).all(), c
+
+
+class TestSpellcheckCollate:
+    def test_in_dictionary_terms_kept_verbatim(self, ray_session):
+        from lucene_solr_ray.index.reader import GlobalStats
+        from lucene_solr_ray.pipelines.fulltext import documents_index
+        from lucene_solr_ray.query.suggest import spellcheck_collate
+
+        stats = GlobalStats(documents_index(SF))
+        out = spellcheck_collate(stats, ["join", "joim"], max_edits=2)
+        assert out[0] == "join"          # present: kept
+        assert out[1] == "join"          # corrected to nearest by (d, df, t)
+
+    def test_no_suggestion_keeps_word(self, ray_session):
+        from lucene_solr_ray.index.reader import GlobalStats
+        from lucene_solr_ray.pipelines.fulltext import documents_index
+        from lucene_solr_ray.query.suggest import spellcheck_collate
+
+        stats = GlobalStats(documents_index(SF))
+        out = spellcheck_collate(stats, ["zzzzqqqqxxxx"], max_edits=2)
+        assert out == ["zzzzqqqqxxxx"]
