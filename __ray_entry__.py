@@ -630,7 +630,12 @@ def oracle_sql() -> dict[str, str]:
                     <= CAST('2.8' AS FLOAT)
             ORDER BY doc_id""",
         # DisMax tiebreak: score = smax + f32(f32(ssum - smax) * f32(0.3)),
-        # every step rounded to float32 like DisjunctionMaxScorer
+        # every step rounded to float32 like DisjunctionMaxScorer.
+        # EQUIVALENCE SCOPE (ADVICE r3): the engine accumulates ssum
+        # clause-by-clause in f32 (DisjunctionMaxScorer-faithful); this
+        # oracle's double-sum-then-one-f32-round is exact for the <=2-clause
+        # groups used here (a single f32 add each) but NOT reusable as-is
+        # for 3+ clause disjunctions — widen to a recursive f32 fold first.
         "dismax_topk_simple": _bm25_scored_sql(
             "(0, 'join'), (1, 'hash'), (2, 'window'), (3, 'stream')"
         ) + """
@@ -734,7 +739,13 @@ def oracle_sql() -> dict[str, str]:
                      len(list_filter(d.tk, x -> x = q.term)) AS tf, len(d.tk) AS dl
               FROM toks d CROSS JOIN qterms q),
             hits2 AS (SELECT * FROM hits WHERE tf > 0),
-            dfs AS (SELECT qid, term, CAST(count(*) AS BIGINT) df FROM hits2 GROUP BY qid, term),
+            -- dfs from qterms LEFT JOIN, not hits2: a zero-df query term
+            -- still contributes idf^2 to queryNorm (createNormalizedWeight
+            -- semantics; TFIDFSimilarity.java queryNorm over ALL clauses)
+            dfs AS (SELECT q.qid, q.term, CAST(coalesce(h.df, 0) AS BIGINT) AS df
+                    FROM qterms q LEFT JOIN (
+                      SELECT qid, term, count(*) AS df FROM hits2 GROUP BY qid, term) h
+                    ON h.qid = q.qid AND h.term = q.term),
             idfs AS (SELECT qid, term,
                             CAST(ln(s.n / (df + 1.0)) + 1.0 AS FLOAT) AS idf
                      FROM dfs, stats s),

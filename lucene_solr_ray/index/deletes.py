@@ -71,10 +71,31 @@ def apply_deletes(index_dir: str, doc_ids=None, query=None) -> int:
         return 0
     d = os.path.join(index_dir, LIVEDOCS_DIR)
     os.makedirs(d, exist_ok=True)
+    # claim a generation ATOMICALLY (O_EXCL lock per generation number):
+    # two concurrent deleters would otherwise count the same gen and one
+    # os.replace would silently overwrite the other's tombstones.  Readers
+    # (load_deleted) union arbitrary del_* files, so each writer landing on
+    # its own gen needs no reader change; *.lock / *.tmp never match the
+    # del_*.parquet glob.
     gen = len(glob.glob(os.path.join(d, "del_*.parquet")))
-    tmp = os.path.join(d, f"_tmp_del_{gen:06d}.parquet")
+    while True:
+        final = os.path.join(d, f"del_{gen:06d}.parquet")
+        lock = final + ".lock"
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            gen += 1
+            continue
+        os.close(fd)
+        if os.path.exists(final):  # fully-written earlier generation
+            os.remove(lock)
+            gen += 1
+            continue
+        break
+    tmp = final + ".tmp"
     pq.write_table(pa.table({"doc_id": pa.array(ids, type=pa.int64())}), tmp)
-    os.replace(tmp, os.path.join(d, f"del_{gen:06d}.parquet"))
+    os.replace(tmp, final)
+    os.remove(lock)
     return int(len(ids))
 
 
