@@ -20,6 +20,10 @@ _REGISTRY: dict[str, dict[str, object]] = {
     "stage": {},
     "query_parser": {},
     "scalar_fn": {},
+    # media decode callables for the multimodal stages (ImageDecoder /
+    # FrameSampler): a cluster with PIL/ffmpeg registers its real decoder
+    # here (or in a module named via codec_module, imported worker-side)
+    "codec": {},
 }
 
 
