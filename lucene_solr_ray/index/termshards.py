@@ -30,6 +30,55 @@ from .termdict import SortedStrings
 SHARD_INDEX = "_shard_index.json"
 _HI_KEY = b"\xff\xff\xff\xff"
 
+# mmap-backed shard loads (round-4, ROADMAP "640M-ordinal regime"): ON by
+# default; LSR_MMAP_DICTS=0 falls back to heap parquet reads everywhere.
+_MMAP_ON = os.environ.get("LSR_MMAP_DICTS", "1") != "0"
+
+
+def _load_shard_table(dir_path: str, fname: str):
+    """Load one shard with FILE-BACKED buffers instead of heap.
+
+    Converts the parquet shard ONCE (per node; atomic rename, concurrent
+    writers collide harmlessly) into an uncompressed Arrow IPC sidecar and
+    memory-maps it: the returned table's buffers are views onto mapped
+    pages the kernel caches and evicts under pressure, so an actor's HEAP
+    stays O(LRU handles) — flat — however large the vocabulary grows (the
+    mmap analog of Lucene's ``MMapDirectory`` terms index).  Falls back to
+    the heap read when the directory is read-only or mmap is disabled."""
+    import pyarrow as pa
+
+    src = os.path.join(dir_path, fname)
+    if not _MMAP_ON:
+        return pq.read_table(src).combine_chunks()
+    ipc = src + ".arrow"
+    if not os.path.exists(ipc):
+        t = pq.read_table(src).combine_chunks()
+        tmp = f"{ipc}.tmp{os.getpid()}"
+        try:
+            with pa.OSFile(tmp, "wb") as sink:
+                with pa.ipc.new_file(sink, t.schema) as w:
+                    w.write_table(t)
+            os.replace(tmp, ipc)
+        except OSError:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+            return t  # read-only index dir: heap fallback
+    mm = pa.memory_map(ipc)
+    return pa.ipc.open_file(mm).read_all()
+
+
+def _as_array(col):
+    """ChunkedArray -> Array without copying when single-chunk (pyarrow's
+    combine_chunks() allocates a fresh array even for one chunk, which would
+    silently put the whole mmap-backed shard on the heap)."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        return col.chunk(0) if col.num_chunks == 1 else col.combine_chunks()
+    return col
+
 
 def write_shard_index(dir_path: str, term_col: str = "term") -> dict:
     """Build-time sidecar: one footer read + one first-row read per shard
@@ -90,9 +139,9 @@ class ShardedTermTable:
         if hit is not None:
             self._cache.move_to_end(si)
             return hit
-        t = pq.read_table(os.path.join(self.dir, self.files[si])).combine_chunks()
+        t = _load_shard_table(self.dir, self.files[si])
         entry = (
-            SortedStrings(t["term"]),
+            SortedStrings(_as_array(t["term"])),
             np.asarray(t["df"], dtype=np.int64),
             np.asarray(t["ttf"], dtype=np.int64),
         )
@@ -205,9 +254,7 @@ class ShardedOrdinalMapper:
         if hit is not None:
             self._cache.move_to_end(si)
             return hit
-        col = pq.read_table(
-            os.path.join(self.dir, self.files[si]), columns=[self.value_col]
-        )[self.value_col].combine_chunks()
+        col = _as_array(_load_shard_table(self.dir, self.files[si])[self.value_col])
         self._cache[si] = col
         if len(self._cache) > self.max_cached:
             self._cache.popitem(last=False)
