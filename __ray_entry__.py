@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "synonym_search_docs": ft.synonym_search_docs,
         "spellcheck_collation": ft.spellcheck_collation,
         "block_join_children": rl.block_join_children,
+        "complexphrase_search_docs": ft.complexphrase_search_docs,
         "interval_facets_quantity": rl.interval_facets_quantity,
         "stats_facet_price_by_priority": rl.stats_facet_price_by_priority,
         "group_topk_orders": rl.group_topk_orders,
@@ -95,7 +96,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "realtime_get_docs": ft.realtime_get_docs,
         "geofilt_customers": rl.geofilt_customers,
         "edismax_bf_topk": ft.edismax_bf_topk,
-        "edismax_bq_topk": ft.edismax_bq_topk,
         "search_phrase_slop": ft.search_phrase_slop,
         "pivot_refined_lang_source": ft.pivot_refined_lang_source,
         "mlt_topk_docs": ft.mlt_topk_docs,
@@ -167,6 +167,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts_docs": rl.bpe_token_counts_docs,
         "quality_docs": rl.quality_docs,
         # ---- (5) prior-round-green, redundant in-family coverage ----
+        # (edismax_bq_topk demoted r4, r3-green: edismax family in-cap via
+        # edismax_topk + edismax_bf_topk)
+        "edismax_bq_topk": ft.edismax_bq_topk,
         "search_wildcard_docs": ft.search_wildcard_docs,
         "search_term_range_docs": ft.search_term_range_docs,
         "expand_orders": rl.expand_orders,
@@ -1028,6 +1031,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                                  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000)
             ORDER BY l_orderkey, l_linenumber, l_extendedprice""",
+        # ComplexPhrase wildcard-in-phrase: a cust-prefixed token
+        # IMMEDIATELY followed by 'join' (slop=0, in order) — the span
+        # contract stated positionally over the simple tokenization
+        "complexphrase_search_docs": """
+            SELECT doc_id FROM documents
+            WHERE regexp_matches(lower(text), '(^|[^a-z0-9])cust[a-z0-9]*[^a-z0-9]+join([^a-z0-9]|$)')
+            ORDER BY doc_id""",
         # multi-word synonym expansion replayed clause-by-clause: the
         # equivalence rule "table hash, scan" -> (phrase OR term), the
         # explicit rule "customer join => merge group" -> phrase only

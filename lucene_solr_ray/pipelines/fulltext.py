@@ -734,6 +734,20 @@ def spellcheck_collation(sf_dir: str) -> pa.Table:
     )
 
 
+def complexphrase_search_docs(sf_dir: str) -> pa.Table:
+    """ComplexPhrase parser subset (`ComplexPhraseQParserPlugin.java` /
+    `complexPhrase/ComplexPhraseQueryParser.java`): a WILDCARD inside a
+    quoted phrase — ``{!complexphrase}"cust* join"`` parses to
+    SpanNear(SpanMulti(prefix cust), SpanTerm(join), slop=0, inOrder),
+    the wrapper rewriting to SpanOr over the dictionary's prefix range
+    before evaluation; the SQL oracle states the same contract
+    positionally (a cust-prefixed token immediately followed by join)."""
+    from ..query.parser import QueryParser
+
+    q = QueryParser(analyzer="simple").parse('{!complexphrase}"cust* join"')
+    return _search_docs(sf_dir, q)
+
+
 def synonym_search_docs(sf_dir: str) -> pa.Table:
     """Query-time MULTI-WORD synonym expansion
     (`analysis/synonym/SynonymFilter.java:93-107` greedy longest-only

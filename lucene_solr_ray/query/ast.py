@@ -260,6 +260,32 @@ def _literal_prefix(q: "MultiTermQ") -> str:
     return ""
 
 
+def multiterm_terms(src, q: "MultiTermQ") -> list[str]:
+    """Dictionary expansion dispatch for a MultiTermQ over a TermSource —
+    shared by the Evaluator's constant-score union and the span layer's
+    SpanMultiQ rewrite (SpanMultiTermQueryWrapper analog)."""
+    if q.kind == "prefix" and hasattr(src, "prefix_terms"):
+        # sorted-dictionary range scan (BlockTree prefix seek) — no
+        # full-vocabulary materialization
+        return src.prefix_terms(q.field, q.arg)
+    if q.kind == "fuzzy" and hasattr(src, "fuzzy_terms"):
+        # DP-guided seek over the sorted dictionary (the Levenshtein
+        # automaton ∩ BlockTree intersect analog) — visits ~automaton
+        # frontier, never materializes the vocabulary
+        return [t for t, _ in src.fuzzy_terms(q.field, q.arg, q.arg2)]
+    if (
+        q.kind in ("wildcard", "regexp")
+        and hasattr(src, "prefix_terms")
+        and _literal_prefix(q)
+    ):
+        # bound the scan to the pattern's literal prefix range, then
+        # match the full pattern only within it (a cheap slice of the
+        # automaton intersection the reference performs)
+        cand = src.prefix_terms(q.field, _literal_prefix(q))
+        return expand_multiterm(q, cand)
+    return expand_multiterm(q, src.vocabulary(q.field))
+
+
 def expand_multiterm(q: "MultiTermQ", vocabulary) -> list[str]:
     """Dictionary expansion for MultiTermQ (shared by oracle and engine)."""
     import re as _re
@@ -423,27 +449,7 @@ class Evaluator:
             return docs, np.full(len(docs), np.float32(1.0), dtype=np.float32)
 
         if isinstance(q, MultiTermQ):
-            if q.kind == "prefix" and hasattr(self.src, "prefix_terms"):
-                # sorted-dictionary range scan (BlockTree prefix seek) — no
-                # full-vocabulary materialization
-                terms = self.src.prefix_terms(q.field, q.arg)
-            elif q.kind == "fuzzy" and hasattr(self.src, "fuzzy_terms"):
-                # DP-guided seek over the sorted dictionary (the Levenshtein
-                # automaton ∩ BlockTree intersect analog) — visits ~automaton
-                # frontier, never materializes the vocabulary
-                terms = [t for t, _ in self.src.fuzzy_terms(q.field, q.arg, q.arg2)]
-            elif (
-                q.kind in ("wildcard", "regexp")
-                and hasattr(self.src, "prefix_terms")
-                and _literal_prefix(q)
-            ):
-                # bound the scan to the pattern's literal prefix range, then
-                # match the full pattern only within it (a cheap slice of the
-                # automaton intersection the reference performs)
-                cand = self.src.prefix_terms(q.field, _literal_prefix(q))
-                terms = expand_multiterm(q, cand)
-            else:
-                terms = expand_multiterm(q, self.src.vocabulary(q.field))
+            terms = multiterm_terms(self.src, q)
             docs_parts = [self.src.postings(q.field, t)[0] for t in terms]
             docs_parts = [d for d in docs_parts if len(d)]
             if not docs_parts:
@@ -458,11 +464,14 @@ class Evaluator:
             docs, scores = self.scored(q.child)
             return docs, (scores * np.float32(q.boost)).astype(np.float32)
 
-        from .spans import SPAN_NODES, extract_terms, span_freqs
+        from .spans import SPAN_NODES, extract_terms, rewrite_spans, span_freqs
 
         if isinstance(q, SPAN_NODES):
             # SpanScorer: BM25 over the float sloppy freq; idf sums over the
-            # query's unique terms in sorted order (spans.py scoring contract)
+            # query's unique terms in sorted order (spans.py scoring
+            # contract).  SpanMultiQ wrappers rewrite to SpanOr-of-terms
+            # first (SpanRewriteMethod), so scoring sees concrete terms.
+            q = rewrite_spans(self.src, q)
             docs, freqs = span_freqs(self.src, q)
             if len(docs) == 0:
                 return _EMPTY_I, _EMPTY_F

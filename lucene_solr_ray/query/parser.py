@@ -119,7 +119,49 @@ class QueryParser:
                 include_lo=params.get("incl", "true").lower() != "false",
                 include_hi=params.get("incu", "true").lower() != "false",
             )
+        if name == "complexphrase":
+            return self._parse_complexphrase(rest, params)
         raise QueryParseError(f"unknown query parser {{!{name}}}")
+
+    _CPHRASE_RE = re.compile(r'^"(?P<body>[^"]*)"(?:~(?P<slop>\d+))?$')
+
+    def _parse_complexphrase(self, rest: str, params: dict):
+        """ComplexPhraseQParserPlugin subset
+        (`solr/core/src/java/org/apache/solr/search/ComplexPhraseQParserPlugin.java`
+        over `lucene/queryparser/.../complexPhrase/ComplexPhraseQueryParser.java`):
+        wildcards INSIDE a quoted phrase — each wildcard token becomes a
+        SpanMultiQ (SpanMultiTermQueryWrapper), literal tokens SpanTermQ, the
+        phrase a SpanNearQ(slop, inOrder).  ``inOrder`` param as in the
+        reference (default true)."""
+        from .ast import MultiTermQ
+        from .spans import SpanMultiQ, SpanNearQ, SpanTermQ
+
+        m = self._CPHRASE_RE.match(rest.strip())
+        if not m:
+            raise QueryParseError(f"complexphrase expects a quoted phrase, got {rest!r}")
+        in_order = params.get("inOrder", "true").lower() != "false"
+        slop = int(m.group("slop") or 0)
+        clauses: list = []
+        for raw in m.group("body").split():
+            if "*" in raw or "?" in raw:
+                # wildcards survive analysis untouched except case folding
+                # (ComplexPhraseQueryParser passes them to the multiterm
+                # path, which matches against lowercased dictionary terms)
+                pat = raw.lower()
+                if pat.endswith("*") and "*" not in pat[:-1] and "?" not in pat:
+                    mt = MultiTermQ("prefix", pat[:-1], field=self.default_field)
+                else:
+                    mt = MultiTermQ("wildcard", pat, field=self.default_field)
+                clauses.append(SpanMultiQ(mt, field=self.default_field))
+            else:
+                for term, _pos in self._analyze(raw):
+                    clauses.append(SpanTermQ(term, field=self.default_field))
+        if not clauses:
+            return MatchAllQ()
+        if len(clauses) == 1:
+            return clauses[0]
+        return SpanNearQ(tuple(clauses), slop=slop, in_order=in_order,
+                         field=self.default_field)
 
     _FUNC_RE = re.compile(r"^(?:(?P<fn>log|ln|sqrt)\()?(?P<field>[A-Za-z_][\w.]*)\)?$")
 

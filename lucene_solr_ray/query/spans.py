@@ -78,7 +78,41 @@ class SpanFirstQ:
     field: str = DEFAULT_FIELD
 
 
-SPAN_NODES = (SpanTermQ, SpanNearQ, SpanOrQ, SpanNotQ, SpanFirstQ)
+@dataclass(frozen=True)
+class SpanMultiQ:
+    """SpanMultiTermQueryWrapper analog
+    (`lucene/core/src/java/org/apache/lucene/search/spans/SpanMultiTermQueryWrapper.java`):
+    a MultiTermQ (prefix/wildcard/regexp/fuzzy) usable as a span clause —
+    the ComplexPhrase building block.  :func:`rewrite_spans` expands it
+    against the dictionary into a SpanOrQ of SpanTermQ (the reference's
+    SpanRewriteMethod) before evaluation/scoring."""
+
+    multi: object  # ast.MultiTermQ
+    field: str = DEFAULT_FIELD
+
+
+SPAN_NODES = (SpanTermQ, SpanNearQ, SpanOrQ, SpanNotQ, SpanFirstQ, SpanMultiQ)
+
+
+def rewrite_spans(src, q):
+    """Expand every SpanMultiQ in the tree into a SpanOrQ of SpanTermQ over
+    the dictionary-matched terms (no-op for trees without wrappers)."""
+    if isinstance(q, SpanMultiQ):
+        from .ast import multiterm_terms
+
+        terms = multiterm_terms(src, q.multi)
+        return SpanOrQ(tuple(SpanTermQ(t, field=q.field) for t in terms), field=q.field)
+    if isinstance(q, (SpanNearQ, SpanOrQ)):
+        return type(q)(
+            tuple(rewrite_spans(src, c) for c in q.clauses),
+            **{k: getattr(q, k) for k in ("slop", "in_order") if hasattr(q, k)},
+            field=q.field,
+        )
+    if isinstance(q, SpanNotQ):
+        return SpanNotQ(rewrite_spans(src, q.include), rewrite_spans(src, q.exclude), field=q.field)
+    if isinstance(q, SpanFirstQ):
+        return SpanFirstQ(rewrite_spans(src, q.match), q.end, field=q.field)
+    return q
 
 
 def _near_ordered(lists: list[list[tuple[int, int]]], slop: int) -> list[tuple[int, int]]:
@@ -159,6 +193,8 @@ def _overlaps(span: tuple[int, int], excl: list[tuple[int, int]]) -> bool:
 def eval_spans(src, q) -> dict[int, list[tuple[int, int]]]:
     """-> {doc_id: sorted span list} for a span-query subtree over one
     TermSource scope."""
+    if isinstance(q, SpanMultiQ):
+        return eval_spans(src, rewrite_spans(src, q))
     if isinstance(q, SpanTermQ):
         docs, _, pls = src.positions(q.field, q.term)
         return {
