@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spellcheck_collation": ft.spellcheck_collation,
         "block_join_children": rl.block_join_children,
         "complexphrase_search_docs": ft.complexphrase_search_docs,
+        "bbox_customers": rl.bbox_customers,
         "interval_facets_quantity": rl.interval_facets_quantity,
         "stats_facet_price_by_priority": rl.stats_facet_price_by_priority,
         "group_topk_orders": rl.group_topk_orders,
@@ -112,7 +113,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # grouping family in-cap via group_topk_orders — all keep r3 rows)
         "search_prefix_docs": ft.search_prefix_docs,
         "search_fuzzy_docs": ft.search_fuzzy_docs,
-        "search_numeric_range_docs": ft.search_numeric_range_docs,
         "facet_source_prefix": ft.facet_source_prefix,
         "frange_docs": ft.frange_docs,
         "dismax_topk_simple": ft.dismax_topk_simple,
@@ -156,7 +156,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_after_page2": ft.search_after_page2,
         # ---------------- driver cap (50) is here ----------------
         # (search_must_not demoted r3: NOT semantics in-cap via
-        # parsed_query_search's '-hash' clause; keeps its r2 row)
+        # parsed_query_search's '-hash' clause; keeps its r2 row.
+        # search_numeric_range_docs demoted r4, r3-green: the numeric-range
+        # family stays in-cap via frange_docs; bbox_customers takes the slot)
+        "search_numeric_range_docs": ft.search_numeric_range_docs,
         "search_msm": ft.search_msm,
         "search_span_near_ordered": ft.search_span_near_ordered,
         # (facet_source_index_order demoted r3: facet.sort family in-cap via
@@ -319,7 +322,10 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, unnest(" + _TOK + ") AS term FROM documents"
     )
     _STOP33 = _stop33()
+    from lucene_solr_ray.functions.valuesources import calc_bbox_deg
     from lucene_solr_ray.pipelines.fulltext import SEARCH_TERMS
+
+    _bb = calc_bbox_deg(20.0, 30.0, 2000.0)  # bbox_customers bounds
 
     bm25_terms = ", ".join(f"({i}, '{t}')" for i, t in enumerate(SEARCH_TERMS))
     bm25_pairs = [("join", "hash"), ("window", "stream"), ("vector", "customer")]
@@ -595,6 +601,21 @@ def oracle_sql() -> dict[str, str]:
                     pow(sin(radians(lat) / 2), 2)
                     + cos(radians(0.0)) * cos(radians(lat))
                       * pow(sin(radians(lon) / 2), 2))) < 2000.0
+            ORDER BY c_custkey""",
+        # bbox: rectangular box around pt=(20,30) at d=2000km (BBoxField /
+        # SpatialUtils.calcBoxByDistFromPt); the four bounds are query-time
+        # constants computed ONCE by the same calc_bbox_deg both sides use,
+        # embedded as full-precision literals — the per-row compare is
+        # identical IEEE arithmetic on both engine and oracle
+        "bbox_customers": f"""
+            WITH pts AS (
+              SELECT c_custkey,
+                     ((c_custkey * 7) % 1800) / 10.0 - 90.0 AS lat,
+                     ((c_custkey * 13) % 3600) / 10.0 - 180.0 AS lon
+              FROM customer)
+            SELECT c_custkey FROM pts
+            WHERE lat >= {_bb[0]!r} AND lat <= {_bb[1]!r}
+              AND lon >= {_bb[2]!r} AND lon <= {_bb[3]!r}
             ORDER BY c_custkey""",
         # MultiTermQ expansions: hit set = docs containing ANY matching term
         "search_prefix_docs": f"""

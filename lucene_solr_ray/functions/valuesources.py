@@ -88,6 +88,46 @@ def geodist_km(lat_col, lon_col, lat0: float, lon0: float) -> pa.Array:
     return pa.array(d, type=pa.float64())
 
 
+def calc_bbox_deg(lat0: float, lon0: float, d_km: float) -> tuple:
+    """Bounding box around a point at great-circle distance ``d_km``
+    (`lucene/spatial/.../DistanceUtils.java` ``calcBoxByDistFromPt`` /
+    Solr's ``{!bbox}`` via `BBoxField` / `SpatialUtils.calcBoxByDistFromPt`):
+    latitude span is the angular distance; the longitude half-width is
+    ``asin(sin(dist)/cos(lat))`` (widest-circle crossing, NOT the width at
+    lat0 — the box must contain the whole circle).  Crossing a pole opens
+    the longitude to the full range and clamps latitude at the pole.
+
+    -> (lat_min, lat_max, lon_min, lon_max) in degrees.  ``lon_min >
+    lon_max`` signals a dateline-wrapping box (caller ORs the two ranges).
+    """
+    import math
+
+    r = d_km / 6371.0087714  # angular distance, radians
+    lat = math.radians(lat0)
+    lat_min, lat_max = lat - r, lat + r
+    half_pi = math.pi / 2
+    if lat_min > -half_pi and lat_max < half_pi:
+        lon_delta = math.asin(math.sin(r) / math.cos(lat))
+        lon_min = math.radians(lon0) - lon_delta
+        lon_max = math.radians(lon0) + lon_delta
+        # wrap past the antimeridian: normalized min > max flags the split box
+        two_pi = 2 * math.pi
+        if lon_min < -math.pi:
+            lon_min += two_pi
+        if lon_max > math.pi:
+            lon_max -= two_pi
+    else:
+        # box touches a pole: longitude unconstrained
+        lat_min, lat_max = max(lat_min, -half_pi), min(lat_max, half_pi)
+        lon_min, lon_max = -math.pi, math.pi
+    return (
+        math.degrees(lat_min),
+        math.degrees(lat_max),
+        math.degrees(lon_min),
+        math.degrees(lon_max),
+    )
+
+
 def joindf_lookup(values_to_df: dict):
     """``joindf(field, dict_field)``: per-doc docfreq of the doc's field
     value as a term elsewhere (`JoinDocFreqValueSource.java`).  The bounded

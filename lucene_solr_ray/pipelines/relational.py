@@ -1239,6 +1239,43 @@ def geofilt_customers(sf_dir: str) -> pa.Table:
     )
 
 
+BBOX_PT = (20.0, 30.0)  # pt=20,30
+
+
+def bbox_customers(sf_dir: str) -> pa.Table:
+    """Spatial bounding-box filter (``{!bbox pt=20,30 sfield=latlon
+    d=2000}``, `solr/core/src/java/org/apache/solr/schema/BBoxField.java` /
+    `SpatialUtils.calcBoxByDistFromPt`): same deterministic synthetic
+    0.1-degree-grid points as :func:`geofilt_customers`, but the filter is
+    the rectangular box computed by ``calc_bbox_deg`` — a superset of the
+    geofilt circle (corners of the box lie outside the radius), which is
+    exactly the reference's bbox-vs-geofilt distinction.  The four bounds
+    are query-time CONSTANTS; both the engine and the SQL oracle compare
+    the identical synthetic coordinates against the identical literals, so
+    the hash gate is float-safe by construction.
+
+    Scale shape: stateless vectorized ``map_batches`` filter, no shuffle,
+    no driver state."""
+    from ..functions.valuesources import calc_bbox_deg
+
+    lat_min, lat_max, lon_min, lon_max = calc_bbox_deg(*BBOX_PT, GEO_RADIUS_KM)
+    assert lon_min <= lon_max  # pt/d chosen away from the dateline
+
+    def keep(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t["c_custkey"], dtype=np.int64)
+        lat = ((keys * 7) % 1800) / 10.0 - 90.0
+        lon = ((keys * 13) % 3600) / 10.0 - 180.0
+        m = (lat >= lat_min) & (lat <= lat_max) & (lon >= lon_min) & (lon <= lon_max)
+        return t.filter(pa.array(m))
+
+    out = (
+        rd.read_parquet(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"])
+        .map_batches(keep, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return pa.table({"c_custkey": sorted(out["c_custkey"].astype("int64").tolist())})
+
+
 def kmeans_clusters_docs(sf_dir: str) -> pa.Table:
     """Corpus k-means clustering (clustering-contrib surface analog,
     `solr/contrib/clustering/`): hashed-TF-IDF Lloyd iterations with

@@ -62,6 +62,41 @@ def test_realtime_get_matches_oracle(ray_session, con):
         assert (eng[c].astype(str) == ora[c].astype(str)).all(), c
 
 
+def test_bbox_matches_oracle_and_is_circle_superset(ray_session, con):
+    eng, ora = _both(ray_session, con, "bbox_customers")
+    assert len(eng) == len(ora) > 0
+    assert (eng["c_custkey"] == ora["c_custkey"]).all()
+    # the box fully contains its inscribed circle: every key the same-radius
+    # geofilt at the same point keeps must also be in the bbox result
+    import numpy as np
+
+    from lucene_solr_ray.functions.valuesources import calc_bbox_deg, geodist_km
+    from lucene_solr_ray.pipelines.relational import BBOX_PT, GEO_RADIUS_KM
+
+    keys = con.execute("SELECT c_custkey FROM customer").fetchdf()["c_custkey"].to_numpy()
+    lat = ((keys * 7) % 1800) / 10.0 - 90.0
+    lon = ((keys * 13) % 3600) / 10.0 - 180.0
+    d = np.asarray(geodist_km(lat, lon, *BBOX_PT))
+    circle = set(keys[d < GEO_RADIUS_KM].tolist())
+    assert circle and circle <= set(eng["c_custkey"].tolist())
+    # and the box is a STRICT superset at this fixture scale (corner keys)
+    assert len(eng) > len(circle)
+    # box bounds are sane: the lon half-width exceeds the lat half-width
+    # (asin(sin r / cos lat) > r away from the equator)
+    lat_min, lat_max, lon_min, lon_max = calc_bbox_deg(*BBOX_PT, GEO_RADIUS_KM)
+    assert (lon_max - lon_min) > (lat_max - lat_min)
+
+
+def test_bbox_pole_crossing_opens_longitude():
+    from lucene_solr_ray.functions.valuesources import calc_bbox_deg
+
+    lat_min, lat_max, lon_min, lon_max = calc_bbox_deg(85.0, 10.0, 2000.0)
+    assert lat_max == 90.0 and (lon_min, lon_max) == (-180.0, 180.0)
+    # south pole, too
+    lat_min2, _, lon_min2, lon_max2 = calc_bbox_deg(-85.0, 10.0, 2000.0)
+    assert lat_min2 == -90.0 and (lon_min2, lon_max2) == (-180.0, 180.0)
+
+
 def test_geofilt_matches_oracle_with_margin(ray_session, con):
     eng, ora = _both(ray_session, con, "geofilt_customers")
     assert len(eng) == len(ora) > 0
