@@ -33,6 +33,14 @@ from ..smallfloat import encode_norm
 _STOP_ARR = pa.array(sorted(ENGLISH_STOP_WORDS), type=pa.string())
 
 
+def _text_or_empty(t):
+    return t if t else ""
+
+
+def _lower_or_empty(t):
+    return t.lower() if t else ""
+
+
 # separates field name from term in multi-field term keys; cannot occur in a
 # token (the tokenizer only emits word characters)
 FIELD_SEP = "\x1f"
@@ -142,19 +150,20 @@ def _vectorized_postings_columns(
     """
     n = len(texts)
     rex = _SCANNER_FLAT if analyzer == "standard" else _SIMPLE
-    lower_first = analyzer != "standard"  # simple lowers the whole doc first
-    toks_per_doc: list = []
-    ap = toks_per_doc.append
-    for t in texts:
-        if t:
-            ap(rex.findall(t.lower() if lower_first else t))
-        else:
-            ap(())
+    if analyzer == "standard":
+        # C-level map: no per-doc interpreter frame (None/empty -> no tokens)
+        toks_per_doc = list(map(rex.findall, map(_text_or_empty, texts)))
+    else:  # simple lowers the whole doc first
+        toks_per_doc = list(map(rex.findall, map(_lower_or_empty, texts)))
     lens = np.fromiter(map(len, toks_per_doc), dtype=np.int64, count=n)
     total = int(lens.sum())
-    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
-    doc_tok0 = np.concatenate(([0], np.cumsum(lens)[:-1]))
-    pos = np.arange(total, dtype=np.int64) - np.repeat(doc_tok0, lens)
+    # int32 index/pos columns: half the memory traffic of the int64 originals
+    # (a batch's token count and row count are far below 2^31)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int32), lens)
+    doc_tok0 = np.concatenate(([0], np.cumsum(lens, dtype=np.int64)[:-1]))
+    pos = np.arange(total, dtype=np.int32) - np.repeat(
+        doc_tok0.astype(np.int32), lens
+    )
 
     from itertools import chain as _chain
 
@@ -187,7 +196,12 @@ def _vectorized_postings_columns(
 
     enc = pc.dictionary_encode(f_terms)
     codes = np.asarray(enc.indices, dtype=np.int64)
-    order = np.lexsort((f_pos, codes, f_doc))
+    # one composite-key STABLE argsort == lexsort((f_pos, codes, f_doc)):
+    # f_doc is ascending by construction and f_pos ascending within each doc,
+    # so stability supplies the position ordering for free — one radix/merge
+    # pass instead of three (measured 6.5x on the 1M-token bench batch,
+    # order-identical).  No overflow: f_doc < 2^31 rows, codes < 2^31 terms.
+    order = np.argsort(f_doc.astype(np.int64) * (len(enc.dictionary) + 1) + codes, kind="stable")
     s_doc, s_code, s_pos = f_doc[order], codes[order], f_pos[order]
     change = np.empty(len(order), dtype=bool)
     change[0] = True
@@ -195,9 +209,13 @@ def _vectorized_postings_columns(
     gstart = np.flatnonzero(change)
     g_len = np.diff(np.append(gstart, len(order)))
     # restore per-doc FIRST-OCCURRENCE term order (dict-insertion order of the
-    # row-loop path): a group's first position is its minimum (pos is the last
-    # lexsort key, so ascending within groups)
-    g_order = np.lexsort((s_pos[gstart], s_doc[gstart]))
+    # row-loop path): a group's first position is its minimum (pos ascending
+    # within groups by the stable sort above); same composite-key trick
+    h_pos = s_pos[gstart].astype(np.int64)
+    g_order = np.argsort(
+        s_doc[gstart].astype(np.int64) * (h_pos.max() + 2 if len(h_pos) else 1) + h_pos,
+        kind="stable",
+    )
     g_code2, g_len2, g_doc2 = s_code[gstart][g_order], g_len[g_order], s_doc[gstart][g_order]
     terms_vals = enc.dictionary.take(pa.array(g_code2))
     entries_per_doc = np.bincount(g_doc2, minlength=n)
@@ -379,9 +397,23 @@ def explode_to_cells(batch: pa.Table, *, with_positions: bool = True) -> pa.Tabl
         tfs_col = tfs_col.combine_chunks()
     flat_tfs = np.asarray(tfs_col.flatten(), dtype=np.int64)
 
-    order = np.lexsort((doc_ids[parent], parts[parent], term_codes))
+    p_docs = doc_ids[parent]
+    p_parts = parts[parent]
+    no_overflow = len(p_parts) == 0 or (
+        len(dict_enc.dictionary) * (int(p_parts.max()) + 2) < (1 << 62)
+    )
+    if no_overflow and (len(doc_ids) < 2 or bool(np.all(doc_ids[1:] >= doc_ids[:-1]))):
+        # batch rows are doc-ascending (the read order): a STABLE sort on the
+        # (term, partition) composite key inherits the ascending-doc order
+        # within each group — one pass instead of lexsort's three
+        order = np.argsort(
+            term_codes * (int(p_parts.max()) + 2 if len(p_parts) else 1) + p_parts,
+            kind="stable",
+        )
+    else:
+        order = np.lexsort((p_docs, p_parts, term_codes))
     s_code = term_codes[order]
-    s_part = parts[parent][order]
+    s_part = p_parts[order]
 
     change = np.empty(len(order), dtype=bool)
     change[0] = True
@@ -393,7 +425,7 @@ def explode_to_cells(batch: pa.Table, *, with_positions: bool = True) -> pa.Tabl
     cols = {
         "term": dict_enc.dictionary.take(pa.array(s_code[starts])),
         "partition_id": pa.array(s_part[starts], type=pa.int64()),
-        "docs": pa.ListArray.from_arrays(offsets, pa.array(doc_ids[parent][order], type=pa.int64())),
+        "docs": pa.ListArray.from_arrays(offsets, pa.array(p_docs[order], type=pa.int64())),
         "tfs": pa.ListArray.from_arrays(offsets, pa.array(flat_tfs[order], type=pa.int32())),
         "norms": pa.ListArray.from_arrays(offsets, pa.array(norms[parent][order], type=pa.uint8())),
     }
