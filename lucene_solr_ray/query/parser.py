@@ -124,12 +124,13 @@ class QueryParser:
         raise QueryParseError(f"unknown query parser {{!{name}}}")
 
     _CPHRASE_RE = re.compile(r'^"(?P<body>[^"]*)"(?:~(?P<slop>\d+))?$')
+    _CPHRASE_FUZZY_RE = re.compile(r"^(?P<tok>[^~*?\s]+)~(?P<edits>[012])?$")
 
     def _parse_complexphrase(self, rest: str, params: dict):
         """ComplexPhraseQParserPlugin subset
         (`solr/core/src/java/org/apache/solr/search/ComplexPhraseQParserPlugin.java`
         over `lucene/queryparser/.../complexPhrase/ComplexPhraseQueryParser.java`):
-        wildcards INSIDE a quoted phrase — each wildcard token becomes a
+        wildcard and fuzzy tokens INSIDE a quoted phrase — each becomes a
         SpanMultiQ (SpanMultiTermQueryWrapper), literal tokens SpanTermQ, the
         phrase a SpanNearQ(slop, inOrder).  ``inOrder`` param as in the
         reference (default true)."""
@@ -143,7 +144,19 @@ class QueryParser:
         slop = int(m.group("slop") or 0)
         clauses: list = []
         for raw in m.group("body").split():
-            if "*" in raw or "?" in raw:
+            fz = self._CPHRASE_FUZZY_RE.match(raw)
+            if fz:
+                # fuzzy-in-phrase ("joh~1 smith"): FuzzyQuery wrapped exactly
+                # like the wildcard path (ComplexPhraseQueryParser hands ANY
+                # MultiTermQuery to SpanMultiTermQueryWrapper); bare ~ means
+                # the FuzzyQuery default maxEdits=2
+                max_edits = int(fz.group("edits")) if fz.group("edits") else 2
+                mt = MultiTermQ(
+                    "fuzzy", fz.group("tok").lower(), field=self.default_field,
+                    arg2=max_edits,
+                )
+                clauses.append(SpanMultiQ(mt, field=self.default_field))
+            elif "*" in raw or "?" in raw:
                 # wildcards survive analysis untouched except case folding
                 # (ComplexPhraseQueryParser passes them to the multiterm
                 # path, which matches against lowercased dictionary terms)

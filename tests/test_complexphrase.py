@@ -58,6 +58,21 @@ class TestParser:
         q = self.P.parse('{!complexphrase}"CUST* join"')
         assert q.clauses[0].multi.arg == "cust"
 
+    def test_fuzzy_in_phrase_parses_to_span_multi(self):
+        q = self.P.parse('{!complexphrase}"custoner~1 join"')
+        f, t = q.clauses
+        assert isinstance(f, SpanMultiQ)
+        assert f.multi == MultiTermQ("fuzzy", "custoner", arg2=1)
+        assert t == SpanTermQ("join")
+
+    def test_bare_tilde_is_fuzzy_default_two_edits(self):
+        q = self.P.parse('{!complexphrase}"custoner~ join"')
+        assert q.clauses[0].multi == MultiTermQ("fuzzy", "custoner", arg2=2)
+
+    def test_fuzzy_token_folds_case(self):
+        q = self.P.parse('{!complexphrase}"CustoNer~1"')
+        assert q.multi.arg == "custoner"
+
     def test_unquoted_rest_rejected(self):
         with pytest.raises(QueryParseError):
             self.P.parse("{!complexphrase}cust* join")
@@ -100,6 +115,50 @@ def test_driver_gate_matches_oracle(ray_session):
     ora = con.execute(__ray_entry__.oracle_sql()["complexphrase_search_docs"]).fetchdf()
     assert len(eng) == len(ora) > 0
     assert (eng["doc_id"].to_numpy() == ora["doc_id"].to_numpy()).all()
+
+
+def test_fuzzy_in_phrase_end_to_end(ray_session):
+    """"custoner~1 join" must hit exactly the docs where a token within one
+    edit of 'custoner' is immediately followed by 'join' (pure-Python
+    positional replay over the same 'simple' tokenization; this DuckDB
+    build has no WITH ORDINALITY so the oracle tokenizes in Python)."""
+    import re as _re
+
+    from lucene_solr_ray.pipelines.fulltext import _search_docs
+    from lucene_solr_ray.query.parser import QueryParser
+
+    q = QueryParser(analyzer="simple").parse('{!complexphrase}"custoner~1 join"')
+    eng = _search_docs(SF, q).to_pandas()
+
+    def _lev1(a: str, b: str) -> bool:
+        if a == b:
+            return True
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return False
+        if la == lb:
+            return sum(x != y for x, y in zip(a, b)) == 1
+        if la > lb:
+            a, b, la, lb = b, a, lb, la
+        i = 0
+        while i < la and a[i] == b[i]:
+            i += 1
+        return a[i:] == b[i + 1 :]
+
+    tab = duckdb.sql(
+        f"SELECT doc_id, lower(text) AS t FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchdf()
+    want = []
+    for doc_id, t in zip(tab["doc_id"], tab["t"]):
+        toks = [w for w in _re.split(r"[^a-z0-9]+", t) if w]
+        if any(
+            _lev1(toks[i], "custoner") and toks[i + 1] == "join"
+            for i in range(len(toks) - 1)
+        ):
+            want.append(doc_id)
+    want.sort()
+    assert len(eng) == len(want) > 0
+    assert eng["doc_id"].tolist() == want
 
 
 def test_wildcard_phrase_hits_beyond_literal(ray_session):
