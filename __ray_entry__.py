@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "block_join_children": rl.block_join_children,
         "complexphrase_search_docs": ft.complexphrase_search_docs,
         "bbox_customers": rl.bbox_customers,
+        "payload_score_docs": ft.payload_score_docs,
         "interval_facets_quantity": rl.interval_facets_quantity,
         "stats_facet_price_by_priority": rl.stats_facet_price_by_priority,
         "group_topk_orders": rl.group_topk_orders,
@@ -153,8 +154,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # below the cap — they keep their rows-only driver rows + pytest gates
         "edismax_topk": ft.edismax_topk,
         "rerank_topk_simple": ft.rerank_topk_simple,
-        "search_after_page2": ft.search_after_page2,
         # ---------------- driver cap (50) is here ----------------
+        # (search_after_page2 demoted r4 for the never-verified
+        # payload_score_docs slot: cursorMark machinery keeps its r2-green
+        # row + the O-gated test_query_features differential; the top-k
+        # scoring family stays in-cap via bm25/edismax/rerank entries)
+        "search_after_page2": ft.search_after_page2,
         # (search_must_not demoted r3: NOT semantics in-cap via
         # parsed_query_search's '-hash' clause; keeps its r2 row.
         # search_numeric_range_docs demoted r4, r3-green: the numeric-range
@@ -1059,6 +1064,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE regexp_matches(lower(text), '(^|[^a-z0-9])cust[a-z0-9]*[^a-z0-9]+join([^a-z0-9]|$)')
             ORDER BY doc_id""",
+        # payload queries: the engine indexes each whitespace token with its
+        # 1-based position as the float payload (tok|i, the delimited-payload
+        # chain), then {!payload_score func=min|max}customer — min/max payload
+        # == first/last whitespace position of the token, replayed here with
+        # list positional filters (positions are small ints, exact in f32)
+        "payload_score_docs": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\\s+') AS arr
+              FROM documents),
+            p AS (
+              SELECT doc_id,
+                     list_filter(generate_series(1, len(arr)),
+                                 i -> arr[i] = 'customer') AS hits
+              FROM t)
+            SELECT doc_id,
+                   CAST(list_min(hits) AS DOUBLE) AS first_pos,
+                   CAST(list_max(hits) AS DOUBLE) AS last_pos
+            FROM p WHERE len(hits) > 0 ORDER BY doc_id""",
         # multi-word synonym expansion replayed clause-by-clause: the
         # equivalence rule "table hash, scan" -> (phrase OR term), the
         # explicit rule "customer join => merge group" -> phrase only

@@ -51,7 +51,7 @@ from ray.data.aggregate import Count, Sum
 from ..smallfloat import NORM_TABLE
 from ..stages.extract import extract_batch
 from ..stages.tokenize import tokenize_batch
-from .postings import encode_cells_columns
+from .postings import encode_cells_columns, float32_cells
 
 DEFAULT_FACET_FIELDS = ("host", "tld", "lang")
 
@@ -323,6 +323,8 @@ def build_index(
             keep += [f"dl_{_f}", f"norm_{_f}"]
         if with_positions:
             keep.append("positions")
+        if analyzer == "whitespace_payload":
+            keep.append("payloads")
         if "url" in ds.schema().names:
             keep.append("url")
         keep += [f for f in stored_fields if f not in keep]
@@ -505,6 +507,9 @@ def build_index(
                 cols += [f"norm_{_f}", f"dl_{_f}"]
             if with_positions:
                 cols.append("positions")
+            has_payloads = analyzer == "whitespace_payload"
+            if has_payloads:
+                cols.append("payloads")
 
             # The reduce group of the exchange is ONE INDEX PARTITION: every cell
             # chunk for partition P meets in one map_groups call, which merges and
@@ -598,9 +603,14 @@ def build_index(
                 terms_col = tbl["terms"].combine_chunks()
                 flat_terms = terms_col.flatten()
                 if len(flat_terms) == 0:
-                    return encode_bucket(
+                    empty = encode_bucket(
                         pa.table({"term": pa.array([], type=pa.string())}).slice(0, 0)
                     ).drop_columns(["partition_id"])
+                    if has_payloads:
+                        empty = empty.append_column(
+                            "payloads", pa.array([], type=pa.binary())
+                        )
+                    return empty
                 lens = np.asarray(terms_col.value_lengths(), dtype=np.int64)
                 parent = np.repeat(np.arange(tbl.num_rows), lens)
                 dict_enc = pc_.dictionary_encode(flat_terms)
@@ -631,6 +641,7 @@ def build_index(
                 starts = np.flatnonzero(change)
 
                 pos_vals = None
+                pay_cells = None
                 if with_positions:
                     pos_outer = tbl["positions"].combine_chunks().flatten()
                     pos_lens = np.asarray(pos_outer.value_lengths(), dtype=np.int64)
@@ -643,6 +654,15 @@ def build_index(
                         + np.arange(int(lens_o.sum()), dtype=np.int64)
                     )
                     pos_vals = pos_all[gather]
+                    if has_payloads:
+                        # payloads align entry-for-entry with positions, so
+                        # the SAME gather re-orders them; stored per cell as
+                        # raw float32 bytes (the .pos-file payload analog)
+                        pay_all = np.asarray(
+                            tbl["payloads"].combine_chunks().flatten().flatten(),
+                            dtype=np.float32,
+                        )
+                        pay_cells = float32_cells(new_offsets[starts], pay_all[gather])
 
                 norm_sel = norm_mat[field_of_code[codes[order]], parent[order]]
                 cell_cols = encode_cells_columns(
@@ -653,6 +673,8 @@ def build_index(
                     "term": dict_enc.dictionary.take(pa.array(s_code[starts])),
                     **cell_cols,
                 }
+                if pay_cells is not None:
+                    out["payloads"] = pay_cells
                 # canonical row order -> byte-stable partition files under resume
                 return pa.table(out).sort_by("term")
 

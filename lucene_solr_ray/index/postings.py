@@ -393,3 +393,32 @@ def decode_positions(pos_blob: bytes, tfs: np.ndarray) -> list[np.ndarray]:
         out.append(np.cumsum(vals[o : o + tf]).astype(np.int64))
         o += tf
     return out
+
+
+def float32_cells(cell_val_starts: np.ndarray, vals: np.ndarray) -> "pa.Array":
+    """Per-cell raw-float32 binary column (the payload byte[] analog of
+    `Lucene41PostingsWriter`'s .pos-file payload stream): cell i owns
+    ``vals[cell_val_starts[i] : cell_val_starts[i+1]]`` (last cell runs to
+    the end), stored as little-endian IEEE-754 bytes."""
+    import pyarrow as pa
+
+    vals = np.ascontiguousarray(vals, dtype="<f4")
+    starts = np.asarray(cell_val_starts, dtype=np.int64)
+    byte_off = np.empty(len(starts) + 1, dtype=np.int32)
+    byte_off[:-1] = starts * 4
+    byte_off[-1] = len(vals) * 4
+    return pa.BinaryArray.from_buffers(
+        pa.binary(),
+        len(starts),
+        [None, pa.py_buffer(byte_off.tobytes()), pa.py_buffer(vals.tobytes())],
+    )
+
+
+def decode_payloads(pay_blob: bytes, tfs: np.ndarray) -> list[np.ndarray]:
+    """-> per-doc payload arrays (float32), aligned with
+    :func:`decode_positions` output."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    flat = np.frombuffer(pay_blob, dtype="<f4")
+    ends = np.cumsum(tfs)
+    starts = ends - tfs
+    return [flat[s:e] for s, e in zip(starts.tolist(), ends.tolist())]

@@ -34,7 +34,7 @@ import pyarrow.parquet as pq
 
 from ..query.ast import FilterQ, RangeQ, TermSource
 from ..stages.tokenize import field_term_key
-from .postings import decode_docs_freqs, decode_positions
+from .postings import decode_docs_freqs, decode_payloads, decode_positions
 from .termdict import SortedKeyMap, SortedStrings
 
 
@@ -398,6 +398,32 @@ class IndexPartition(TermSource):
                 pls = [pls[i] for i in keep.tolist()]
         return docs, tfs, pls
 
+    def payloads(self, field, term):
+        """-> (doc_ids, tfs, per-doc position arrays, per-doc float32 payload
+        arrays) — the payload stream of `Lucene41PostingsReader`'s .pos file
+        (`lucene/core/.../Lucene41PostingsReader.java` payload branch).
+        Raises if the index was not built with a payload-bearing analyzer."""
+        cell = self.cell(field_term_key(field, term))
+        if cell is None:
+            e = np.empty(0, dtype=np.int64)
+            return e, e, [], []
+        if "payloads" not in cell:
+            raise ValueError(
+                "index carries no payloads; rebuild with "
+                "analyzer='whitespace_payload' to run payload queries"
+            )
+        docs, tfs = decode_docs_freqs(cell["docs"], cell["freqs"], cell["df"])
+        pls = decode_positions(cell["positions"], tfs)
+        pays = decode_payloads(cell["payloads"], tfs)
+        if self.has_deletes:
+            live = self._mask_live(docs)
+            if not live.all():
+                keep = np.flatnonzero(live).tolist()
+                docs, tfs = docs[live], tfs[live]
+                pls = [pls[i] for i in keep]
+                pays = [pays[i] for i in keep]
+        return docs, tfs, pls, pays
+
     def norm_bytes(self, field, doc_ids):
         idx = np.searchsorted(self.doc_ids, doc_ids)
         return self.field_norms.get(field, self.norms)[idx]
@@ -610,6 +636,16 @@ class LocalIndex(TermSource):
             fs.append(f)
             ps.extend(pl)
         return self._concat(ds), self._concat(fs), ps
+
+    def payloads(self, field, term):
+        ds, fs, ps, ys = [], [], [], []
+        for p in self.parts:
+            d, f, pl, pay = p.payloads(field, term)
+            ds.append(d)
+            fs.append(f)
+            ps.extend(pl)
+            ys.extend(pay)
+        return self._concat(ds), self._concat(fs), ps, ys
 
     def norm_bytes(self, field, doc_ids):
         out = np.empty(len(doc_ids), dtype=np.uint8)

@@ -50,7 +50,16 @@ def _load_shard_table(dir_path: str, fname: str):
     src = os.path.join(dir_path, fname)
     if not _MMAP_ON:
         return pq.read_table(src).combine_chunks()
-    ipc = src + ".arrow"
+    # "_" prefix: Arrow dataset discovery (and so ray.data.read_parquet over
+    # the shard directory) ignores '_'/'.'-prefixed files, so the sidecar
+    # never shadows the parquet shards for directory-level readers
+    ipc = os.path.join(dir_path, "_" + fname + ".arrow")
+    legacy = src + ".arrow"  # pre-fix name: migrate by ignoring (re-convert)
+    if os.path.exists(legacy) and not os.path.exists(ipc):
+        try:
+            os.replace(legacy, ipc)
+        except OSError:
+            pass
     if not os.path.exists(ipc):
         t = pq.read_table(src).combine_chunks()
         tmp = f"{ipc}.tmp{os.getpid()}"

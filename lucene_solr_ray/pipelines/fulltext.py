@@ -106,11 +106,11 @@ def _terms_topn(index_dir: str, key: str, n: int):
     subset of the union of block top-Ns), then a tiny <= N*blocks driver
     merge — the dictionary itself never reaches the driver."""
     def block_top(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        return pa.Table.from_pandas(
-            df.sort_values([key, "term"], ascending=[False, True]).head(n),
-            preserve_index=False,
+        # zero-copy Arrow sort (no pandas materialization per block)
+        idx = pc.sort_indices(
+            t, sort_keys=[(key, "descending"), ("term", "ascending")]
         )
+        return t.take(idx[:n])
 
     parts = (
         rd.read_parquet(os.path.join(index_dir, "terms_global"), columns=["term", key])
@@ -1224,5 +1224,62 @@ def edismax_bf_topk(sf_dir: str) -> pa.Table:
         {
             "rank": pa.array(ranks, type=pa.int64()),
             "doc_id": pa.array(ids, type=pa.int64()),
+        }
+    )
+
+
+def payload_score_docs(sf_dir: str) -> pa.Table:
+    """Payload queries under the SQL gate (`PayloadScoreQuery.java` with
+    Min/MaxPayloadFunction; Solr `{!payload_score}`): documents re-tokenized
+    through the DelimitedPayloadTokenFilter chain with each whitespace token
+    carrying its 1-based position as the float payload (``tok|i``), indexed
+    with ``analyzer='whitespace_payload'``; ``{!payload_score func=min}`` /
+    ``func=max`` on 'customer' then return the first/last whitespace
+    position per matching doc — positions are small integers so the float32
+    scores replay exactly in SQL via list positional filters."""
+    import pyarrow.parquet as pqf
+
+    from ..query.parser import QueryParser
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{src}:{st.st_size}:{st.st_mtime_ns}:payloadv1".encode()
+    ).hexdigest()[:16]
+    root = os.path.join(CACHE_ROOT, "payload_" + key)
+    derived = os.path.join(root, "docs.parquet")
+    if not os.path.exists(derived):
+        os.makedirs(root, exist_ok=True)
+        tbl = pqf.read_table(src, columns=["doc_id", "text"])
+        texts = [
+            " ".join(f"{w}|{i + 1}" for i, w in enumerate(x.split()))
+            for x in tbl["text"].to_pylist()
+        ]
+        pqf.write_table(
+            pa.table({"doc_id": tbl["doc_id"], "text": pa.array(texts)}),
+            derived + ".tmp",
+        )
+        os.replace(derived + ".tmp", derived)
+    ix = os.path.join(root, "ix")
+    build_index(
+        [derived],
+        ix,
+        rows_per_partition=128,
+        extract_html=False,
+        dedup_url=False,
+        analyzer="whitespace_payload",
+        facet_fields=(),
+        resume=True,
+    )
+    P = QueryParser()
+    ev = Evaluator(LocalIndex(ix))
+    d1, s1 = ev.scored(P.parse("{!payload_score func=min}customer"))
+    d2, s2 = ev.scored(P.parse("{!payload_score func=max}customer"))
+    assert np.array_equal(d1, d2)
+    return pa.table(
+        {
+            "doc_id": pa.array(d1, type=pa.int64()),
+            "first_pos": pa.array(s1.astype(np.float64)),
+            "last_pos": pa.array(s2.astype(np.float64)),
         }
     )

@@ -197,6 +197,40 @@ class TermRangeQ:
     include_hi: bool = True
 
 
+@dataclass(frozen=True)
+class PayloadScoreQ:
+    """PayloadScoreQuery over a single term (`lucene/queries/src/java/org/
+    apache/lucene/queries/payloads/PayloadScoreQuery.java` with the
+    Max/Min/Average/SumPayloadFunction decoders; Solr surface =
+    `solr/core/src/java/org/apache/solr/search/PayloadScoreQParserPlugin.java`).
+
+    score(doc) = func over the float32 payloads at the term's positions
+    (payload bytes decoded as one IEEE-754 float, PayloadHelper semantics);
+    with ``include_span_score`` the payload score is MULTIPLIED by the span
+    (== term, for a single clause) BM25 score, else returned alone —
+    matching the plugin's ``includeSpanScore`` default false."""
+
+    term: str
+    field: str = DEFAULT_FIELD
+    func: str = "max"  # max | min | average | sum
+    include_span_score: bool = False
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class PayloadCheckQ:
+    """SpanPayloadCheckQuery subset (`lucene/queries/src/java/org/apache/
+    lucene/queries/payloads/SpanPayloadCheckQuery.java`; Solr
+    `PayloadCheckQParserPlugin.java`): matches docs containing the terms as
+    an exact adjacent phrase where position i's payload equals
+    ``payloads[i]`` (float32 equality after the float decoder). Constant
+    score 1.0 (documented subset of the span scoring)."""
+
+    terms: tuple
+    payloads: tuple  # one float per term
+    field: str = DEFAULT_FIELD
+
+
 # ---- data source protocol ---------------------------------------------------
 
 
@@ -457,6 +491,13 @@ class Evaluator:
             docs = np.unique(np.concatenate(docs_parts))
             return docs, np.full(len(docs), np.float32(1.0), dtype=np.float32)
 
+        if isinstance(q, PayloadScoreQ):
+            return self._payload_score(q)
+
+        if isinstance(q, PayloadCheckQ):
+            docs = self._payload_check(q)
+            return docs, np.full(len(docs), np.float32(1.0), dtype=np.float32)
+
         if isinstance(q, BoolQ):
             return self._bool(q)
 
@@ -609,6 +650,69 @@ class Evaluator:
         wv = self._weight_value(q.field, list(q.terms), q.boost)
         nb = self.src.norm_bytes(q.field, docs)
         return docs, bm25.term_scores(freqs, nb, self._cache(q.field), wv)
+
+    def _payload_score(self, q: PayloadScoreQ) -> tuple[np.ndarray, np.ndarray]:
+        docs, tfs, _pls, pays = self.src.payloads(q.field, q.term)
+        if len(docs) == 0:
+            return _EMPTY_I, _EMPTY_F
+        # per-doc payload reduce, vectorized over all matched docs: the flat
+        # float32 payload stream segmented by tf boundaries (reduceat
+        # accumulates sequentially in f4 — the PayloadFunction loop order)
+        flat = np.concatenate(pays).astype(np.float32, copy=False)
+        starts = np.zeros(len(docs), dtype=np.int64)
+        np.cumsum(tfs[:-1], out=starts[1:])
+        if q.func == "sum":
+            ps = np.add.reduceat(flat, starts)
+        elif q.func == "min":
+            ps = np.minimum.reduceat(flat, starts)
+        elif q.func == "average":
+            ps = (np.add.reduceat(flat, starts) / tfs).astype(np.float32)
+        elif q.func == "max":
+            ps = np.maximum.reduceat(flat, starts)
+        else:
+            raise ValueError(f"unknown payload function {q.func!r}")
+        ps = ps.astype(np.float32, copy=False)
+        if q.include_span_score:
+            wv = self._weight_value(q.field, [q.term], q.boost)
+            nb = self.src.norm_bytes(q.field, docs)
+            span = bm25.term_scores(tfs, nb, self._cache(q.field), wv)
+            return docs, (span * ps).astype(np.float32)
+        if q.boost != 1.0:
+            ps = (ps * np.float32(q.boost)).astype(np.float32)
+        return docs, ps
+
+    def _payload_check(self, q: PayloadCheckQ) -> np.ndarray:
+        """Docs where the terms form an exact adjacent phrase AND position
+        i's payload float32-equals payloads[i] — the _phrase slop-0 key
+        intersection with each term's position stream pre-masked to
+        payload-matching occurrences."""
+        if not q.terms:
+            return _EMPTY_I
+        per_term = [self.src.payloads(q.field, t) for t in q.terms]
+        if any(len(d) == 0 for d, _, _, _ in per_term):
+            return _EMPTY_I
+        docs = per_term[0][0]
+        for d, _, _, _ in per_term[1:]:
+            docs = np.intersect1d(docs, d, assume_unique=True)
+        if len(docs) == 0:
+            return _EMPTY_I
+        keys = None
+        shift = np.int64(1) << np.int64(33)
+        for i, (d, _, pl, pay) in enumerate(per_term):
+            target = np.float32(q.payloads[i])
+            idx = np.searchsorted(d, docs)
+            sel_p = [np.asarray(pl[j], dtype=np.int64) for j in idx.tolist()]
+            sel_y = [np.asarray(pay[j], dtype=np.float32) for j in idx.tolist()]
+            lens = np.array([len(x) for x in sel_p], dtype=np.int64)
+            flat = np.concatenate(sel_p) if sel_p else np.empty(0, dtype=np.int64)
+            ys = np.concatenate(sel_y) if sel_y else np.empty(0, dtype=np.float32)
+            doc_of = np.repeat(np.arange(len(docs), dtype=np.int64), lens)
+            ok = ys == target
+            k = (doc_of * shift + (flat - i + 64))[ok]
+            keys = k if keys is None else np.intersect1d(keys, k, assume_unique=True)
+            if len(keys) == 0:
+                return _EMPTY_I
+        return docs[np.unique(keys // shift)]
 
 
 class _PP:

@@ -121,6 +121,36 @@ class QueryParser:
             )
         if name == "complexphrase":
             return self._parse_complexphrase(rest, params)
+        if name == "payload_score":
+            # PayloadScoreQParserPlugin: f=field func=min|max|average|sum
+            # includeSpanScore=bool, v (== rest) analyzed by the payload
+            # chain == whitespace+lowercase; single-term subset
+            from .ast import PayloadScoreQ
+
+            toks = rest.split()
+            if len(toks) != 1:
+                raise QueryParseError("{!payload_score} supports one term")
+            return PayloadScoreQ(
+                toks[0].lower(),
+                field=params.get("f", self.default_field),
+                func=params.get("func", "max"),
+                include_span_score=params.get("includeSpanScore", "false").lower()
+                == "true",
+            )
+        if name == "payload_check":
+            # PayloadCheckQParserPlugin: payloads="p1 p2 ..." one float per
+            # term of v, exact adjacent-phrase + payload equality
+            from .ast import PayloadCheckQ
+
+            terms = tuple(t.lower() for t in rest.split())
+            pays = tuple(float(p) for p in params.get("payloads", "").split())
+            if len(terms) != len(pays) or not terms:
+                raise QueryParseError(
+                    "{!payload_check} needs payloads= with one value per term"
+                )
+            return PayloadCheckQ(
+                terms, pays, field=params.get("f", self.default_field)
+            )
         raise QueryParseError(f"unknown query parser {{!{name}}}")
 
     _CPHRASE_RE = re.compile(r'^"(?P<body>[^"]*)"(?:~(?P<slop>\d+))?$')

@@ -237,6 +237,84 @@ def _vectorized_postings_columns(
     return terms_l, tfs_l, pos_l, dl
 
 
+def whitespace_payload_postings(text: str) -> tuple:
+    """WhitespaceTokenizer + DelimitedPayloadTokenFilter chain
+    (`lucene/analysis/common/src/java/org/apache/lucene/analysis/payloads/
+    DelimitedPayloadTokenFilter.java` with the float encoder): whitespace
+    tokens split at the LAST ``|``; the suffix parses as the position's
+    float payload (tokens without a delimiter carry the default payload
+    1.0); the term part is lowercased (the usual chain appends
+    LowerCaseFilter).  -> ({term: [positions]}, {term: [payloads]}, n)."""
+    per: dict[str, list[int]] = {}
+    pay: dict[str, list[float]] = {}
+    n = 0
+    for raw in text.split():
+        term, sep, p = raw.rpartition("|")
+        if sep:
+            try:
+                payload = float(p)
+            except ValueError:
+                term, payload = raw, 1.0
+        else:
+            term, payload = raw, 1.0
+        term = term.lower()
+        if not term:
+            continue
+        lst = per.get(term)
+        if lst is None:
+            per[term] = [n]
+            pay[term] = [payload]
+        else:
+            lst.append(n)
+            pay[term].append(payload)
+        n += 1
+    return per, pay, n
+
+
+def tokenize_payload_batch(batch: pa.Table) -> pa.Table:
+    """Payload-indexing analog of :func:`tokenize_batch` for the
+    ``whitespace_payload`` chain: adds terms/tfs/positions/**payloads**
+    (+ dl/norm) columns; ``payloads`` is ``list<list<float32>>`` aligned
+    entry-for-entry with ``positions``."""
+    texts = batch.column("text").to_pylist()
+    n_rows = batch.num_rows
+    dls = np.empty(n_rows, dtype=np.int64)
+    terms_flat: list[str] = []
+    tfs_flat: list[int] = []
+    pos_vals: list[int] = []
+    pay_vals: list[float] = []
+    entry_off: list[int] = [0]
+    doc_off: list[int] = [0]
+    for i in range(n_rows):
+        text = texts[i]
+        per, pay, n = whitespace_payload_postings(text) if text else ({}, {}, 0)
+        dls[i] = n
+        terms_flat.extend(per.keys())
+        for t, pl in per.items():
+            tfs_flat.append(len(pl))
+            pos_vals.extend(pl)
+            pay_vals.extend(pay[t])
+            entry_off.append(len(pos_vals))
+        doc_off.append(len(terms_flat))
+
+    out = {name: batch.column(name) for name in batch.column_names}
+    doc_off_arr = pa.array(doc_off, type=pa.int32())
+    entry_off_arr = pa.array(entry_off, type=pa.int32())
+    out["terms"] = pa.ListArray.from_arrays(doc_off_arr, pa.array(terms_flat, type=pa.string()))
+    out["tfs"] = pa.ListArray.from_arrays(doc_off_arr, pa.array(tfs_flat, type=pa.int32()))
+    out["positions"] = pa.ListArray.from_arrays(
+        doc_off_arr,
+        pa.ListArray.from_arrays(entry_off_arr, pa.array(pos_vals, type=pa.int32())),
+    )
+    out["payloads"] = pa.ListArray.from_arrays(
+        doc_off_arr,
+        pa.ListArray.from_arrays(entry_off_arr, pa.array(pay_vals, type=pa.float32())),
+    )
+    out["dl"] = pa.array(dls, type=pa.int64())
+    out["norm"] = pa.array(encode_norm(dls), type=pa.uint8())
+    return pa.table(out)
+
+
 def tokenize_batch(
     batch: pa.Table,
     *,
@@ -260,6 +338,13 @@ def tokenize_batch(
     matching Java boost/sqrt(0)=inf — such docs match nothing).
     """
     import os as _os
+
+    if analyzer == "whitespace_payload":
+        if not with_positions or extra_text_fields:
+            raise ValueError(
+                "whitespace_payload requires with_positions=True and no extra fields"
+            )
+        return tokenize_payload_batch(batch)
 
     if (
         analyzer in ("standard", "simple")

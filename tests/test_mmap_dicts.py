@@ -118,9 +118,25 @@ def test_ordinal_mapper_mmap_no_heap_growth(wide_vocab_dir):
 def test_sidecar_created_once_and_reused(wide_vocab_dir):
     tab = ShardedTermTable(wide_vocab_dir, max_cached=2)
     tab.get("03term0000100", "df", 0)
-    ipc = os.path.join(wide_vocab_dir, "shard_00003.parquet.arrow")
+    # "_" prefix keeps the sidecar invisible to read_parquet(dir) discovery
+    ipc = os.path.join(wide_vocab_dir, "_shard_00003.parquet.arrow")
     assert os.path.exists(ipc)
     mtime = os.path.getmtime(ipc)
     tab2 = ShardedTermTable(wide_vocab_dir, max_cached=2)
     tab2.get("03term0000100", "df", 0)
     assert os.path.getmtime(ipc) == mtime  # reused, not rewritten
+
+
+def test_directory_readers_ignore_sidecars(wide_vocab_dir):
+    """Parquet-dataset discovery over the shard dir (what
+    ``rd.read_parquet(terms_global)`` does in ``_terms_topn``) must skip the
+    IPC sidecars — regression: sidecars named ``*.parquet.arrow`` (no ``_``
+    prefix) were picked up as parquet and broke every directory reader."""
+    import pyarrow.dataset as pads
+
+    tab = ShardedTermTable(wide_vocab_dir, max_cached=2)
+    tab.get("03term0000100", "df", 0)  # materialize at least one sidecar
+    assert any(f.startswith("_") and f.endswith(".arrow")
+               for f in os.listdir(wide_vocab_dir))
+    ds = pads.dataset(wide_vocab_dir, format="parquet")
+    assert ds.count_rows() == N_SHARDS * ROWS
