@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "block_join_children": rl.block_join_children,
         "complexphrase_search_docs": ft.complexphrase_search_docs,
         "bbox_customers": rl.bbox_customers,
+        "polygon_customers": rl.polygon_customers,
         "payload_score_docs": ft.payload_score_docs,
         "interval_facets_quantity": rl.interval_facets_quantity,
         "stats_facet_price_by_priority": rl.stats_facet_price_by_priority,
@@ -96,7 +97,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- (2) round-3 additions (new SQL gates for dedup/ANN) ----
         "term_vectors_docs": ft.term_vectors_docs,
         "realtime_get_docs": ft.realtime_get_docs,
-        "geofilt_customers": rl.geofilt_customers,
+        # (geofilt_customers demoted r4, r3-green: the spatial family stays
+        # in-cap via bbox_customers + polygon_customers; keeps its r3 row)
         "edismax_bf_topk": ft.edismax_bf_topk,
         "search_phrase_slop": ft.search_phrase_slop,
         "pivot_refined_lang_source": ft.pivot_refined_lang_source,
@@ -165,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # search_numeric_range_docs demoted r4, r3-green: the numeric-range
         # family stays in-cap via frange_docs; bbox_customers takes the slot)
         "search_numeric_range_docs": ft.search_numeric_range_docs,
+        "geofilt_customers": rl.geofilt_customers,
         "search_msm": ft.search_msm,
         "search_span_near_ordered": ft.search_span_near_ordered,
         # (facet_source_index_order demoted r3: facet.sort family in-cap via
@@ -331,6 +334,16 @@ def oracle_sql() -> dict[str, str]:
     from lucene_solr_ray.pipelines.fulltext import SEARCH_TERMS
 
     _bb = calc_bbox_deg(20.0, 30.0, 2000.0)  # bbox_customers bounds
+
+    # polygon_customers: the exact half-plane predicate the engine applies to
+    # boundary-cell points (the prefix-tree covering is an accelerator, not a
+    # semantics change) — identical float64 expression order per edge
+    from lucene_solr_ray.pipelines.relational import RPT_POLY
+
+    _rpt_conds = "\n              AND ".join(
+        f"(({x2!r} - {x1!r}) * (lat - {y1!r}) - ({y2!r} - {y1!r}) * (lon - {x1!r})) >= 0.0"
+        for (y1, x1), (y2, x2) in zip(RPT_POLY, RPT_POLY[1:] + RPT_POLY[:1])
+    )
 
     bm25_terms = ", ".join(f"({i}, '{t}')" for i, t in enumerate(SEARCH_TERMS))
     bm25_pairs = [("join", "hash"), ("window", "stream"), ("vector", "customer")]
@@ -621,6 +634,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey FROM pts
             WHERE lat >= {_bb[0]!r} AND lat <= {_bb[1]!r}
               AND lon >= {_bb[2]!r} AND lon <= {_bb[3]!r}
+            ORDER BY c_custkey""",
+        # polygon Intersects (RecursivePrefixTreeStrategy): CCW convex
+        # pentagon, edge-inclusive all-edges-left test; the engine's quad-tree
+        # covering accepts ~96% of hits by integer prefix compare and applies
+        # THIS predicate only to boundary-leaf points
+        "polygon_customers": f"""
+            WITH pts AS (
+              SELECT c_custkey,
+                     ((c_custkey * 7) % 1800) / 10.0 - 90.0 AS lat,
+                     ((c_custkey * 13) % 3600) / 10.0 - 180.0 AS lon
+              FROM customer)
+            SELECT c_custkey FROM pts
+            WHERE {_rpt_conds}
             ORDER BY c_custkey""",
         # MultiTermQ expansions: hit set = docs containing ANY matching term
         "search_prefix_docs": f"""

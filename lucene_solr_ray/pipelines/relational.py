@@ -1276,6 +1276,62 @@ def bbox_customers(sf_dir: str) -> pa.Table:
     return pa.table({"c_custkey": sorted(out["c_custkey"].astype("int64").tolist())})
 
 
+# CCW convex pentagon in the (x=lon, y=lat) plane; .05-offset vertices keep
+# every 0.1-grid synthetic point >= 0.6 degrees off any edge LINE (margin
+# asserted in tests), so the >=0 half-plane decision is float-safe across
+# engine and oracle
+RPT_POLY = [(-25.05, -40.05), (-15.05, 30.05), (25.05, 25.05), (35.05, -20.05), (5.05, -55.05)]
+RPT_LEVEL = 8
+
+
+def polygon_customers(sf_dir: str) -> pa.Table:
+    """Polygon Intersects filter via recursive prefix-tree grid
+    (`lucene/spatial/src/java/org/apache/lucene/spatial/prefix/
+    RecursivePrefixTreeStrategy.java` over `QuadPrefixTree.java`): the
+    convex query polygon is covered ONCE on the driver by quad-tree cells
+    (WITHIN cells accept their points with no geometry test — Lucene's
+    covered-non-leaf match; boundary leaves fall through to the exact
+    half-plane predicate — Lucene's leaf verification).  Same deterministic
+    synthetic 0.1-degree-grid coordinates as :func:`geofilt_customers`; at
+    level 8 ~96% of matching points are accepted by integer prefix compare
+    alone.  The SQL oracle replays only the exact predicate (the covering
+    is an engine-side accelerator, not a semantics change), with the
+    identical float64 cross-product expression order.
+
+    Scale shape: the covering is O(4^level boundary cells) computed once
+    and closed over (tiny); the per-batch work is numpy shift/isin +
+    half-plane math on the boundary slice — stateless ``map_batches``, no
+    shuffle, no driver state."""
+    from ..functions.spatial_rpt import (
+        candidate_mask,
+        cover_convex,
+        point_in_convex,
+        quad_codes,
+    )
+
+    within_cells, boundary_leaves = cover_convex(RPT_POLY, RPT_LEVEL)
+
+    def keep(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t["c_custkey"], dtype=np.int64)
+        lat = ((keys * 7) % 1800) / 10.0 - 90.0
+        lon = ((keys * 13) % 3600) / 10.0 - 180.0
+        codes = quad_codes(lat, lon, RPT_LEVEL)
+        accepted, needs_verify = candidate_mask(
+            codes, within_cells, boundary_leaves, RPT_LEVEL
+        )
+        if needs_verify.any():
+            idx = np.flatnonzero(needs_verify)
+            accepted[idx] = point_in_convex(lat[idx], lon[idx], RPT_POLY)
+        return t.filter(pa.array(accepted))
+
+    out = (
+        rd.read_parquet(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"])
+        .map_batches(keep, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return pa.table({"c_custkey": sorted(out["c_custkey"].astype("int64").tolist())})
+
+
 def kmeans_clusters_docs(sf_dir: str) -> pa.Table:
     """Corpus k-means clustering (clustering-contrib surface analog,
     `solr/contrib/clustering/`): hashed-TF-IDF Lloyd iterations with

@@ -1,0 +1,150 @@
+"""Recursive prefix-tree polygon filter (RecursivePrefixTreeStrategy /
+QuadPrefixTree analog, `functions/spatial_rpt.py`).
+
+Gates: covering invariants on random convex polygons (accepted-without-
+verify points are ALWAYS true hits; resolved set == exact predicate),
+cell-bounds/leaf-code consistency, rect-vs-polygon classification, the
+fixture polygon's float-safety margin over the real synthetic points, and
+the pipeline e2e vs a brute-force predicate pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_ray.functions.spatial_rpt import (
+    DISJOINT,
+    INTERSECTS,
+    WITHIN,
+    _cell_bounds,
+    _rect_vs_convex,
+    candidate_mask,
+    cover_convex,
+    min_edge_margin,
+    point_in_convex,
+    quad_codes,
+)
+from lucene_solr_ray.pipelines.relational import RPT_LEVEL, RPT_POLY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _random_convex(rng, n=6):
+    """Random CCW convex polygon: points on an ellipse at sorted angles."""
+    angles = np.sort(rng.uniform(0, 2 * np.pi, n))
+    cy, cx = rng.uniform(-40, 40), rng.uniform(-90, 90)
+    ry, rx = rng.uniform(10, 45), rng.uniform(10, 80)
+    return [(cy + ry * np.sin(a), cx + rx * np.cos(a)) for a in angles]
+
+
+def _synth_coords(keys):
+    lat = ((keys * 7) % 1800) / 10.0 - 90.0
+    lon = ((keys * 13) % 3600) / 10.0 - 180.0
+    return lat, lon
+
+
+class TestCellMath:
+    def test_leaf_cell_contains_point(self):
+        rng = np.random.default_rng(7)
+        lat = rng.uniform(-90, 90, 500)
+        lon = rng.uniform(-180, 180, 500)
+        codes = quad_codes(lat, lon, 6)
+        for i in range(0, 500, 37):
+            lo, hi, wlo, whi = _cell_bounds(6, int(codes[i]))
+            assert lo <= lat[i] < hi or (hi == 90.0 and lat[i] == 90.0)
+            assert wlo <= lon[i] < whi or (whi == 180.0 and lon[i] == 180.0)
+
+    def test_prefix_is_parent_cell(self):
+        # shifting a leaf code right by 2 gives the enclosing level-1 cell
+        rng = np.random.default_rng(3)
+        lat = rng.uniform(-90, 90, 200)
+        lon = rng.uniform(-180, 180, 200)
+        c5 = quad_codes(lat, lon, 5)
+        c4 = quad_codes(lat, lon, 4)
+        assert (c5 >> np.uint64(2) == c4).all()
+
+    def test_rect_vs_convex_cases(self):
+        tri = [(0.0, 0.0), (0.0, 40.0), (30.0, 0.0)]  # CCW right triangle
+        assert _rect_vs_convex((5.0, 10.0, 5.0, 10.0), tri) == WITHIN
+        assert _rect_vs_convex((50.0, 60.0, 50.0, 60.0), tri) == DISJOINT
+        assert _rect_vs_convex((-10.0, 10.0, -10.0, 10.0), tri) == INTERSECTS
+        # diagonal-separated: bbox overlaps but the hypotenuse separates
+        assert _rect_vs_convex((25.0, 29.0, 35.0, 39.0), tri) == DISJOINT
+
+
+class TestCovering:
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+    def test_covering_resolves_to_exact(self, seed):
+        rng = np.random.default_rng(seed)
+        poly = _random_convex(rng)
+        level = 6
+        within, boundary = cover_convex(poly, level)
+        lat = rng.uniform(-90, 90, 4000)
+        lon = rng.uniform(-180, 180, 4000)
+        codes = quad_codes(lat, lon, level)
+        accepted, needs_verify = candidate_mask(codes, within, boundary, level)
+        exact = point_in_convex(lat, lon, poly)
+        # WITHIN-cell acceptance never admits a false positive
+        assert exact[accepted].all()
+        # accepted + verified boundary points == the exact predicate
+        resolved = accepted | (needs_verify & exact)
+        np.testing.assert_array_equal(resolved, exact)
+
+    def test_deeper_level_accepts_more_without_verify(self):
+        rng = np.random.default_rng(11)
+        poly = _random_convex(rng)
+        lat = rng.uniform(-90, 90, 4000)
+        lon = rng.uniform(-180, 180, 4000)
+        fracs = []
+        for level in (4, 7):
+            within, boundary = cover_convex(poly, level)
+            codes = quad_codes(lat, lon, level)
+            accepted, _ = candidate_mask(codes, within, boundary, level)
+            exact = point_in_convex(lat, lon, poly)
+            fracs.append(accepted.sum() / max(1, exact.sum()))
+        assert fracs[1] > fracs[0]  # finer grid -> more prefix-only accepts
+
+
+class TestFixturePolygon:
+    def test_ccw_and_margin(self):
+        ys = [p[0] for p in RPT_POLY]
+        xs = [p[1] for p in RPT_POLY]
+        area = sum(
+            xs[i] * ys[(i + 1) % len(xs)] - xs[(i + 1) % len(xs)] * ys[i]
+            for i in range(len(xs))
+        )
+        assert area > 0  # CCW
+        # float-safety margin over the REAL synthetic grid points at the
+        # largest test scale: no point sits near any edge line, so the >=0
+        # decision cannot flip between numpy and DuckDB
+        keys = pq.read_table(
+            "/root/testdata/sf0.1/customer.parquet", columns=["c_custkey"]
+        )["c_custkey"].to_numpy()
+        lat, lon = _synth_coords(keys)
+        assert min_edge_margin(lat, lon, RPT_POLY) > 0.5
+
+    def test_pipeline_matches_brute_force(self, ray_session):
+        from lucene_solr_ray.pipelines.relational import polygon_customers
+
+        got = polygon_customers(SF)["c_custkey"].to_pylist()
+        keys = pq.read_table(SF + "/customer.parquet", columns=["c_custkey"])[
+            "c_custkey"
+        ].to_numpy()
+        lat, lon = _synth_coords(keys)
+        want = sorted(keys[point_in_convex(lat, lon, RPT_POLY)].tolist())
+        assert got == want
+        assert len(got) > 0
+
+    def test_prefix_accept_covers_most_hits(self):
+        # the RPT point: most hits never touch the geometry predicate
+        keys = pq.read_table(
+            "/root/testdata/sf0.01/customer.parquet", columns=["c_custkey"]
+        )["c_custkey"].to_numpy()
+        lat, lon = _synth_coords(keys)
+        within, boundary = cover_convex(RPT_POLY, RPT_LEVEL)
+        codes = quad_codes(lat, lon, RPT_LEVEL)
+        accepted, _ = candidate_mask(codes, within, boundary, RPT_LEVEL)
+        exact = point_in_convex(lat, lon, RPT_POLY)
+        assert accepted.sum() >= 0.9 * exact.sum()
