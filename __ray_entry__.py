@@ -115,7 +115,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # search_numeric_range_docs + frange_docs; expand_orders demoted,
         # grouping family in-cap via group_topk_orders — all keep r3 rows)
         "search_prefix_docs": ft.search_prefix_docs,
-        "search_fuzzy_docs": ft.search_fuzzy_docs,
+        # (search_fuzzy_docs demoted r4, r3-green: fuzzy DP-seek keeps its P
+        # brute-equivalence gate and the dict-scan family stays in-cap via
+        # search_prefix_docs; surround_search_docs takes the slot)
+        "surround_search_docs": ft.surround_search_docs,
         "facet_source_prefix": ft.facet_source_prefix,
         "frange_docs": ft.frange_docs,
         "dismax_topk_simple": ft.dismax_topk_simple,
@@ -167,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # search_numeric_range_docs demoted r4, r3-green: the numeric-range
         # family stays in-cap via frange_docs; bbox_customers takes the slot)
         "search_numeric_range_docs": ft.search_numeric_range_docs,
+        "search_fuzzy_docs": ft.search_fuzzy_docs,
         "geofilt_customers": rl.geofilt_customers,
         "search_msm": ft.search_msm,
         "search_span_near_ordered": ft.search_span_near_ordered,
@@ -584,6 +588,29 @@ def oracle_sql() -> dict[str, str]:
               AND abs(b.pos - a.pos - 1) <= 2
             GROUP BY a.doc_id
             ORDER BY a.doc_id""",
+        # surround parser: 3W(customer, join) = ordered distance 3 (span slop
+        # 2 -> 1 <= pos_join - pos_customer <= 3); stream N window = unordered
+        # adjacency (slop 0 -> |diff| = 1); OR of the two doc sets.  Raw split
+        # positions are a uniform shift of analyzer positions, so differences
+        # are preserved (same contract as search_phrase_slop)
+        "surround_search_docs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(arr) AS tok,
+                     generate_subscripts(arr, 1) AS pos
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(lower(text), '[^a-z0-9]+') AS arr
+                    FROM documents)
+            )
+            SELECT doc_id FROM (
+              SELECT a.doc_id FROM toks a JOIN toks b ON a.doc_id = b.doc_id
+              WHERE a.tok = 'customer' AND b.tok = 'join'
+                AND b.pos - a.pos BETWEEN 1 AND 3
+              UNION
+              SELECT a.doc_id FROM toks a JOIN toks b ON a.doc_id = b.doc_id
+              WHERE a.tok = 'stream' AND b.tok = 'window'
+                AND abs(b.pos - a.pos) = 1
+            ) ORDER BY doc_id""",
         # TermVectorsComponent: tf + first position per (doc, term); engine
         # positions are 0-based over NON-EMPTY tokens, so renumber after
         # dropping the split's boundary empties

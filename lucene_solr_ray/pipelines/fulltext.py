@@ -234,6 +234,19 @@ def parsed_query_search(sf_dir: str) -> pa.Table:
     return _search_docs(sf_dir, ast)
 
 
+def surround_search_docs(sf_dir: str) -> pa.Table:
+    """End-to-end through the surround query parser
+    (`lucene/queryparser/src/java/org/apache/lucene/queryparser/surround/`):
+    ``3W(customer, join) OR (stream N window)`` — prefix ordered-distance op
+    (slop 2), infix unordered adjacency (slop 0), boolean OR over the two
+    span subtrees.  Constant doc-set contract; the SQL oracle replays both
+    positional relations over the simple tokenization."""
+    from ..query.surround import SurroundParser
+
+    ast = SurroundParser().parse("3W(customer, join) OR (stream N window)")
+    return _search_docs(sf_dir, ast)
+
+
 def search_prefix_docs(sf_dir: str) -> pa.Table:
     """PrefixQuery 'cust*' hit set (`search/PrefixQuery.java`, constant-score
     rewrite): expansion is a sorted-dictionary RANGE scan (BlockTree prefix
