@@ -66,10 +66,18 @@ _WORD = (
     f"(?:(?:(?<=[{_L}])['’.·](?=[{_L}])|(?<=[{_D}])['’.,;](?=[{_D}])){_AN}+)*"
 )
 
-_IDEO = "[々〇㐀-䶿一-鿿豈-﫿]"
-_HIRA = "[ぁ-ゖゝゞ]"
-_KATA = "[ァ-ヺー-ヿㇰ-ㇿ]+"
-_HANG = "[ᄀ-ᇿ㄰-㆏가-힣]+"
+# class CONTENTS are exported separately: the Arrow-scan fast path
+# (stages/tokenize.py) builds its re2 delimiter class from these so the two
+# scanners can never diverge on what counts as a token character
+_IDEO_C = "々〇㐀-䶿一-鿿豈-﫿"
+_HIRA_C = "ぁ-ゖゝゞ"
+_KATA_C = "ァ-ヺー-ヿㇰ-ㇿ"
+_HANG_C = "ᄀ-ᇿ㄰-㆏가-힣"
+_MID_C = "'’.,;·"  # MidNumLet/MidLetter/MidNum glue chars (inside _WORD only)
+_IDEO = f"[{_IDEO_C}]"
+_HIRA = f"[{_HIRA_C}]"
+_KATA = f"[{_KATA_C}]+"
+_HANG = f"[{_HANG_C}]+"
 
 _SCANNER = re.compile(
     f"(?P<word>{_WORD})|(?P<kata>{_KATA})|(?P<hang>{_HANG})"

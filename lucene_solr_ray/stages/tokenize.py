@@ -23,6 +23,13 @@ import pyarrow.compute as pc
 from ..analysis.tokenizer import (
     ENGLISH_STOP_WORDS,
     MAX_TOKEN_LENGTH,
+    _D,
+    _HANG_C,
+    _HIRA_C,
+    _IDEO_C,
+    _KATA_C,
+    _L,
+    _MID_C,
     _SCANNER_FLAT,
     _SIMPLE,
     analyze,
@@ -31,6 +38,24 @@ from ..analysis.tokenizer import (
 from ..smallfloat import encode_norm
 
 _STOP_ARR = pa.array(sorted(ENGLISH_STOP_WORDS), type=pa.string())
+
+# ---- Arrow-scan fast path (re2, zero per-token Python) ----------------------
+# Split each doc on DEFINITE delimiters (chars that can appear in NO token of
+# any _SCANNER alternative), trim the mid-punct glue chars from chunk edges
+# (they can only appear INSIDE a _WORD, between alnum neighbours), and run the
+# Python scanner only on the DICTIONARY-UNIQUE chunks that still contain
+# anything beyond plain alnum.  Web text is Zipfian: almost every chunk is a
+# plain word (PURE below, token == chunk), so per-batch Python work collapses
+# from O(tokens) to O(unique impure chunks).  Exactness: no _SCANNER match can
+# span a delimiter, and the scanner's 1-char lookarounds see the same
+# neighbourhood inside a chunk as in the full text (the removed neighbours are
+# never letters/digits), so per-chunk findall concatenated in order ==
+# full-text findall (differential + hypothesis gates in
+# tests/test_vectorized_tokenize.py).
+_TOKEN_CHARS = f"{_L}{_D}_{_MID_C}{_IDEO_C}{_HIRA_C}{_KATA_C}{_HANG_C}"
+_DELIM_RE = f"[^{_TOKEN_CHARS}]+"
+_PURE_RE = f"^[{_L}{_D}_]+$"  # exactly one _WORD token: itself
+_SIMPLE_DELIM_RE = "[^a-z0-9]+"
 
 
 def _text_or_empty(t):
@@ -131,23 +156,11 @@ def postings_analyzer(analyzer: str):
     return fn
 
 
-def _vectorized_postings_columns(
-    texts: list, analyzer: str, with_positions: bool
-) -> tuple:
-    """Whole-batch standard/simple analysis with no per-token Python.
-
-    Per doc, only the C-level regex ``findall`` runs; lowercasing, the
-    stop/maxTokenLength filters and the (doc, term) -> tf/positions grouping
-    are single Arrow/numpy passes over the batch's flat token stream.  Output
-    is IDENTICAL to aggregating :func:`postings_analyzer` row by row (same
-    per-doc first-occurrence term order, same pre-stop-removal positions, the
-    over-length/stop position gaps of `StandardTokenizer.java:204-222` /
-    StopFilter's enablePositionIncrements) — the byte-identical-artifacts
-    determinism gate holds because nothing depends on batch boundaries.
-
-    -> (terms ListArray, tfs ListArray, positions ListArray | None,
-        dl int64 ndarray)
-    """
+def _scan_stream_findall(texts: list, analyzer: str) -> tuple:
+    """Per-doc C ``findall`` scan -> post-filter flat stream
+    ``(codes int64, dict StringArray, f_doc int32, f_pos int32, dl int64)``.
+    The pre-Arrow-scan fast path, kept as the ``LSR_ARROW_SCAN=0`` escape
+    hatch and the differential reference for :func:`_scan_stream_arrow`."""
     n = len(texts)
     rex = _SCANNER_FLAT if analyzer == "standard" else _SIMPLE
     if analyzer == "standard":
@@ -181,8 +194,172 @@ def _vectorized_postings_columns(
     else:
         f_terms, f_doc, f_pos = flat, doc_idx, pos
         dl = lens
-
     if len(f_terms) == 0:
+        return None, None, f_doc, f_pos, dl
+    enc = pc.dictionary_encode(f_terms)
+    return (
+        np.asarray(enc.indices, dtype=np.int64),
+        enc.dictionary,
+        f_doc,
+        f_pos,
+        dl,
+    )
+
+
+def _flatten_list_column(col):
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col
+
+
+def _scan_stream_arrow(texts: list, analyzer: str) -> tuple:
+    """re2 chunk-split scan (see module constants above) -> same contract as
+    :func:`_scan_stream_findall`.  All stream-sized work is Arrow/numpy; the
+    only Python loop is ``findall`` over the DICTIONARY-UNIQUE impure chunks
+    (vocab-scale, not token-scale)."""
+    n = len(texts)
+    if analyzer == "simple":
+        # byte-parity with the row loop: Python str.lower on the whole doc
+        # (C-level per doc), then a pure-Arrow split — every chunk IS a token
+        col = pa.array(list(map(_lower_or_empty, texts)), type=pa.string())
+        chunks = _flatten_list_column(pc.split_pattern_regex(col, _SIMPLE_DELIM_RE))
+        flat = chunks.flatten()
+        clens = np.asarray(chunks.value_lengths(), dtype=np.int64)
+        chunk_doc = np.repeat(np.arange(n, dtype=np.int32), clens)
+        mask_pa = pc.greater(pc.binary_length(flat), 0)
+        mask = np.asarray(mask_pa)
+        f_terms = flat.filter(mask_pa)
+        f_doc = chunk_doc[mask]
+        dl = np.bincount(f_doc, minlength=n).astype(np.int64) if len(f_doc) else np.zeros(n, np.int64)
+        d_start = np.concatenate(([0], np.cumsum(dl, dtype=np.int64)[:-1]))
+        f_pos = (
+            np.arange(len(f_doc), dtype=np.int64) - np.repeat(d_start, dl)
+        ).astype(np.int32)
+        if len(f_terms) == 0:
+            return None, None, f_doc, f_pos, dl
+        enc = pc.dictionary_encode(f_terms)
+        return np.asarray(enc.indices, dtype=np.int64), enc.dictionary, f_doc, f_pos, dl
+
+    # ---- standard ----
+    col = pc.fill_null(pa.array(texts, type=pa.string()), "")
+    chunks = _flatten_list_column(pc.split_pattern_regex(col, _DELIM_RE))
+    flat = chunks.flatten()
+    clens = np.asarray(chunks.value_lengths(), dtype=np.int64)
+    chunk_doc = np.repeat(np.arange(n, dtype=np.int32), clens)
+    # edge mid-punct can never join a token (its alnum neighbour was removed
+    # with the chunk boundary) — trimming turns "Hello," into a PURE chunk
+    trimmed = pc.utf8_trim(flat, characters=_MID_C)
+    mask_pa = pc.greater(pc.binary_length(trimmed), 0)
+    mask = np.asarray(mask_pa)
+    t_flat = trimmed.filter(mask_pa)
+    chunk_doc = chunk_doc[mask]
+
+    cenc = pc.dictionary_encode(t_flat)
+    ccodes = np.asarray(cenc.indices, dtype=np.int64)
+    uniq = cenc.dictionary
+    n_u = len(uniq)
+    if n_u == 0:
+        dl = np.zeros(n, np.int64)
+        return None, None, np.empty(0, np.int32), np.empty(0, np.int32), dl
+    pure_pa = pc.match_substring_regex(uniq, _PURE_RE)
+    pure = np.asarray(pure_pa)
+    u_cnt = np.ones(n_u, dtype=np.int64)
+    u_off = np.zeros(n_u, dtype=np.int64)
+    pure_ids = np.flatnonzero(pure)
+    imp_ids = np.flatnonzero(~pure)
+    n_pure = len(pure_ids)
+    u_off[pure_ids] = np.arange(n_pure, dtype=np.int64)
+    # slot value arrays: pure tokens first (zero-copy filter), then the
+    # scanner's tokens for each unique impure chunk, in unique order
+    slot_parts = [uniq.filter(pure_pa)]
+    if len(imp_ids):
+        imp_tok_lists = list(
+            map(_SCANNER_FLAT.findall, uniq.take(pa.array(imp_ids)).to_pylist())
+        )
+        imp_counts = np.fromiter(
+            map(len, imp_tok_lists), dtype=np.int64, count=len(imp_ids)
+        )
+        u_cnt[imp_ids] = imp_counts
+        u_off[imp_ids] = n_pure + np.concatenate(
+            ([0], np.cumsum(imp_counts, dtype=np.int64)[:-1])
+        )
+        from itertools import chain as _chain
+
+        slot_parts.append(
+            pa.array(list(_chain.from_iterable(imp_tok_lists)), type=pa.string())
+        )
+    slot_tokens = pa.concat_arrays(
+        [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in slot_parts]
+    )
+
+    # expand the chunk stream into the token stream (pure numpy)
+    tok_per_chunk = u_cnt[ccodes]
+    total = int(tok_per_chunk.sum())
+    if total == 0:
+        dl = np.zeros(n, np.int64)
+        return None, None, np.empty(0, np.int32), np.empty(0, np.int32), dl
+    c_start = np.concatenate(([0], np.cumsum(tok_per_chunk, dtype=np.int64)[:-1]))
+    within = np.arange(total, dtype=np.int64) - np.repeat(c_start, tok_per_chunk)
+    gather = np.repeat(u_off[ccodes], tok_per_chunk) + within
+    f_doc_all = np.repeat(chunk_doc, tok_per_chunk)
+    tpd = np.bincount(f_doc_all, minlength=n).astype(np.int64)
+    d_start = np.concatenate(([0], np.cumsum(tpd, dtype=np.int64)[:-1]))
+    pos_all = (np.arange(total, dtype=np.int64) - np.repeat(d_start, tpd)).astype(
+        np.int32
+    )
+
+    # vocab-sized normalization: lower/stop/maxlen + term codes per SLOT,
+    # then O(1)-per-token numpy takes
+    low_u = pc.utf8_lower(slot_tokens)
+    keep_u = np.asarray(
+        pc.and_(
+            pc.less_equal(pc.utf8_length(slot_tokens), MAX_TOKEN_LENGTH),
+            pc.invert(pc.is_in(low_u, value_set=_STOP_ARR)),
+        )
+    )
+    tenc = pc.dictionary_encode(low_u)
+    slot_code = np.asarray(tenc.indices, dtype=np.int64)
+
+    keep = keep_u[gather]
+    codes = slot_code[gather][keep]
+    f_doc = f_doc_all[keep]
+    f_pos = pos_all[keep]
+    dl = np.bincount(f_doc, minlength=n).astype(np.int64) if len(f_doc) else np.zeros(n, np.int64)
+    if len(codes) == 0:
+        return None, None, f_doc, f_pos, dl
+    return codes, tenc.dictionary, f_doc, f_pos, dl
+
+
+def _vectorized_postings_columns(
+    texts: list, analyzer: str, with_positions: bool
+) -> tuple:
+    """Whole-batch standard/simple analysis with no per-token Python.
+
+    The scan front end produces the post-filter flat (term-code, doc, pos)
+    stream — by default via the Arrow re2 chunk scan
+    (:func:`_scan_stream_arrow`; ``LSR_ARROW_SCAN=0`` falls back to the
+    per-doc ``findall`` scan) — and the grouping back end turns it into
+    per-doc term/tf/position lists in three numpy passes.  Output is
+    IDENTICAL to aggregating :func:`postings_analyzer` row by row (same
+    per-doc first-occurrence term order, same pre-stop-removal positions, the
+    over-length/stop position gaps of `StandardTokenizer.java:204-222` /
+    StopFilter's enablePositionIncrements) — the byte-identical-artifacts
+    determinism gate holds because nothing depends on batch boundaries.
+
+    -> (terms ListArray, tfs ListArray, positions ListArray | None,
+        dl int64 ndarray)
+    """
+    import os as _os
+
+    n = len(texts)
+    scan = (
+        _scan_stream_arrow
+        if _os.environ.get("LSR_ARROW_SCAN", "1") != "0"
+        else _scan_stream_findall
+    )
+    codes, dict_arr, f_doc, f_pos, dl = scan(texts, analyzer)
+
+    if codes is None:
         off0 = pa.array(np.zeros(n + 1, dtype=np.int32))
         terms_l = pa.ListArray.from_arrays(off0, pa.array([], type=pa.string()))
         tfs_l = pa.ListArray.from_arrays(off0, pa.array([], type=pa.int32()))
@@ -194,14 +371,12 @@ def _vectorized_postings_columns(
             pos_l = pa.ListArray.from_arrays(off0, inner)
         return terms_l, tfs_l, pos_l, dl
 
-    enc = pc.dictionary_encode(f_terms)
-    codes = np.asarray(enc.indices, dtype=np.int64)
     # one composite-key STABLE argsort == lexsort((f_pos, codes, f_doc)):
     # f_doc is ascending by construction and f_pos ascending within each doc,
     # so stability supplies the position ordering for free — one radix/merge
     # pass instead of three (measured 6.5x on the 1M-token bench batch,
     # order-identical).  No overflow: f_doc < 2^31 rows, codes < 2^31 terms.
-    order = np.argsort(f_doc.astype(np.int64) * (len(enc.dictionary) + 1) + codes, kind="stable")
+    order = np.argsort(f_doc.astype(np.int64) * (len(dict_arr) + 1) + codes, kind="stable")
     s_doc, s_code, s_pos = f_doc[order], codes[order], f_pos[order]
     change = np.empty(len(order), dtype=bool)
     change[0] = True
@@ -217,7 +392,7 @@ def _vectorized_postings_columns(
         kind="stable",
     )
     g_code2, g_len2, g_doc2 = s_code[gstart][g_order], g_len[g_order], s_doc[gstart][g_order]
-    terms_vals = enc.dictionary.take(pa.array(g_code2))
+    terms_vals = dict_arr.take(pa.array(g_code2))
     entries_per_doc = np.bincount(g_doc2, minlength=n)
     doc_off = pa.array(
         np.concatenate(([0], np.cumsum(entries_per_doc))).astype(np.int32)

@@ -144,3 +144,43 @@ def test_hypothesis_simple_parity(texts):
     assert tfs_l.to_pylist() == e_tfs
     assert pos_l.to_pylist() == e_pos
     assert dl.tolist() == e_dl
+
+
+# ---- Arrow re2 chunk scan == per-doc findall scan (stream level) ------------
+
+from lucene_solr_ray.stages.tokenize import _scan_stream_arrow, _scan_stream_findall
+
+
+@settings(max_examples=150, deadline=None)
+@given(_any_texts)
+def test_hypothesis_arrow_scan_stream_parity(texts):
+    """The two scan front ends must emit the SAME post-filter token stream
+    (term string, doc, pos) — dictionaries may order codes differently."""
+    for analyzer in ("standard", "simple"):
+        a = _scan_stream_arrow(texts, analyzer)
+        f = _scan_stream_findall(texts, analyzer)
+        assert a[4].tolist() == f[4].tolist()  # dl
+        a_terms = (
+            a[1].take(pa.array(a[0])).to_pylist() if a[0] is not None else []
+        )
+        f_terms = (
+            f[1].take(pa.array(f[0])).to_pylist() if f[0] is not None else []
+        )
+        assert a_terms == f_terms
+        assert a[2].tolist() == f[2].tolist()  # doc
+        assert a[3].tolist() == f[3].tolist()  # pos
+
+
+def test_arrow_scan_mixed_script_and_glue():
+    texts = [
+        "Hello, world! can't stop 3,000.5 foo.bar O'Brien's",
+        "...,;'’· edge '' ’x’ x’ ’x .5 5. a·b a··b",
+        "中文カタカナひらがな한국어 mixed漢words",
+        "trailing. .leading mid.dle 1,2,3 a.b.c x" + "y" * 300,
+    ]
+    a = _scan_stream_arrow(texts, "standard")
+    f = _scan_stream_findall(texts, "standard")
+    assert a[4].tolist() == f[4].tolist()
+    assert a[1].take(pa.array(a[0])).to_pylist() == f[1].take(pa.array(f[0])).to_pylist()
+    assert a[2].tolist() == f[2].tolist()
+    assert a[3].tolist() == f[3].tolist()
