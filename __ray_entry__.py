@@ -86,13 +86,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "complexphrase_search_docs": ft.complexphrase_search_docs,
         "bbox_customers": rl.bbox_customers,
         "polygon_customers": rl.polygon_customers,
+        "polygon_star_customers": rl.polygon_star_customers,
         "payload_score_docs": ft.payload_score_docs,
         "interval_facets_quantity": rl.interval_facets_quantity,
         "stats_facet_price_by_priority": rl.stats_facet_price_by_priority,
         "group_topk_orders": rl.group_topk_orders,
         "update_processors_docs": rl.update_processors_docs,
         "strdist_customers": rl.strdist_customers,
-        "function_query_events_ms": rl.function_query_events_ms,
+        # (function_query_events_ms demoted r4, r3-green: the scalar-function
+        # family stays in-cap via strdist_customers + joindf_docs + frange;
+        # polygon_star_customers takes the slot)
         "joindf_docs": rl.joindf_docs,
         # ---- (2) round-3 additions (new SQL gates for dedup/ANN) ----
         "term_vectors_docs": ft.term_vectors_docs,
@@ -165,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # row + the O-gated test_query_features differential; the top-k
         # scoring family stays in-cap via bm25/edismax/rerank entries)
         "search_after_page2": ft.search_after_page2,
+        "function_query_events_ms": rl.function_query_events_ms,
         # (search_must_not demoted r3: NOT semantics in-cap via
         # parsed_query_search's '-hash' clause; keeps its r2 row.
         # search_numeric_range_docs demoted r4, r3-green: the numeric-range
@@ -347,6 +351,19 @@ def oracle_sql() -> dict[str, str]:
     _rpt_conds = "\n              AND ".join(
         f"(({x2!r} - {x1!r}) * (lat - {y1!r}) - ({y2!r} - {y1!r}) * (lon - {x1!r})) >= 0.0"
         for (y1, x1), (y2, x2) in zip(RPT_POLY, RPT_POLY[1:] + RPT_POLY[:1])
+    )
+
+    # polygon_star_customers: even-odd crossing parity for the concave star —
+    # the identical float64 expression the engine's point_in_polygon applies
+    # to boundary-cell points (edges with y1 == y2 contribute no crossings)
+    from lucene_solr_ray.pipelines.relational import STAR_POLY
+
+    _star_terms = " + ".join(
+        f"CASE WHEN ({y1!r} > lat) != ({y2!r} > lat)"
+        f" AND lon < ({x2!r} - {x1!r}) * (lat - {y1!r}) / ({y2!r} - {y1!r}) + {x1!r}"
+        f" THEN 1 ELSE 0 END"
+        for (y1, x1), (y2, x2) in zip(STAR_POLY, STAR_POLY[1:] + STAR_POLY[:1])
+        if y1 != y2
     )
 
     bm25_terms = ", ".join(f"({i}, '{t}')" for i, t in enumerate(SEARCH_TERMS))
@@ -674,6 +691,18 @@ def oracle_sql() -> dict[str, str]:
               FROM customer)
             SELECT c_custkey FROM pts
             WHERE {_rpt_conds}
+            ORDER BY c_custkey""",
+        # non-convex star, even-odd crossing parity (spatial4j containment);
+        # engine accepts most hits via WITHIN-cell prefix compares and runs
+        # THIS predicate only on boundary-leaf points
+        "polygon_star_customers": f"""
+            WITH pts AS (
+              SELECT c_custkey,
+                     ((c_custkey * 7) % 1800) / 10.0 - 90.0 AS lat,
+                     ((c_custkey * 13) % 3600) / 10.0 - 180.0 AS lon
+              FROM customer)
+            SELECT c_custkey FROM pts
+            WHERE ({_star_terms}) % 2 = 1
             ORDER BY c_custkey""",
         # MultiTermQ expansions: hit set = docs containing ANY matching term
         "search_prefix_docs": f"""

@@ -178,3 +178,98 @@ def candidate_mask(
         accepted |= np.isin(shifted, np.array(codes, dtype=np.uint64))
     needs_verify = np.isin(leaf_codes, boundary_leaves) & ~accepted
     return accepted, needs_verify
+
+
+# ---- general (non-convex / self-intersecting) polygons ----------------------
+# Even-odd (crossing-number) semantics — `Shapes.java`'s default winding-free
+# containment used by spatial4j for indexed polygons.  Parity only changes
+# when a ray crosses an edge, so if NO polygon edge intersects a rectangle,
+# containment is CONSTANT across the whole rectangle — the covering recursion
+# stays exact for arbitrary polygons, including self-intersecting stars.
+
+
+def point_in_polygon(lat, lon, poly: list[tuple[float, float]]) -> np.ndarray:
+    """Even-odd crossing test, vectorized.  The crossing predicate is
+    evaluated as ``lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1`` — KEEP
+    THIS ORDER: the SQL oracle replays the identical float64 expression so
+    the decision is bit-identical."""
+    y = np.asarray(lat, dtype=np.float64)
+    x = np.asarray(lon, dtype=np.float64)
+    inside = np.zeros(len(y), dtype=bool)
+    for (y1, x1), (y2, x2) in zip(poly, poly[1:] + poly[:1]):
+        cond = (y1 > y) != (y2 > y)
+        if y2 != y1:
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xi = (x2 - x1) * (y - y1) / (y2 - y1) + x1
+            inside ^= cond & (x < xi)
+    return inside
+
+
+def _seg_intersects_rect(bounds, y1: float, x1: float, y2: float, x2: float) -> bool:
+    """Closed-rect Liang-Barsky clip: True iff the segment touches the
+    rectangle anywhere (touching counts — conservative: the cell is sent to
+    exact verification, never wrongly accepted)."""
+    lat_lo, lat_hi, lon_lo, lon_hi = bounds
+    t0, t1 = 0.0, 1.0
+    dx, dy = x2 - x1, y2 - y1
+    for p, q in (
+        (-dx, x1 - lon_lo),
+        (dx, lon_hi - x1),
+        (-dy, y1 - lat_lo),
+        (dy, lat_hi - y1),
+    ):
+        if p == 0.0:
+            if q < 0.0:
+                return False
+        else:
+            r = q / p
+            if p < 0.0:
+                if r > t1:
+                    return False
+                if r > t0:
+                    t0 = r
+            else:
+                if r < t0:
+                    return False
+                if r < t1:
+                    t1 = r
+    return True
+
+
+def _rect_vs_polygon(bounds, poly: list[tuple[float, float]]) -> int:
+    """Classify rectangle vs arbitrary polygon under even-odd semantics.
+    If any edge touches the rect -> INTERSECTS (verify); otherwise parity is
+    constant over the rect and the center point decides WITHIN/DISJOINT."""
+    for (y1, x1), (y2, x2) in zip(poly, poly[1:] + poly[:1]):
+        if _seg_intersects_rect(bounds, y1, x1, y2, x2):
+            return INTERSECTS
+    lat_lo, lat_hi, lon_lo, lon_hi = bounds
+    cy = np.array([(lat_lo + lat_hi) * 0.5])
+    cx = np.array([(lon_lo + lon_hi) * 0.5])
+    return WITHIN if bool(point_in_polygon(cy, cx, poly)[0]) else DISJOINT
+
+
+def cover_polygon(
+    poly: list[tuple[float, float]], max_level: int
+) -> tuple[list[tuple[int, int]], np.ndarray]:
+    """General-polygon covering — same contract as :func:`cover_convex`,
+    using the edge-crossing rect classifier (exact for simple AND
+    self-intersecting polygons under even-odd containment)."""
+    within: list[tuple[int, int]] = []
+    boundary: list[int] = []
+
+    def rec(level: int, code: int) -> None:
+        rel = _rect_vs_polygon(_cell_bounds(level, code), poly)
+        if rel == DISJOINT:
+            return
+        if rel == WITHIN:
+            within.append((level, code))
+            return
+        if level == max_level:
+            boundary.append(code)
+            return
+        for q in range(4):
+            rec(level + 1, (code << 2) | q)
+
+    rec(0, 0)
+    return within, np.sort(np.array(boundary, dtype=np.uint64))

@@ -1282,6 +1282,15 @@ def bbox_customers(sf_dir: str) -> pa.Table:
 # engine and oracle
 RPT_POLY = [(-25.05, -40.05), (-15.05, 30.05), (25.05, 25.05), (35.05, -20.05), (5.05, -55.05)]
 RPT_LEVEL = 8
+# 10-vertex concave star (alternating 45/18-degree radii around
+# (5.05, -10.05)): the non-convex covering path.  Two-decimal vertices can
+# never coincide with the one-decimal synthetic grid, so no data point sits
+# on a vertex latitude (the crossing test's `y1 > y` flip line).
+STAR_POLY = [
+    (50.05, -10.05), (19.61, -20.63), (18.96, -52.85), (-0.51, -27.17),
+    (-31.36, -36.5), (-12.95, -10.05), (-31.36, 16.4), (-0.51, 7.07),
+    (18.96, 32.75), (19.61, 0.53),
+]
 
 
 def polygon_customers(sf_dir: str) -> pa.Table:
@@ -1322,6 +1331,46 @@ def polygon_customers(sf_dir: str) -> pa.Table:
         if needs_verify.any():
             idx = np.flatnonzero(needs_verify)
             accepted[idx] = point_in_convex(lat[idx], lon[idx], RPT_POLY)
+        return t.filter(pa.array(accepted))
+
+    out = (
+        rd.read_parquet(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"])
+        .map_batches(keep, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return pa.table({"c_custkey": sorted(out["c_custkey"].astype("int64").tolist())})
+
+
+def polygon_star_customers(sf_dir: str) -> pa.Table:
+    """Non-convex polygon Intersects via the general covering
+    (`RecursivePrefixTreeStrategy.java` recursion with spatial4j's even-odd
+    containment): a concave 10-vertex star is covered by quad-tree cells
+    using the edge-crossing rect classifier — parity is constant over any
+    cell no polygon edge touches, so WITHIN cells accept by integer prefix
+    compare and only boundary leaves run the exact crossing predicate.  The
+    SQL oracle replays the crossing parity with the identical float64
+    expression order.  Same stateless ``map_batches`` scale shape as
+    :func:`polygon_customers`."""
+    from ..functions.spatial_rpt import (
+        candidate_mask,
+        cover_polygon,
+        point_in_polygon,
+        quad_codes,
+    )
+
+    within_cells, boundary_leaves = cover_polygon(STAR_POLY, RPT_LEVEL)
+
+    def keep(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t["c_custkey"], dtype=np.int64)
+        lat = ((keys * 7) % 1800) / 10.0 - 90.0
+        lon = ((keys * 13) % 3600) / 10.0 - 180.0
+        codes = quad_codes(lat, lon, RPT_LEVEL)
+        accepted, needs_verify = candidate_mask(
+            codes, within_cells, boundary_leaves, RPT_LEVEL
+        )
+        if needs_verify.any():
+            idx = np.flatnonzero(needs_verify)
+            accepted[idx] = point_in_polygon(lat[idx], lon[idx], STAR_POLY)
         return t.filter(pa.array(accepted))
 
     out = (

@@ -148,3 +148,88 @@ class TestFixturePolygon:
         accepted, _ = candidate_mask(codes, within, boundary, RPT_LEVEL)
         exact = point_in_convex(lat, lon, RPT_POLY)
         assert accepted.sum() >= 0.9 * exact.sum()
+
+
+class TestNonConvexStar:
+    """General-polygon covering (even-odd semantics) over the concave star."""
+
+    def test_covering_exact_vs_brute_predicate(self):
+        from lucene_solr_ray.functions.spatial_rpt import (
+            candidate_mask,
+            cover_polygon,
+            point_in_polygon,
+            quad_codes,
+        )
+        from lucene_solr_ray.pipelines.relational import STAR_POLY
+
+        # dense deterministic grid straddling the star (incl. concavities)
+        lat = np.repeat(np.arange(-60.0, 60.0, 0.83), 145)
+        lon = np.tile(np.arange(-60.0, 60.0, 0.83), len(lat) // 145)
+        within, boundary = cover_polygon(STAR_POLY, RPT_LEVEL)
+        codes = quad_codes(lat, lon, RPT_LEVEL)
+        accepted, verify = candidate_mask(codes, within, boundary, RPT_LEVEL)
+        got = accepted.copy()
+        idx = np.flatnonzero(verify)
+        got[idx] = point_in_polygon(lat[idx], lon[idx], STAR_POLY)
+        want = point_in_polygon(lat, lon, STAR_POLY)
+        assert (got == want).all()
+        assert want.sum() > 100
+        # concavity probe: the gap between two star points is OUTSIDE
+        assert not point_in_polygon(np.array([30.0]), np.array([20.0]), STAR_POLY)[0]
+        # ...but the star center is inside
+        assert point_in_polygon(np.array([5.0]), np.array([-10.0]), STAR_POLY)[0]
+
+    def test_within_cells_accept_most_hits(self):
+        from lucene_solr_ray.functions.spatial_rpt import (
+            candidate_mask,
+            cover_polygon,
+            point_in_polygon,
+            quad_codes,
+        )
+        from lucene_solr_ray.pipelines.relational import STAR_POLY
+
+        keys = pq.read_table(SF + "/customer.parquet", columns=["c_custkey"])[
+            "c_custkey"
+        ].to_numpy()
+        lat, lon = _synth_coords(keys)
+        within, boundary = cover_polygon(STAR_POLY, RPT_LEVEL)
+        codes = quad_codes(lat, lon, RPT_LEVEL)
+        accepted, _ = candidate_mask(codes, within, boundary, RPT_LEVEL)
+        exact = point_in_polygon(lat, lon, STAR_POLY)
+        assert accepted.sum() >= 0.7 * exact.sum()
+
+    def test_pipeline_matches_brute_force(self, ray_session):
+        from lucene_solr_ray.functions.spatial_rpt import point_in_polygon
+        from lucene_solr_ray.pipelines.relational import (
+            STAR_POLY,
+            polygon_star_customers,
+        )
+
+        got = polygon_star_customers(SF)["c_custkey"].to_pylist()
+        keys = pq.read_table(SF + "/customer.parquet", columns=["c_custkey"])[
+            "c_custkey"
+        ].to_numpy()
+        lat, lon = _synth_coords(keys)
+        want = sorted(keys[point_in_polygon(lat, lon, STAR_POLY)].tolist())
+        assert got == want
+        assert len(got) > 0
+
+    def test_no_data_point_near_crossing_boundary(self):
+        """Parity safety over the real grid at the largest test scale: for
+        every edge, every data point's lon is far from the crossing x — the
+        `lon < xi` decision cannot flip between numpy and DuckDB float64."""
+        from lucene_solr_ray.pipelines.relational import STAR_POLY
+
+        keys = pq.read_table(
+            "/root/testdata/sf0.1/customer.parquet", columns=["c_custkey"]
+        )["c_custkey"].to_numpy()
+        y, x = _synth_coords(keys)
+        for (y1, x1), (y2, x2) in zip(STAR_POLY, STAR_POLY[1:] + STAR_POLY[:1]):
+            if y1 == y2:
+                continue
+            cond = (y1 > y) != (y2 > y)
+            xi = (x2 - x1) * (y - y1) / (y2 - y1) + x1
+            gaps = np.abs(x[cond] - xi[cond])
+            assert gaps.min() > 1e-6
+            # and no data latitude equals a vertex latitude (flip line)
+            assert (y != y1).all()
