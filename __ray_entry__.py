@@ -124,7 +124,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "surround_search_docs": ft.surround_search_docs,
         "facet_source_prefix": ft.facet_source_prefix,
         "frange_docs": ft.frange_docs,
-        "dismax_topk_simple": ft.dismax_topk_simple,
+        # (dismax_topk_simple demoted r4, r3-green: dismax3_topk_simple
+        # supersedes it under the gate — same machinery, plus the 3-clause
+        # clause-order f32 fold the 2-clause oracle could not replay)
+        "dismax3_topk_simple": ft.dismax3_topk_simple,
         "suggest_infix": ft.suggest_infix,
         "facet_refined_lang": ft.facet_refined_lang,
         "events_sliding_counts": rl.events_sliding_counts,
@@ -169,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # scoring family stays in-cap via bm25/edismax/rerank entries)
         "search_after_page2": ft.search_after_page2,
         "function_query_events_ms": rl.function_query_events_ms,
+        "dismax_topk_simple": ft.dismax_topk_simple,
         # (search_must_not demoted r3: NOT semantics in-cap via
         # parsed_query_search's '-hash' clause; keeps its r2 row.
         # search_numeric_range_docs demoted r4, r3-green: the numeric-range
@@ -763,6 +767,42 @@ def oracle_sql() -> dict[str, str]:
               FROM perdoc)
             SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS rank, doc_id
             FROM dm
+            QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) <= 10
+            ORDER BY qid, rank""",
+        # 3-clause DisMax: ssum is the CLAUSE-ORDER f32 fold over MATCHING
+        # clauses (DisjunctionMaxScorer adds each sub-scorer's float to a
+        # float accumulator; absent clauses add nothing) — s01 then s012,
+        # one CAST-to-FLOAT rounding point per add, exactly the engine's
+        # ``ssum[idx] = (ssum[idx] + s).astype(float32)`` per clause
+        "dismax3_topk_simple": _bm25_scored_sql(
+            "(0, 'join'), (1, 'hash'), (2, 'window'),"
+            " (3, 'stream'), (4, 'vector'), (5, 'customer')"
+        ) + """
+            , perdoc AS (
+              SELECT qid // 3 AS gid, doc_id,
+                     max(CASE WHEN qid % 3 = 0 THEN CAST(score AS FLOAT) END) AS s0,
+                     max(CASE WHEN qid % 3 = 1 THEN CAST(score AS FLOAT) END) AS s1,
+                     max(CASE WHEN qid % 3 = 2 THEN CAST(score AS FLOAT) END) AS s2
+              FROM scored GROUP BY 1, 2),
+            fold1 AS (
+              SELECT gid, doc_id, s2,
+                     greatest(coalesce(s0, CAST('-inf' AS FLOAT)),
+                              coalesce(s1, CAST('-inf' AS FLOAT)),
+                              coalesce(s2, CAST('-inf' AS FLOAT))) AS smax,
+                     CASE WHEN s0 IS NOT NULL AND s1 IS NOT NULL
+                          THEN CAST(s0 + s1 AS FLOAT) ELSE coalesce(s0, s1) END AS s01
+              FROM perdoc),
+            fold2 AS (
+              SELECT gid, doc_id, smax,
+                     CASE WHEN s01 IS NOT NULL AND s2 IS NOT NULL
+                          THEN CAST(s01 + s2 AS FLOAT) ELSE coalesce(s01, s2) END AS ssum
+              FROM fold1),
+            dm3 AS (
+              SELECT gid AS qid, doc_id,
+                     CAST(smax + CAST(CAST(ssum - smax AS FLOAT) * CAST('0.3' AS FLOAT) AS FLOAT) AS FLOAT) AS score
+              FROM fold2)
+            SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS rank, doc_id
+            FROM dm3
             QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) <= 10
             ORDER BY qid, rank""",
         "repetition_docs": f"""

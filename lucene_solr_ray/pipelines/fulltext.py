@@ -335,6 +335,34 @@ def dismax_topk_simple(sf_dir: str) -> pa.Table:
     )
 
 
+def dismax3_topk_simple(sf_dir: str) -> pa.Table:
+    """Three-clause DisjunctionMaxQuery (tiebreak=0.3) top-10 — the wider
+    disjunction the 2-clause oracle's double-sum shortcut could NOT replay
+    (ADVICE r3): ``DisjunctionMaxScorer`` folds scoreSum clause-by-clause in
+    float32, so the oracle mirrors the fold recursively (f32 round per add,
+    clause order, missing clauses contribute nothing)."""
+    ix = documents_index(sf_dir)
+    from ..query.ast import DisMaxQ
+
+    loc = LocalIndex(ix)
+    ev = Evaluator(loc)
+    out = {"qid": [], "rank": [], "doc_id": []}
+    triples = [("join", "hash", "window"), ("stream", "vector", "customer")]
+    for qid, (a, b, c) in enumerate(triples):
+        docs, scores = ev.scored(DisMaxQ((TermQ(a), TermQ(b), TermQ(c)), tiebreak=0.3))
+        for rank, (_score, doc) in enumerate(top_k(docs, scores, 10)):
+            out["qid"].append(qid)
+            out["rank"].append(rank)
+            out["doc_id"].append(doc)
+    return pa.table(
+        {
+            "qid": pa.array(out["qid"], type=pa.int64()),
+            "rank": pa.array(out["rank"], type=pa.int64()),
+            "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+        }
+    )
+
+
 # ---- BM25 ranking (oracle: pytest vs pure-Python; driver: rows-only) --------
 
 
