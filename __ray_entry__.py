@@ -357,16 +357,18 @@ def oracle_sql() -> dict[str, str]:
         for (y1, x1), (y2, x2) in zip(RPT_POLY, RPT_POLY[1:] + RPT_POLY[:1])
     )
 
-    # polygon_star_customers: even-odd crossing parity for the concave star —
-    # the identical float64 expression the engine's point_in_polygon applies
-    # to boundary-cell points (edges with y1 == y2 contribute no crossings)
-    from lucene_solr_ray.pipelines.relational import STAR_POLY
+    # polygon_star_customers: even-odd crossing parity over ALL rings' edges
+    # (concave star MINUS its diamond hole) — the identical float64
+    # expression the engine's point_in_rings applies to boundary-cell points
+    # (edges with y1 == y2 contribute no crossings)
+    from lucene_solr_ray.pipelines.relational import STAR_RINGS
 
     _star_terms = " + ".join(
         f"CASE WHEN ({y1!r} > lat) != ({y2!r} > lat)"
         f" AND lon < ({x2!r} - {x1!r}) * (lat - {y1!r}) / ({y2!r} - {y1!r}) + {x1!r}"
         f" THEN 1 ELSE 0 END"
-        for (y1, x1), (y2, x2) in zip(STAR_POLY, STAR_POLY[1:] + STAR_POLY[:1])
+        for ring in STAR_RINGS
+        for (y1, x1), (y2, x2) in zip(ring, ring[1:] + ring[:1])
         if y1 != y2
     )
 

@@ -273,3 +273,49 @@ def cover_polygon(
 
     rec(0, 0)
     return within, np.sort(np.array(boundary, dtype=np.uint64))
+
+
+def point_in_rings(lat, lon, rings: list[list[tuple[float, float]]]) -> np.ndarray:
+    """Multi-ring even-odd containment (polygon with holes): total crossing
+    parity over ALL rings' edges — XOR of per-ring parities, exactly the
+    flat edge-sum the SQL oracle replays."""
+    inside = np.zeros(len(np.asarray(lat)), dtype=bool)
+    for ring in rings:
+        inside ^= point_in_polygon(lat, lon, ring)
+    return inside
+
+
+def cover_rings(
+    rings: list[list[tuple[float, float]]], max_level: int
+) -> tuple[list[tuple[int, int]], np.ndarray]:
+    """Covering for a multi-ring polygon: a cell no edge of ANY ring touches
+    has constant total parity, so the classifier is the same edge-clip test
+    over the flattened edge set + a center-point parity probe."""
+    within: list[tuple[int, int]] = []
+    boundary: list[int] = []
+
+    def classify(bounds) -> int:
+        for ring in rings:
+            for (y1, x1), (y2, x2) in zip(ring, ring[1:] + ring[:1]):
+                if _seg_intersects_rect(bounds, y1, x1, y2, x2):
+                    return INTERSECTS
+        lat_lo, lat_hi, lon_lo, lon_hi = bounds
+        cy = np.array([(lat_lo + lat_hi) * 0.5])
+        cx = np.array([(lon_lo + lon_hi) * 0.5])
+        return WITHIN if bool(point_in_rings(cy, cx, rings)[0]) else DISJOINT
+
+    def rec(level: int, code: int) -> None:
+        rel = classify(_cell_bounds(level, code))
+        if rel == DISJOINT:
+            return
+        if rel == WITHIN:
+            within.append((level, code))
+            return
+        if level == max_level:
+            boundary.append(code)
+            return
+        for q in range(4):
+            rec(level + 1, (code << 2) | q)
+
+    rec(0, 0)
+    return within, np.sort(np.array(boundary, dtype=np.uint64))

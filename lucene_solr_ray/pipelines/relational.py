@@ -1291,6 +1291,11 @@ STAR_POLY = [
     (-31.36, -36.5), (-12.95, -10.05), (-31.36, 16.4), (-0.51, 7.07),
     (18.96, 32.75), (19.61, 0.53),
 ]
+# diamond HOLE punched in the star's body (multi-ring even-odd: a point
+# inside both rings has even total parity -> OUT); two-decimal vertices
+# again avoid the one-decimal grid's flip lines
+STAR_HOLE = [(9.07, -10.05), (5.05, -6.03), (1.03, -10.05), (5.05, -14.07)]
+STAR_RINGS = [STAR_POLY, STAR_HOLE]
 
 
 def polygon_customers(sf_dir: str) -> pa.Table:
@@ -1342,23 +1347,24 @@ def polygon_customers(sf_dir: str) -> pa.Table:
 
 
 def polygon_star_customers(sf_dir: str) -> pa.Table:
-    """Non-convex polygon Intersects via the general covering
+    """Non-convex polygon-WITH-HOLE Intersects via the general covering
     (`RecursivePrefixTreeStrategy.java` recursion with spatial4j's even-odd
-    containment): a concave 10-vertex star is covered by quad-tree cells
-    using the edge-crossing rect classifier — parity is constant over any
-    cell no polygon edge touches, so WITHIN cells accept by integer prefix
-    compare and only boundary leaves run the exact crossing predicate.  The
-    SQL oracle replays the crossing parity with the identical float64
-    expression order.  Same stateless ``map_batches`` scale shape as
-    :func:`polygon_customers`."""
+    containment): a concave 10-vertex star minus a diamond hole is covered
+    by quad-tree cells using the edge-crossing rect classifier — total
+    crossing parity is constant over any cell no edge of ANY ring touches,
+    so WITHIN cells accept by integer prefix compare and only boundary
+    leaves run the exact multi-ring crossing predicate.  The SQL oracle
+    replays the parity sum over the flattened edge set with the identical
+    float64 expression order.  Same stateless ``map_batches`` scale shape
+    as :func:`polygon_customers`."""
     from ..functions.spatial_rpt import (
         candidate_mask,
-        cover_polygon,
-        point_in_polygon,
+        cover_rings,
+        point_in_rings,
         quad_codes,
     )
 
-    within_cells, boundary_leaves = cover_polygon(STAR_POLY, RPT_LEVEL)
+    within_cells, boundary_leaves = cover_rings(STAR_RINGS, RPT_LEVEL)
 
     def keep(t: pa.Table) -> pa.Table:
         keys = np.asarray(t["c_custkey"], dtype=np.int64)
@@ -1370,7 +1376,7 @@ def polygon_star_customers(sf_dir: str) -> pa.Table:
         )
         if needs_verify.any():
             idx = np.flatnonzero(needs_verify)
-            accepted[idx] = point_in_polygon(lat[idx], lon[idx], STAR_POLY)
+            accepted[idx] = point_in_rings(lat[idx], lon[idx], STAR_RINGS)
         return t.filter(pa.array(accepted))
 
     out = (

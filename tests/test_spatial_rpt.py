@@ -199,9 +199,9 @@ class TestNonConvexStar:
         assert accepted.sum() >= 0.7 * exact.sum()
 
     def test_pipeline_matches_brute_force(self, ray_session):
-        from lucene_solr_ray.functions.spatial_rpt import point_in_polygon
+        from lucene_solr_ray.functions.spatial_rpt import point_in_rings
         from lucene_solr_ray.pipelines.relational import (
-            STAR_POLY,
+            STAR_RINGS,
             polygon_star_customers,
         )
 
@@ -210,9 +210,35 @@ class TestNonConvexStar:
             "c_custkey"
         ].to_numpy()
         lat, lon = _synth_coords(keys)
-        want = sorted(keys[point_in_polygon(lat, lon, STAR_POLY)].tolist())
+        want = sorted(keys[point_in_rings(lat, lon, STAR_RINGS)].tolist())
         assert got == want
         assert len(got) > 0
+
+    def test_hole_ring_parity(self):
+        """Multi-ring even-odd: covering == brute parity on a dense grid,
+        and the hole's interior is OUT while the star body around it is IN."""
+        from lucene_solr_ray.functions.spatial_rpt import (
+            candidate_mask,
+            cover_rings,
+            point_in_rings,
+            quad_codes,
+        )
+        from lucene_solr_ray.pipelines.relational import STAR_RINGS
+
+        lat = np.repeat(np.arange(-60.0, 60.0, 0.83), 145)
+        lon = np.tile(np.arange(-60.0, 60.0, 0.83), len(lat) // 145)
+        within, boundary = cover_rings(STAR_RINGS, RPT_LEVEL)
+        codes = quad_codes(lat, lon, RPT_LEVEL)
+        accepted, verify = candidate_mask(codes, within, boundary, RPT_LEVEL)
+        got = accepted.copy()
+        idx = np.flatnonzero(verify)
+        got[idx] = point_in_rings(lat[idx], lon[idx], STAR_RINGS)
+        want = point_in_rings(lat, lon, STAR_RINGS)
+        assert (got == want).all()
+        # hole center (the star center) is OUT under multi-ring parity...
+        assert not point_in_rings(np.array([5.05]), np.array([-10.06]), STAR_RINGS)[0]
+        # ...while a body point outside the hole is IN
+        assert point_in_rings(np.array([15.0]), np.array([-10.0]), STAR_RINGS)[0]
 
     def test_no_data_point_near_crossing_boundary(self):
         """Parity safety over the real grid at the largest test scale: for
@@ -224,7 +250,14 @@ class TestNonConvexStar:
             "/root/testdata/sf0.1/customer.parquet", columns=["c_custkey"]
         )["c_custkey"].to_numpy()
         y, x = _synth_coords(keys)
-        for (y1, x1), (y2, x2) in zip(STAR_POLY, STAR_POLY[1:] + STAR_POLY[:1]):
+        from lucene_solr_ray.pipelines.relational import STAR_RINGS
+
+        edges = [
+            e
+            for ring in STAR_RINGS
+            for e in zip(ring, ring[1:] + ring[:1])
+        ]
+        for (y1, x1), (y2, x2) in edges:
             if y1 == y2:
                 continue
             cond = (y1 > y) != (y2 > y)
