@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bbox_customers": rl.bbox_customers,
         "polygon_customers": rl.polygon_customers,
         "polygon_star_customers": rl.polygon_star_customers,
+        "heatmap_customers": rl.heatmap_customers,
         "payload_score_docs": ft.payload_score_docs,
         "interval_facets_quantity": rl.interval_facets_quantity,
         "stats_facet_price_by_priority": rl.stats_facet_price_by_priority,
@@ -95,8 +96,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strdist_customers": rl.strdist_customers,
         # (function_query_events_ms demoted r4, r3-green: the scalar-function
         # family stays in-cap via strdist_customers + joindf_docs + frange;
-        # polygon_star_customers takes the slot)
-        "joindf_docs": rl.joindf_docs,
+        # polygon_star_customers takes the slot.  joindf_docs demoted r4,
+        # r3-green: broadcast-lookup shape also covered below-cap by
+        # semi_join_customers; heatmap_customers takes the slot)
         # ---- (2) round-3 additions (new SQL gates for dedup/ANN) ----
         "term_vectors_docs": ft.term_vectors_docs,
         "realtime_get_docs": ft.realtime_get_docs,
@@ -171,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # row + the O-gated test_query_features differential; the top-k
         # scoring family stays in-cap via bm25/edismax/rerank entries)
         "search_after_page2": ft.search_after_page2,
+        "joindf_docs": rl.joindf_docs,
         "function_query_events_ms": rl.function_query_events_ms,
         "dismax_topk_simple": ft.dismax_topk_simple,
         # (search_must_not demoted r3: NOT semantics in-cap via
@@ -710,6 +713,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey FROM pts
             WHERE ({_star_terms}) % 2 = 1
             ORDER BY c_custkey""",
+        # facet.heatmap: per-quad-cell counts over a cell-snapped region,
+        # zero cells included (counts_ints2D dense contract); cell indices
+        # computed in BIGINT floor-division space — identical to the
+        # engine's integer tenths math, no float in the gate
+        "heatmap_customers": """
+            WITH cells AS (
+              SELECT (((c_custkey * 7) % 1800) * 32) // 1800 AS heat_row,
+                     (((c_custkey * 13) % 3600) * 32) // 3600 AS heat_col
+              FROM customer),
+            counts AS (
+              SELECT heat_row, heat_col, CAST(count(*) AS BIGINT) AS cell_count
+              FROM cells
+              WHERE heat_row BETWEEN 14 AND 24 AND heat_col BETWEEN 10 AND 20
+              GROUP BY heat_row, heat_col),
+            grid AS (
+              SELECT CAST(r AS BIGINT) AS heat_row, CAST(c AS BIGINT) AS heat_col
+              FROM generate_series(14, 24) AS gr(r)
+              CROSS JOIN generate_series(10, 20) AS gc(c))
+            SELECT g.heat_row, g.heat_col,
+                   coalesce(n.cell_count, CAST(0 AS BIGINT)) AS cell_count
+            FROM grid g LEFT JOIN counts n
+              ON g.heat_row = n.heat_row AND g.heat_col = n.heat_col
+            ORDER BY g.heat_row, g.heat_col""",
         # MultiTermQ expansions: hit set = docs containing ANY matching term
         "search_prefix_docs": f"""
             SELECT doc_id FROM documents

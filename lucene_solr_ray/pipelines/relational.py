@@ -1387,6 +1387,73 @@ def polygon_star_customers(sf_dir: str) -> pa.Table:
     return pa.table({"c_custkey": sorted(out["c_custkey"].astype("int64").tolist())})
 
 
+# facet.heatmap grid: quad level 5 => 32x32 world grid (5.625 x 11.25 deg
+# cells); the faceted region is cell-SNAPPED (Solr expands the geom to grid
+# boundaries), expressed directly as inclusive cell-index ranges so the
+# engine/oracle compare never touches a float
+HEATMAP_LEVEL = 5
+HEATMAP_ROW_RANGE = (14, 24)  # inclusive quad rows (latitude bands)
+HEATMAP_COL_RANGE = (10, 20)  # inclusive quad cols (longitude bands)
+
+
+def heatmap_customers(sf_dir: str) -> pa.Table:
+    """Spatial heatmap faceting (``facet.heatmap`` — the
+    `HeatmapFacetCounter` component shape, post-fork upstream; the grid
+    itself is the fork's `lucene/spatial/src/java/org/apache/lucene/spatial/
+    prefix/tree/QuadPrefixTree.java` level-5 cell lattice): per-grid-cell
+    document counts over a cell-snapped query region, EVERY region cell
+    emitted including zero-count cells (the counts_ints2D dense-array
+    contract).
+
+    Cell assignment happens in INTEGER space — the synthetic coordinates
+    live on a 0.1-degree grid, so ``row = (ilat << level) // 1800`` over
+    integer tenths is exact and the SQL oracle replays it with BIGINT
+    floor division; no float ever crosses the hash gate.
+
+    Scale shape: per-batch combiner (numpy bincount over region cells —
+    the classic pre-aggregate-inside-map_batches pattern), then a driver
+    merge bounded by n_region_cells x n_blocks (121 x blocks here; never
+    O(corpus)).  At 100 TB the partials stay the same size; only the block
+    count grows, and the merge is one reduceat over tiny vectors."""
+    level = HEATMAP_LEVEL
+    r0, r1 = HEATMAP_ROW_RANGE
+    c0, c1 = HEATMAP_COL_RANGE
+    nrows, ncols = r1 - r0 + 1, c1 - c0 + 1
+    ncells = nrows * ncols
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t["c_custkey"], dtype=np.int64)
+        ilat = (keys * 7) % 1800  # tenths of a degree above -90
+        ilon = (keys * 13) % 3600  # tenths above -180
+        row = (ilat << level) // 1800
+        col = (ilon << level) // 3600
+        m = (row >= r0) & (row <= r1) & (col >= c0) & (col <= c1)
+        flat = (row[m] - r0) * ncols + (col[m] - c0)
+        counts = np.bincount(flat, minlength=ncells)
+        return pa.table(
+            {
+                "cell": np.arange(ncells, dtype=np.int64),
+                "cnt": counts.astype(np.int64),
+            }
+        )
+
+    parts = (
+        rd.read_parquet(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    total = np.zeros(ncells, dtype=np.int64)
+    np.add.at(total, parts["cell"].to_numpy(), parts["cnt"].to_numpy())
+    cells = np.arange(ncells, dtype=np.int64)
+    return pa.table(
+        {
+            "heat_row": (r0 + cells // ncols),
+            "heat_col": (c0 + cells % ncols),
+            "cell_count": total,
+        }
+    )
+
+
 def kmeans_clusters_docs(sf_dir: str) -> pa.Table:
     """Corpus k-means clustering (clustering-contrib surface analog,
     `solr/contrib/clustering/`): hashed-TF-IDF Lloyd iterations with

@@ -266,3 +266,55 @@ class TestNonConvexStar:
             assert gaps.min() > 1e-6
             # and no data latitude equals a vertex latitude (flip line)
             assert (y != y1).all()
+
+
+class TestHeatmap:
+    """facet.heatmap analog: integer-space cell counts, zero-filled grid."""
+
+    def test_matches_duckdb_oracle(self, ray_session):
+        import duckdb
+
+        import __ray_entry__
+        from lucene_solr_ray.pipelines.relational import heatmap_customers
+
+        got = heatmap_customers(SF).to_pandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW customer AS SELECT * FROM read_parquet('{SF}/customer.parquet')"
+        )
+        want = con.execute(__ray_entry__.oracle_sql()["heatmap_customers"]).fetchdf()
+        got = got[sorted(got.columns)].reset_index(drop=True)
+        want = want[sorted(want.columns)].reset_index(drop=True)
+        assert list(got.columns) == list(want.columns)
+        assert len(got) == len(want) == 11 * 11
+        for c in got.columns:
+            assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+    def test_dense_grid_and_totals(self, ray_session):
+        from lucene_solr_ray.pipelines.relational import (
+            HEATMAP_COL_RANGE,
+            HEATMAP_LEVEL,
+            HEATMAP_ROW_RANGE,
+            heatmap_customers,
+        )
+
+        t = heatmap_customers(SF).to_pandas()
+        # dense row-major grid: every region cell exactly once
+        assert len(t) == 11 * 11
+        assert t["heat_row"].min() == HEATMAP_ROW_RANGE[0]
+        assert t["heat_row"].max() == HEATMAP_ROW_RANGE[1]
+        # zero-count cells are emitted (counts_ints2D dense contract)
+        assert (t["cell_count"] == 0).any()
+        # total equals an independent brute count of region membership
+        keys = pq.read_table(SF + "/customer.parquet", columns=["c_custkey"])[
+            "c_custkey"
+        ].to_numpy()
+        row = (((keys * 7) % 1800) << HEATMAP_LEVEL) // 1800
+        col = (((keys * 13) % 3600) << HEATMAP_LEVEL) // 3600
+        m = (
+            (row >= HEATMAP_ROW_RANGE[0])
+            & (row <= HEATMAP_ROW_RANGE[1])
+            & (col >= HEATMAP_COL_RANGE[0])
+            & (col <= HEATMAP_COL_RANGE[1])
+        )
+        assert t["cell_count"].sum() == int(m.sum()) > 0
