@@ -455,11 +455,137 @@ def run_scaling() -> dict:
     first = f"eff_norm_alu_{levels[0]}_{levels[1]}"
     if first in result:
         result["scaling_efficiency_ceiling_normalized"] = result[first]
+    # workload-shaped ceiling (bare multiprocessing, same kernels, no Ray):
+    # the strongest divisor — what THIS workload can scale to on THIS box
+    # with zero orchestration.  One interleaved cycle by default (the corpus
+    # is already warm); BENCH_SKIP_WORKLOAD_CEILING=1 disables.
+    if not os.environ.get("BENCH_SKIP_WORKLOAD_CEILING"):
+        os.environ.setdefault("BENCH_CEILING_REPEATS", "1")
+        try:
+            wl = run_workload_ceiling()
+        except Exception as ex:  # never fail the protocol for the divisor
+            result["workload_ceiling_error"] = repr(ex)
+        else:
+            for lo, hi in zip(levels, levels[1:]):
+                ceil = wl.get(f"eff_{lo}_{hi}")
+                if ceil:
+                    result[f"ceiling_workload_{lo}_{hi}"] = ceil
+                    result[f"eff_norm_workload_{lo}_{hi}"] = round(
+                        result[f"eff_{lo}_{hi}"] / ceil, 3
+                    )
+            result["workload_ceiling_docs_per_sec"] = {
+                k: v for k, v in wl.items() if k.startswith("docs_per_sec_")
+            }
+    return result
+
+
+def _ceiling_files_worker(args):
+    """One bare OS process of the workload ceiling: run the EXACT build
+    stage-2 kernels (extract_batch -> tokenize_batch -> column select ->
+    snappy parquet write) over a list of input files — no Ray, no object
+    store, no scheduler.  Same batch size, same analyzer, same output
+    columns as `index/build.py` stage 2."""
+    files, out_dir, batch_size = args
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.stages.extract import extract_batch
+    from lucene_solr_ray.stages.tokenize import tokenize_batch
+
+    ndocs = 0
+    for f in files:
+        t = pq.read_table(f)
+        parts = []
+        for off in range(0, t.num_rows, batch_size):
+            b = t.slice(off, batch_size)
+            b = extract_batch(b)
+            b = tokenize_batch(
+                b, with_positions=True, analyzer="standard", extra_text_fields=()
+            )
+            keep = [
+                c
+                for c in ("doc_id", "dl", "norm", "terms", "tfs", "positions", "url")
+                if c in b.column_names
+            ]
+            parts.append(b.select(keep))
+        out = pa.concat_tables(parts)
+        ndocs += out.num_rows
+        pq.write_table(
+            out, os.path.join(out_dir, os.path.basename(f)), compression="snappy"
+        )
+    return ndocs
+
+
+def run_workload_ceiling() -> dict:
+    """Workload-SHAPED scaling ceiling: the tokenize stage's own kernels via
+    bare ``multiprocessing`` at 2 and 8 processes over the same corpus the
+    --scaling protocol builds.  If the Ray pipeline's per-stage efficiency
+    matches this number, the gap to 1.0 is the box (one socket, one shared
+    memory bus), not the orchestration — a workload-specific, much stronger
+    form of the generic ALU/pystr microbench ceilings."""
+    import glob as _glob
+    import multiprocessing as mp
+
+    pages_n = int(os.environ.get("BENCH_SCALING_N", "400000"))
+    cache = f"/tmp/lsr_bench_pages_{pages_n}"
+    if not os.path.exists(os.path.join(cache, "_DONE")):
+        # create the corpus once (the only Ray use in this mode)
+        import ray
+
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+        from lucene_solr_ray.fixtures import write_pages_parquet
+
+        shutil.rmtree(cache, ignore_errors=True)
+        write_pages_parquet(cache, pages_n, n_files=PAGES_FILES)
+        open(os.path.join(cache, "_DONE"), "w").write("ok")
+        ray.shutdown()
+    files = sorted(_glob.glob(os.path.join(cache, "*.parquet")))
+
+    levels = [int(c) for c in os.environ.get("BENCH_CEILING_CPUS", "2,8").split(",")]
+    repeats = max(1, int(os.environ.get("BENCH_CEILING_REPEATS", "3")))
+    cycles: list[dict[int, float]] = []
+    ctx = mp.get_context("fork")
+    for _ in range(repeats):
+        rates: dict[int, float] = {}
+        for n in levels:
+            out_dir = f"{WORKDIR}_ceiling_{n}"
+            shutil.rmtree(out_dir, ignore_errors=True)
+            os.makedirs(out_dir, exist_ok=True)
+            chunks = [(files[i::n], out_dir, 512) for i in range(n)]
+            t0 = time.time()
+            with ctx.Pool(n) as pool:
+                ndocs = sum(pool.map(_ceiling_files_worker, chunks))
+            rates[n] = ndocs / (time.time() - t0)
+            shutil.rmtree(out_dir, ignore_errors=True)
+        cycles.append(rates)
+
+    def _median(xs):
+        xs = sorted(xs)
+        m = len(xs) // 2
+        return xs[m] if len(xs) % 2 else (xs[m - 1] + xs[m]) / 2
+
+    result = {
+        "metric": (
+            "workload ceiling: bare-multiprocessing extract+tokenize+write "
+            f"(no Ray), CPUs {levels}, median of {repeats} interleaved cycles"
+        ),
+        "pages_n": pages_n,
+    }
+    for n in levels:
+        result[f"docs_per_sec_{n}"] = round(_median([r[n] for r in cycles]), 1)
+        result[f"docs_per_sec_{n}_cycles"] = [round(r[n], 1) for r in cycles]
+    for lo, hi in zip(levels, levels[1:]):
+        effs = [(r[hi] / r[lo]) / (hi / lo) for r in cycles]
+        result[f"eff_{lo}_{hi}"] = round(_median(effs), 3)
+        result[f"eff_{lo}_{hi}_cycles"] = [round(e, 3) for e in effs]
     return result
 
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--workload-ceiling" in sys.argv:
+        print(json.dumps(run_workload_ceiling()))
     else:
         print(json.dumps(run_bench()))
