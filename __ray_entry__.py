@@ -89,11 +89,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "polygon_star_customers": rl.polygon_star_customers,
         "heatmap_customers": rl.heatmap_customers,
         "payload_score_docs": ft.payload_score_docs,
+        "embedding_dup_pairs_brute": rl.embedding_dup_pairs_brute,
         "interval_facets_quantity": rl.interval_facets_quantity,
         "stats_facet_price_by_priority": rl.stats_facet_price_by_priority,
         "group_topk_orders": rl.group_topk_orders,
         "update_processors_docs": rl.update_processors_docs,
-        "strdist_customers": rl.strdist_customers,
+        # (strdist_customers demoted r4, r3-green: the levenshtein contract
+        # stays in-cap via spellcheck_collation's DuckDB-levenshtein oracle;
+        # embedding_dup_pairs_brute takes the slot)
         # (function_query_events_ms demoted r4, r3-green: the scalar-function
         # family stays in-cap via strdist_customers + joindf_docs + frange;
         # polygon_star_customers takes the slot.  joindf_docs demoted r4,
@@ -173,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # row + the O-gated test_query_features differential; the top-k
         # scoring family stays in-cap via bm25/edismax/rerank entries)
         "search_after_page2": ft.search_after_page2,
+        "strdist_customers": rl.strdist_customers,
         "joindf_docs": rl.joindf_docs,
         "function_query_events_ms": rl.function_query_events_ms,
         "dismax_topk_simple": ft.dismax_topk_simple,
@@ -1314,6 +1318,16 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY s ORDER BY s""",
         "ann_brute_topk": _ANN_COSINE_SQL,
         "ann_ivf_full_probe": _ANN_COSINE_SQL,
+        # exact cosine threshold self-join (the embedding near-dup family's
+        # ground truth): integer pairs only; the fixture keeps every pair's
+        # cosine >= 3e-3 away from the threshold (pytest margin gate),
+        # so float32-vs-float64 accumulation order cannot flip a decision
+        "embedding_dup_pairs_brute": """
+            SELECT CAST(a.vec_id AS BIGINT) AS vec_a,
+                   CAST(b.vec_id AS BIGINT) AS vec_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4632
+            ORDER BY vec_a, vec_b""",
     }
 
 

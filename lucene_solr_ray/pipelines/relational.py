@@ -455,6 +455,22 @@ def ann_ivf_topk(sf_dir: str) -> pa.Table:
     return _ann_rows_table(rows)
 
 
+EMB_DUP_THRESHOLD = 0.4632  # centered in a cosine gap common to sf0.001
+# and sf0.01 (margins >= 3e-3 both sides; asserted in test_dedup_ann.py)
+
+
+def embedding_dup_pairs_brute(sf_dir: str) -> pa.Table:
+    """Exact cosine threshold self-join over the embeddings table, S-gated:
+    every (a < b) pair with cos >= the threshold, integer ids only (no
+    float crosses the hash gate; the threshold sits >= 3e-3 from any
+    fixture pair's cosine at both gate scales, asserted in pytest).  This is the ground-truth member of the
+    embedding near-dup family — the LSH entry approximates it at scale."""
+    from ..stages.ann import brute_dup_pairs
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return brute_dup_pairs(emb, threshold=EMB_DUP_THRESHOLD)
+
+
 def embedding_near_dup_docs(sf_dir: str) -> pa.Table:
     """Embedding-cosine near-dup pairs (random-hyperplane LSH candidates +
     exact cosine verify; rows-only).  The synthetic embeddings table has no

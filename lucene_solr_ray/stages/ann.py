@@ -70,6 +70,58 @@ def brute_force_topk(ds, queries: np.ndarray, *, k: int = 10,
     return _merge_topk(parts, k, id_col)
 
 
+def brute_dup_pairs(ds, *, threshold: float, vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> pa.Table:
+    """EXACT cosine threshold self-join: every (a < b) pair with
+    cos(a, b) >= threshold — the brute-force baseline of the similarity-join
+    family (the LSH path, :func:`embedding_near_dup_pairs`, is the scale
+    regime; this one is the ground truth it is recall-gated against).
+
+    Shape: the normalized matrix is broadcast ONCE via ``ray.put`` and each
+    batch matmuls against it — O(n²/p) distributed flops, no shuffle, output
+    bounded by the pair density.  The full-matrix broadcast bounds this
+    regime at ~10⁶ vectors per node heap; beyond that the LSH+verify path is
+    the operator of record (documented split, same contract).
+
+    Cosine is computed in float32 like the rest of this module; callers
+    gating against a float64/float32 oracle must assert a threshold margin
+    (the S-entry's pytest does, at 1e-4 ≫ the accumulation-order noise)."""
+    mats, idss = [], []
+    for b in ds.map_batches(
+        lambda t: t.select([id_col, vec_col]), batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        mats.append(_batch_matrix(b, vec_col))
+        idss.append(np.asarray(b[id_col], dtype=np.int64))
+    full = _normalize(np.concatenate(mats))
+    ids = np.concatenate(idss)
+    order = np.argsort(ids)
+    full, ids = full[order], ids[order]
+    ref = ray.put((full, ids))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m, i = ray.get(ref)
+        bm = _normalize(_batch_matrix(batch, vec_col))
+        bi = np.asarray(batch[id_col], dtype=np.int64)
+        sims = bm @ m.T  # (B, N) float32
+        keep = (sims >= np.float32(threshold)) & (bi[:, None] < i[None, :])
+        r, c = np.nonzero(keep)
+        return pa.table(
+            {
+                "vec_a": pa.array(bi[r], type=pa.int64()),
+                "vec_b": pa.array(i[c], type=pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    return pa.table(
+        {
+            "vec_a": out["vec_a"].astype("int64").tolist(),
+            "vec_b": out["vec_b"].astype("int64").tolist(),
+        }
+    )
+
+
 def embedding_signature_batch(batch: pa.Table, *, vec_col: str = "embedding",
                               id_col: str = "vec_id", n_planes: int = 64,
                               seed: int = 17) -> pa.Table:

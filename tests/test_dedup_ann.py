@@ -491,3 +491,68 @@ class TestIVF:
         )
         rows = brute_force_topk(rd.from_arrow(tbl).repartition(8), vec[None, :], k=10)
         assert [r["vec_id"] for r in rows] == list(range(10))
+
+
+class TestBruteDupPairs:
+    """Exact cosine threshold self-join (the S-gated ground-truth member of
+    the embedding near-dup family)."""
+
+    def test_matches_duckdb_and_margin(self, ray_session):
+        import os
+
+        import duckdb
+        import pyarrow.parquet as pq
+
+        import __ray_entry__
+        from lucene_solr_ray.pipelines.relational import (
+            EMB_DUP_THRESHOLD,
+            embedding_dup_pairs_brute,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        if not os.path.exists(os.path.join(sf, "embeddings.parquet")):
+            pytest.skip("testdata not present")
+        got = embedding_dup_pairs_brute(sf).to_pandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf}/embeddings.parquet')"
+        )
+        want = con.execute(
+            __ray_entry__.oracle_sql()["embedding_dup_pairs_brute"]
+        ).fetchdf()
+        assert len(got) == len(want) > 0
+        assert (got["vec_a"].to_numpy() == want["vec_a"].to_numpy()).all()
+        assert (got["vec_b"].to_numpy() == want["vec_b"].to_numpy()).all()
+        # threshold margin AT BOTH GATE SCALES: no fixture pair's cosine
+        # sits near the decision boundary, so f32-vs-f64 accumulation order
+        # cannot flip the gate
+        for sfm in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+            t = pq.read_table(os.path.join(sfm, "embeddings.parquet"))
+            m = np.asarray(
+                t["embedding"].combine_chunks().flatten(), dtype=np.float64
+            ).reshape(t.num_rows, -1)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            cos = (m @ m.T)[np.triu_indices(t.num_rows, k=1)]
+            assert np.abs(cos - EMB_DUP_THRESHOLD).min() > 3e-3, sfm
+
+    def test_recovers_planted_pair(self, ray_session):
+        from lucene_solr_ray.stages.ann import brute_dup_pairs
+
+        rng = np.random.default_rng(3)
+        base = rng.standard_normal((40, 16)).astype(np.float32)
+        base[7] = base[3] + 0.01 * rng.standard_normal(16).astype(np.float32)
+        import ray.data as rd
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(40), type=pa.int64()),
+                    "embedding": pa.array(
+                        [list(map(float, r)) for r in base],
+                        type=pa.list_(pa.float32()),
+                    ),
+                }
+            )
+        )
+        out = brute_dup_pairs(ds, threshold=0.99).to_pandas()
+        assert [(3, 7)] == list(zip(out["vec_a"], out["vec_b"]))
