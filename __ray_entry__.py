@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mlt_topk_docs": ft.mlt_topk_docs,
         "ngram_jaccard_dups_docs": rl.ngram_jaccard_dups_docs,
         "jaccard_clusters_docs": rl.jaccard_clusters_docs,
+        "minhash_lsh_candidates_docs": rl.minhash_lsh_candidates_docs,
         "ann_brute_topk": rl.ann_brute_topk,
         "ann_ivf_full_probe": rl.ann_ivf_full_probe,
         # round-3 wave 2: MultiTerm/frange/dismax under the gate + LLM
@@ -127,7 +128,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # brute-equivalence gate and the dict-scan family stays in-cap via
         # search_prefix_docs; surround_search_docs takes the slot)
         "surround_search_docs": ft.surround_search_docs,
-        "facet_source_prefix": ft.facet_source_prefix,
+        # (facet_source_prefix demoted r4, r3-green: the facet family stays
+        # in-cap via facet_refined_lang + interval_facets_quantity +
+        # pivot_refined_lang_source + heatmap_customers;
+        # minhash_lsh_candidates_docs takes the slot)
         "frange_docs": ft.frange_docs,
         # (dismax_topk_simple demoted r4, r3-green: dismax3_topk_simple
         # supersedes it under the gate — same machinery, plus the 3-clause
@@ -176,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # row + the O-gated test_query_features differential; the top-k
         # scoring family stays in-cap via bm25/edismax/rerank entries)
         "search_after_page2": ft.search_after_page2,
+        "facet_source_prefix": ft.facet_source_prefix,
         "strdist_customers": rl.strdist_customers,
         "joindf_docs": rl.joindf_docs,
         "function_query_events_ms": rl.function_query_events_ms,
@@ -1318,6 +1323,37 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY s ORDER BY s""",
         "ann_brute_topk": _ANN_COSINE_SQL,
         "ann_ivf_full_probe": _ANN_COSINE_SQL,
+        # MinHash-LSH candidate pairs, md5 family: the oracle replays the
+        # ENTIRE pipeline — distinct token 3-grams (simple-analyzer
+        # contract), h_p(gram) = first 16 hex chars of md5('{p}|{gram}')
+        # (fixed-width lowercase hex: string min == u64 min), min per
+        # (doc, perm), 4 bands of r=2 concatenated, distinct pairs sharing
+        # any (band, value).  Deterministic, so LSH's probabilistic recall
+        # is itself the verified contract.
+        "minhash_lsh_candidates_docs": f"""
+            WITH toks AS (
+              SELECT doc_id, list_filter({_TOK}, t -> t != '') AS tk FROM documents
+            ),
+            tg AS (SELECT doc_id, unnest(tk) AS tok, unnest(range(1, len(tk)+1)) AS pos FROM toks),
+            g0 AS (
+              SELECT doc_id, tok, lead(tok, 1) OVER w AS t1, lead(tok, 2) OVER w AS t2
+              FROM tg WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ),
+            grams AS (SELECT DISTINCT doc_id, tok || ' ' || t1 || ' ' || t2 AS gram FROM g0 WHERE t2 IS NOT NULL),
+            perms AS (SELECT unnest(generate_series(0, 7)) AS p),
+            mh AS (
+              SELECT g.doc_id, pr.p AS perm,
+                     min(substr(md5(CAST(pr.p AS VARCHAR) || '|' || g.gram), 1, 16)) AS h
+              FROM grams g CROSS JOIN perms pr GROUP BY g.doc_id, pr.p
+            ),
+            bands AS (
+              SELECT doc_id, perm // 2 AS band, string_agg(h, '' ORDER BY perm) AS bv
+              FROM mh GROUP BY doc_id, perm // 2
+            )
+            SELECT DISTINCT CAST(x.doc_id AS BIGINT) AS a, CAST(y.doc_id AS BIGINT) AS b
+            FROM bands x JOIN bands y
+              ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+            ORDER BY a, b""",
         # exact cosine threshold self-join (the embedding near-dup family's
         # ground truth): integer pairs only; the fixture keeps every pair's
         # cosine >= 3e-3 away from the threshold (pytest margin gate),

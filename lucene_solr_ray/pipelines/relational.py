@@ -93,6 +93,25 @@ def ngram_jaccard_dups_docs(sf_dir: str) -> pa.Table:
     )
 
 
+def minhash_lsh_candidates_docs(sf_dir: str) -> pa.Table:
+    """MinHash-LSH candidate pairs under the SQL gate: the md5-based hash
+    family (`stages/dedup.py::minhash_md5_candidates`) is deterministic AND
+    DuckDB-expressible, so the oracle replays the full
+    shingle -> minhash -> band -> bucket pipeline and the probabilistic
+    recall itself becomes part of the verified contract (the native
+    vectorized family keeps the production path; rows-only
+    `minhash_clusters_docs` still gates it end-to-end in pytest)."""
+    from ..stages.dedup import minhash_md5_candidates
+
+    pairs = minhash_md5_candidates(_docs(sf_dir, ["doc_id", "text"]))
+    return pa.table(
+        {
+            "a": pa.array([p[0] for p in pairs], type=pa.int64()),
+            "b": pa.array([p[1] for p in pairs], type=pa.int64()),
+        }
+    )
+
+
 def jaccard_clusters_docs(sf_dir: str) -> pa.Table:
     """Connected components of the exact Jaccard>=0.5 pair graph (cluster_id
     = min doc_id of the component), S-gated against a recursive-CTE

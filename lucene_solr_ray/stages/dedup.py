@@ -1110,3 +1110,113 @@ def decontaminate(ds, eval_ds, *, text_col: str = "text", id_col: str = "doc_id"
         })
 
     return ds.map_batches(count_hits, batch_format="pyarrow")
+
+
+# ---- SQL-replayable MinHash family (md5) ------------------------------------
+
+def minhash_md5_band_rows(ds, *, n_perms: int = 8, band_r: int = 2,
+                          text_col: str = "text", id_col: str = "doc_id"):
+    """(doc, band, band-value) rows under the SQL-REPLAYABLE MinHash family:
+    ``h_p(gram) = first 64 bits of md5(f"{p}|{gram}")`` over distinct token
+    3-grams of the "simple"-analyzer contract, band value = the ``band_r``
+    minhashes' 16-lowercase-hex encodings concatenated (fixed-width hex, so
+    string min/equality == u64 min/equality — DuckDB replays the whole
+    pipeline with ``substr(md5(...), 1, 16)`` + ``string_agg``).
+
+    This family exists FOR the driver hash gate; the production-scale family
+    is :func:`minhash_signatures`' vectorized multiply-shift hashes (md5 per
+    unique gram is the replayability price, paid once per batch-distinct
+    gram).  Scale shape: stateless ``map_batches``, output 1 row per (doc,
+    band) — downstream banding shuffles exactly like the native family."""
+    import hashlib
+
+    from .textstats import _token_lists
+
+    bands = n_perms // band_r
+
+    def batchfn(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col], dtype=np.int64)
+        flat, row_of, tok_len = _token_lists(t[text_col])
+        keep = tok_len > 0
+        toks = flat.take(pa.array(np.flatnonzero(keep))).to_pylist()
+        rows = row_of[keep]
+        # per-doc distinct 3-gram strings -> batch-level gram dictionary
+        gram_index: dict[str, int] = {}
+        doc_gram_idx: dict[int, set] = {}
+        nh = len(toks)
+        for w in range(nh - 2):
+            if rows[w] != rows[w + 2]:
+                continue
+            g = f"{toks[w]} {toks[w + 1]} {toks[w + 2]}"
+            gi = gram_index.setdefault(g, len(gram_index))
+            doc_gram_idx.setdefault(int(rows[w]), set()).add(gi)
+        if not gram_index:
+            return pa.table({
+                id_col: pa.array([], type=pa.int64()),
+                "band": pa.array([], type=pa.int64()),
+                "bv": pa.array([], type=pa.string()),
+            })
+        H = np.empty((len(gram_index), n_perms), dtype=np.uint64)
+        for g, gi in gram_index.items():
+            for p in range(n_perms):
+                H[gi, p] = int(
+                    hashlib.md5(f"{p}|{g}".encode()).hexdigest()[:16], 16
+                )
+        out_id, out_band, out_bv = [], [], []
+        for r, gset in doc_gram_idx.items():
+            mh = H[np.fromiter(gset, dtype=np.int64, count=len(gset))].min(axis=0)
+            for b in range(bands):
+                bv = "".join(
+                    f"{mh[b * band_r + j]:016x}" for j in range(band_r)
+                )
+                out_id.append(int(ids[r]))
+                out_band.append(b)
+                out_bv.append(bv)
+        return pa.table({
+            id_col: pa.array(out_id, type=pa.int64()),
+            "band": pa.array(out_band, type=pa.int64()),
+            "bv": pa.array(out_bv, type=pa.string()),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        batchfn, batch_format="pyarrow"
+    )
+
+
+def minhash_md5_candidates(ds, *, n_perms: int = 8, band_r: int = 2,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> list[tuple[int, int]]:
+    """Distinct LSH candidate pairs (a < b share >= 1 band value) under the
+    md5 family — deterministic, so a DuckDB oracle recomputes the IDENTICAL
+    pair set (probabilistic recall is part of the replayed contract, not a
+    gate hazard).  One banding shuffle (groupby band+bv), per-group
+    vectorized pair emit; the returned pair list is bounded by near-dup
+    density like every pair list in this module."""
+    rows = minhash_md5_band_rows(
+        ds, n_perms=n_perms, band_r=band_r, text_col=text_col, id_col=id_col
+    )
+
+    def add_key(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(t["band"].combine_chunks(), pa.string()),
+            t["bv"].combine_chunks(),
+            "|",
+        )
+        return t.append_column("bkey", key)
+
+    def per_group(df) -> pa.Table:
+        ids = np.unique(df[id_col].to_numpy())
+        if len(ids) < 2:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64())})
+        iu, ju = np.triu_indices(len(ids), k=1)
+        return pa.table({"a": pa.array(ids[iu], type=pa.int64()),
+                         "b": pa.array(ids[ju], type=pa.int64())})
+
+    pairs = (
+        rows.map_batches(add_key, batch_format="pyarrow")
+        .groupby("bkey")
+        .map_groups(per_group, batch_format="pandas")
+        .to_pandas()
+    )
+    return sorted(set(zip(pairs["a"].tolist(), pairs["b"].tolist())))

@@ -556,3 +556,78 @@ class TestBruteDupPairs:
         )
         out = brute_dup_pairs(ds, threshold=0.99).to_pandas()
         assert [(3, 7)] == list(zip(out["vec_a"], out["vec_b"]))
+
+
+class TestMinhashMd5Family:
+    """SQL-replayable md5 MinHash family: the driver-gate entry's machinery."""
+
+    def test_matches_duckdb_oracle(self, ray_session):
+        import os
+
+        import duckdb
+
+        import __ray_entry__
+        from lucene_solr_ray.pipelines.relational import minhash_lsh_candidates_docs
+
+        sf = "/root/testdata/sf0.001"
+        if not os.path.exists(os.path.join(sf, "documents.parquet")):
+            pytest.skip("testdata not present")
+        got = minhash_lsh_candidates_docs(sf).to_pandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+        )
+        want = con.execute(
+            __ray_entry__.oracle_sql()["minhash_lsh_candidates_docs"]
+        ).fetchdf()
+        assert len(got) == len(want) > 0
+        assert (got["a"].to_numpy() == want["a"].to_numpy()).all()
+        assert (got["b"].to_numpy() == want["b"].to_numpy()).all()
+
+    def test_exact_duplicates_always_candidates(self, ray_session):
+        import ray.data as rd
+
+        from lucene_solr_ray.stages.dedup import minhash_md5_candidates
+
+        texts = [
+            "alpha beta gamma delta epsilon zeta eta theta",
+            "one two three four five six seven eight nine",
+            "alpha beta gamma delta epsilon zeta eta theta",  # dup of 0
+            "totally different words in this unrelated doc here",
+        ]
+        ds = rd.from_arrow(
+            pa.table({"doc_id": pa.array(range(4), type=pa.int64()), "text": texts})
+        )
+        pairs = minhash_md5_candidates(ds)
+        # identical gram sets -> identical minhashes -> every band matches
+        assert (0, 2) in pairs
+        # disjoint gram sets share no 128-bit band value
+        assert all(3 not in p for p in pairs)
+
+    def test_band_rows_are_hex_and_stable(self, ray_session):
+        import hashlib
+
+        import ray.data as rd
+
+        from lucene_solr_ray.stages.dedup import minhash_md5_band_rows
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([7], type=pa.int64()),
+                    "text": ["aa bb cc dd"],
+                }
+            )
+        )
+        rows = minhash_md5_band_rows(ds).to_pandas().sort_values("band")
+        assert list(rows["band"]) == [0, 1, 2, 3]
+        # hand-compute: grams {'aa bb cc', 'bb cc dd'}, band b = concat of
+        # min-md5 hex under perms 2b and 2b+1
+        grams = ["aa bb cc", "bb cc dd"]
+        for b in range(4):
+            parts = []
+            for p in (2 * b, 2 * b + 1):
+                parts.append(
+                    min(hashlib.md5(f"{p}|{g}".encode()).hexdigest()[:16] for g in grams)
+                )
+            assert rows[rows["band"] == b]["bv"].iloc[0] == "".join(parts)
