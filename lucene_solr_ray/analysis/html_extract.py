@@ -158,6 +158,9 @@ _ATTR_RE = _re.compile(
     r"\s+([^\s/>=]+)(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]*)))?"
 )
 _END_RE = _re.compile(r"([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+# attribute-less start tag (`<p>`, `<div>` — ~85% of start tags in web-ish
+# markup): one cheap match, no attr-blob capture
+_BARE_START_RE = _re.compile(r"([a-zA-Z][-.a-zA-Z0-9:_]*)>")
 _CDATA_CLOSE = {
     "script": _re.compile(r"</\s*script\s*>", _re.IGNORECASE),
     "style": _re.compile(r"</\s*style\s*>", _re.IGNORECASE),
@@ -218,12 +221,18 @@ def _extract_fast(html: str) -> tuple[str, str, dict[str, str]]:
             i = j + 1
             continue
         elif c and (c.isalpha()):
-            m = _START_RE.match(html, lt + 1)
-            if m is None:
-                raise _Bail
-            tag = m.group(1).lower()
-            blob = m.group(2)
-            selfclose = m.group(3) == "/"
+            m = _BARE_START_RE.match(html, lt + 1)
+            if m is not None:
+                tag = m.group(1).lower()
+                blob = ""
+                selfclose = False
+            else:
+                m = _START_RE.match(html, lt + 1)
+                if m is None:
+                    raise _Bail
+                tag = m.group(1).lower()
+                blob = m.group(2)
+                selfclose = m.group(3) == "/"
             i = m.end()
             attrs: dict[str, str] | None = None
             # only <img alt> and <meta name/http-equiv/content> are ever
