@@ -111,13 +111,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_phrase_slop": ft.search_phrase_slop,
         "pivot_refined_lang_source": ft.pivot_refined_lang_source,
         "mlt_topk_docs": ft.mlt_topk_docs,
-        "ngram_jaccard_dups_docs": rl.ngram_jaccard_dups_docs,
         "jaccard_clusters_docs": rl.jaccard_clusters_docs,
         "minhash_lsh_candidates_docs": rl.minhash_lsh_candidates_docs,
         "ann_brute_topk": rl.ann_brute_topk,
         "ann_ivf_full_probe": rl.ann_ivf_full_probe,
         # round-3 wave 2: MultiTerm/frange/dismax under the gate + LLM
         # quality signals (Gopher repetition, stopword ratio)
+        # (ngram_jaccard_dups_docs demoted r4, r3-green: the exact-Jaccard
+        # pair machinery stays in-cap via jaccard_clusters_docs, which is
+        # built on the same verified pairs; simhash_md5_pairs_docs takes
+        # the slot)
+        "simhash_md5_pairs_docs": rl.simhash_md5_pairs_docs,
         # (search_wildcard_docs + search_term_range_docs demoted r4,
         # r3-green: MultiTerm dict-scan family stays in-cap via
         # search_prefix_docs + search_fuzzy_docs, range family via
@@ -180,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # row + the O-gated test_query_features differential; the top-k
         # scoring family stays in-cap via bm25/edismax/rerank entries)
         "search_after_page2": ft.search_after_page2,
+        "ngram_jaccard_dups_docs": rl.ngram_jaccard_dups_docs,
         "facet_source_prefix": ft.facet_source_prefix,
         "strdist_customers": rl.strdist_customers,
         "joindf_docs": rl.joindf_docs,
@@ -1323,6 +1328,37 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY s ORDER BY s""",
         "ann_brute_topk": _ANN_COSINE_SQL,
         "ann_ivf_full_probe": _ANN_COSINE_SQL,
+        # SimHash pairs, md5 bit family: bit j of a token's +/-1 vector is
+        # bit j (big-endian) of md5(token)'s 64-bit prefix; signature bit =
+        # sign of the integer tf-weighted sum.  The engine bands with
+        # bands = hamming+1 (pigeonhole-complete), so this DIRECT all-pairs
+        # Hamming join is the same set — no banding replay needed.
+        "simhash_md5_pairs_docs": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(list_filter({_TOK}, x -> x != '')) AS t
+              FROM documents
+            ),
+            tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS w FROM toks GROUP BY doc_id, t),
+            js AS (SELECT unnest(generate_series(0, 63)) AS j),
+            bits AS (
+              SELECT f.doc_id, f.w, js.j,
+                     ((strpos('0123456789abcdef', substr(md5(f.t), 1 + js.j // 4, 1)) - 1)
+                      >> (3 - js.j % 4)) & 1 AS bit
+              FROM tf f CROSS JOIN js
+            ),
+            sig AS (
+              SELECT doc_id, j,
+                     CASE WHEN sum(CASE WHEN bit = 1 THEN w ELSE -w END) > 0 THEN 1 ELSE 0 END AS b
+              FROM bits GROUP BY doc_id, j
+            ),
+            ham AS (
+              SELECT x.doc_id AS a, y.doc_id AS b,
+                     CAST(sum(CASE WHEN x.b != y.b THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+              FROM sig x JOIN sig y ON x.j = y.j AND x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, hamming
+            FROM ham WHERE hamming <= 3 ORDER BY a, b""",
         # MinHash-LSH candidate pairs, md5 family: the oracle replays the
         # ENTIRE pipeline — distinct token 3-grams (simple-analyzer
         # contract), h_p(gram) = first 16 hex chars of md5('{p}|{gram}')

@@ -93,6 +93,28 @@ def ngram_jaccard_dups_docs(sf_dir: str) -> pa.Table:
     )
 
 
+def simhash_md5_pairs_docs(sf_dir: str) -> pa.Table:
+    """SimHash near-dup pairs under the SQL gate (md5 bit family,
+    `stages/dedup.py::simhash_md5_pairs`): banded with bands = hamming+1,
+    so pigeonhole completeness makes the engine's banded pair set EQUAL to
+    the all-pairs Hamming join the DuckDB oracle computes directly — the
+    sign test is integer-exact (tf weights) on both sides."""
+    from ..stages.dedup import simhash_md5_pairs
+
+    out = (
+        simhash_md5_pairs(_docs(sf_dir, ["doc_id", "text"]), max_hamming=3)
+        .to_pandas()
+        .sort_values(["a", "b"])
+    )
+    return pa.table(
+        {
+            "a": pa.array(out["a"].astype("int64").tolist(), type=pa.int64()),
+            "b": pa.array(out["b"].astype("int64").tolist(), type=pa.int64()),
+            "hamming": pa.array(out["hamming"].astype("int64").tolist(), type=pa.int64()),
+        }
+    )
+
+
 def minhash_lsh_candidates_docs(sf_dir: str) -> pa.Table:
     """MinHash-LSH candidate pairs under the SQL gate: the md5-based hash
     family (`stages/dedup.py::minhash_md5_candidates`) is deterministic AND

@@ -1220,3 +1220,75 @@ def minhash_md5_candidates(ds, *, n_perms: int = 8, band_r: int = 2,
         .to_pandas()
     )
     return sorted(set(zip(pairs["a"].tolist(), pairs["b"].tolist())))
+
+
+def simhash_md5_signature_batch(batch: pa.Table, *, text_col: str = "text",
+                                id_col: str = "doc_id") -> pa.Table:
+    """64-bit SimHash (Charikar 2002) under the SQL-REPLAYABLE md5 bit
+    family: bit j of the signature is set iff
+    ``sum over tokens of tf * (2*bit_j(md5(token)) - 1) > 0`` where
+    ``bit_j`` reads the md5 hex digest big-endian — exactly
+    ``(hexval(digest[j//4]) >> (3 - j%4)) & 1``, which DuckDB computes with
+    ``strpos('0123456789abcdef', substr(md5(t), 1 + j//4, 1)) - 1``.
+    Tokens follow the "simple"-analyzer contract; weights are integer term
+    frequencies, so the sign test is integer-exact on both sides (ties
+    ``== 0`` -> bit 0).
+
+    The native vectorized family (:func:`simhash_signatures`) stays the
+    production path; md5 is the replayability price, paid once per
+    batch-distinct token."""
+    import hashlib
+
+    from .textstats import _token_lists
+
+    ids = np.asarray(batch[id_col], dtype=np.int64)
+    flat, row_of, tok_len = _token_lists(batch[text_col])
+    keep = tok_len > 0
+    toks = flat.take(pa.array(np.flatnonzero(keep)))
+    rows = row_of[keep]
+    if len(rows) == 0:
+        return pa.table({
+            id_col: pa.array(ids, type=pa.int64()),
+            "sig": pa.array(np.zeros(len(ids), dtype=np.uint64), type=pa.uint64()),
+        })
+    enc = pc.dictionary_encode(toks)
+    codes = np.asarray(enc.indices, dtype=np.int64)
+    uniq = enc.dictionary.to_pylist()
+    # (row, code) -> tf, vectorized
+    pair_key = rows * len(uniq) + codes
+    upairs, tf = np.unique(pair_key, return_counts=True)
+    p_rows = upairs // len(uniq)
+    p_codes = upairs % len(uniq)
+    # +/-1 bit matrix of the batch-unique tokens (big-endian md5 prefix)
+    raw = np.empty((len(uniq), 8), dtype=np.uint8)
+    for gi, t in enumerate(uniq):
+        raw[gi] = np.frombuffer(
+            hashlib.md5(t.encode()).digest()[:8], dtype=np.uint8
+        )
+    pm = 2 * np.unpackbits(raw, axis=1).astype(np.int64) - 1  # (n_uniq, 64)
+    acc = np.zeros((len(ids), 64), dtype=np.int64)
+    np.add.at(acc, p_rows, tf[:, None] * pm[p_codes])
+    bits = (acc > 0).astype(np.uint8)
+    sig = np.packbits(bits, axis=1)  # big-endian bytes
+    sig = sig.copy().view(">u8").ravel().astype(np.uint64)
+    return pa.table({
+        id_col: pa.array(ids, type=pa.int64()),
+        "sig": pa.array(sig, type=pa.uint64()),
+    })
+
+
+def simhash_md5_pairs(ds, *, max_hamming: int = 3, text_col: str = "text",
+                      id_col: str = "doc_id"):
+    """Near-dup pairs (signature Hamming <= max_hamming) under the md5
+    SimHash family, banded with ``bands = max_hamming + 1`` — pigeonhole
+    completeness, so the banded result EQUALS the all-pairs Hamming join a
+    SQL oracle computes directly (no banding replay needed, unlike the
+    minhash entry).  Returns a Dataset of (a, b, hamming)."""
+    sigs = ds.select_columns([id_col, text_col]).map_batches(
+        simhash_md5_signature_batch, batch_format="pyarrow",
+        fn_kwargs={"text_col": text_col, "id_col": id_col},
+    )
+    return near_dup_pairs_from_signatures(
+        sigs, id_col=id_col, sig_col="sig",
+        max_hamming=max_hamming, bands=max_hamming + 1,
+    )

@@ -631,3 +631,82 @@ class TestMinhashMd5Family:
                     min(hashlib.md5(f"{p}|{g}".encode()).hexdigest()[:16] for g in grams)
                 )
             assert rows[rows["band"] == b]["bv"].iloc[0] == "".join(parts)
+
+
+class TestSimhashMd5Family:
+    """SQL-replayable md5 SimHash: signature correctness + pigeonhole
+    equality of the banded pair set with brute-force all-pairs Hamming."""
+
+    def test_matches_duckdb_oracle(self, ray_session):
+        import os
+
+        import duckdb
+
+        import __ray_entry__
+        from lucene_solr_ray.pipelines.relational import simhash_md5_pairs_docs
+
+        sf = "/root/testdata/sf0.001"
+        if not os.path.exists(os.path.join(sf, "documents.parquet")):
+            pytest.skip("testdata not present")
+        got = simhash_md5_pairs_docs(sf).to_pandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+        )
+        want = con.execute(
+            __ray_entry__.oracle_sql()["simhash_md5_pairs_docs"]
+        ).fetchdf()
+        assert len(got) == len(want) > 0
+        for c in ("a", "b", "hamming"):
+            assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+    def test_signature_matches_brute(self):
+        import hashlib
+        import re as _re
+        from collections import Counter
+
+        from lucene_solr_ray.stages.dedup import simhash_md5_signature_batch
+
+        texts = ["the quick brown fox", "hash join stream window", "aaa aaa bbb", ""]
+        t = pa.table(
+            {"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": texts}
+        )
+        got = simhash_md5_signature_batch(t)["sig"].to_pylist()
+        for txt, g in zip(texts, got):
+            tf = Counter(_re.findall(r"[a-z0-9]+", txt.lower()))
+            acc = np.zeros(64, dtype=np.int64)
+            for tok, w in tf.items():
+                u = int(hashlib.md5(tok.encode()).hexdigest()[:16], 16)
+                acc += w * (
+                    2 * np.array([(u >> (63 - j)) & 1 for j in range(64)]) - 1
+                )
+            want = 0
+            for j in range(64):
+                if acc[j] > 0:
+                    want |= 1 << (63 - j)
+            assert g == want, txt
+
+    def test_banded_equals_brute_hamming(self, ray_session, corpus):
+        import ray.data as rd
+
+        from lucene_solr_ray.stages.dedup import (
+            simhash_md5_pairs,
+            simhash_md5_signature_batch,
+        )
+
+        got = {
+            (r["a"], r["b"]): r["hamming"]
+            for r in simhash_md5_pairs(
+                rd.from_arrow(corpus).repartition(4), max_hamming=3
+            ).take_all()
+        }
+        sigs = simhash_md5_signature_batch(corpus)["sig"].to_pylist()
+        ids = corpus["doc_id"].to_pylist()
+        want = {}
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                d = bin(sigs[i] ^ sigs[j]).count("1")
+                if d <= 3:
+                    a, b = sorted((ids[i], ids[j]))
+                    want[(a, b)] = d
+        assert got == want and len(want) > 0
