@@ -147,7 +147,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_with_deletes": ft.search_with_deletes,
         "expunge_index_stats": ft.expunge_index_stats,
         "repetition_docs": rl.repetition_docs,
-        "stopword_docs": rl.stopword_docs,
+        # (stopword_docs demoted r4, r3-green: the stopword-ratio signal
+        # stays in-cap via quality_docs' n_stopwords column;
+        # bigram_lm_docs takes the slot)
+        "bigram_lm_docs": rl.bigram_lm_docs,
         "dup_span_docs": rl.dup_span_docs,
         "pii_scrub_docs": rl.pii_scrub_docs,
         "tfidf_topk_simple": ft.tfidf_topk_simple,
@@ -184,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # row + the O-gated test_query_features differential; the top-k
         # scoring family stays in-cap via bm25/edismax/rerank entries)
         "search_after_page2": ft.search_after_page2,
+        "stopword_docs": rl.stopword_docs,
         "ngram_jaccard_dups_docs": rl.ngram_jaccard_dups_docs,
         "facet_source_prefix": ft.facet_source_prefix,
         "strdist_customers": rl.strdist_customers,
@@ -975,6 +979,28 @@ def oracle_sql() -> dict[str, str]:
         # CCNet-style unigram LM: avg token ln-prob under the corpus unigram
         # distribution; 6-decimal rounding is the output contract (keeps the
         # value independent of float summation order across engines)
+        # bigram conditional LM: ln(C(t1 t2) / C(t1 ·)) averaged per doc,
+        # both counts from the corpus itself (window-function bigrams);
+        # 6-decimal round = the shared output contract (summation order)
+        "bigram_lm_docs": f"""
+            WITH toks AS (SELECT doc_id, list_filter({_TOK}, t -> t != '') AS tk FROM documents),
+            tg AS (SELECT doc_id, unnest(tk) AS tok, unnest(range(1, len(tk)+1)) AS pos FROM toks),
+            bg AS (
+              SELECT doc_id, tok AS t1, lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+              FROM tg QUALIFY t2 IS NOT NULL
+            ),
+            c12 AS (SELECT t1, t2, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY t1, t2),
+            c1 AS (SELECT t1, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY t1),
+            per AS (
+              SELECT g.doc_id, sum(ln(CAST(b.c AS DOUBLE) / l.c)) AS lp, count(*) AS n
+              FROM bg g JOIN c12 b ON g.t1 = b.t1 AND g.t2 = b.t2
+                        JOIN c1 l ON g.t1 = l.t1
+              GROUP BY g.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(per.n, 0) AS BIGINT) AS n_bigrams,
+                   round(coalesce(per.lp / per.n, 0.0), 6) AS avg_logprob
+            FROM documents d LEFT JOIN per USING (doc_id)
+            ORDER BY d.doc_id""",
         "unigram_lm_docs": f"""
             WITH toks AS (SELECT doc_id, list_filter({_TOK}, t -> t != '') AS tk FROM documents),
             tg AS (SELECT doc_id, unnest(tk) AS tok FROM toks),

@@ -93,6 +93,28 @@ def ngram_jaccard_dups_docs(sf_dir: str) -> pa.Table:
     )
 
 
+def bigram_lm_docs(sf_dir: str) -> pa.Table:
+    """Bigram conditional-LM quality score (`stages/textstats.py::
+    bigram_lm_scores`): per-doc mean of ln(C(t1 t2)/C(t1 ·)) under the
+    corpus bigram distribution — the KenLM-style step above the unigram
+    entry.  S-gated with the same 6-decimal output contract; the oracle
+    rebuilds both count tables with window functions."""
+    from ..stages.textstats import bigram_lm_scores
+
+    out = (
+        bigram_lm_scores(_docs(sf_dir, ["doc_id", "text"]))
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    return pa.table(
+        {
+            "doc_id": out["doc_id"].astype("int64").tolist(),
+            "n_bigrams": out["n_bigrams"].astype("int64").tolist(),
+            "avg_logprob": pa.array(out["avg_logprob"].tolist(), type=pa.float64()),
+        }
+    )
+
+
 def simhash_md5_pairs_docs(sf_dir: str) -> pa.Table:
     """SimHash near-dup pairs under the SQL gate (md5 bit family,
     `stages/dedup.py::simhash_md5_pairs`): banded with bands = hamming+1,

@@ -336,3 +336,87 @@ def unigram_lm_scores(ds, *, text_col: str = "text", id_col: str = "doc_id"):
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def bigram_lm_scores(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-doc average bigram CONDITIONAL log-probability
+    ``mean over in-doc bigrams of ln(C(t1 t2) / C(t1 ·))`` under the corpus
+    bigram distribution — the next step up from :func:`unigram_lm_scores`
+    on the CCNet-style LM-quality ladder (KenLM n-gram filtering).
+
+    Scale shape identical to the unigram scorer: two distributed partial
+    count passes (bigram table + left-marginal table, each a per-batch
+    ``np.unique`` combiner then one small hash groupby), both broadcast
+    once via ``ray.put`` at pruned-LM size, then one stateless scoring
+    ``map_batches``.  LM tables are keyed by u64 hash (the hashed-LM
+    production caveat, same as the k-means hashed TF-IDF).  Docs with < 2
+    tokens score 0.0 with n_bigrams = 0; avg_logprob is rounded to 6
+    decimals in the output contract (summation-order independence)."""
+    import ray
+
+    from ..hashing import _MIX, hash_strings_u64
+
+    def _bigram_keys(batch: pa.Table):
+        flat, row_of, tok_len = _token_lists(batch[text_col])
+        keep = tok_len > 0
+        h = hash_strings_u64(flat)[keep]
+        rows = row_of[keep]
+        if len(h) < 2:
+            e = np.empty(0, dtype=np.int64)
+            return e, e, e
+        same = rows[:-1] == rows[1:]
+        h1 = h[:-1][same]
+        h2 = h[1:][same]
+        with np.errstate(over="ignore"):
+            h12 = ((h1 * np.uint64(1099511628211) + h2) * _MIX) >> np.uint64(1)
+        return (
+            h12.astype(np.int64),
+            (h1 >> np.uint64(1)).astype(np.int64),
+            rows[:-1][same],
+        )
+
+    def partial_bigram(batch: pa.Table) -> pa.Table:
+        h12, _h1, _r = _bigram_keys(batch)
+        u, c = np.unique(h12, return_counts=True)
+        return pa.table({"h": pa.array(u, type=pa.int64()),
+                         "c": pa.array(c.astype(np.int64), type=pa.int64())})
+
+    def partial_left(batch: pa.Table) -> pa.Table:
+        _h12, h1, _r = _bigram_keys(batch)
+        u, c = np.unique(h1, return_counts=True)
+        return pa.table({"h": pa.array(u, type=pa.int64()),
+                         "c": pa.array(c.astype(np.int64), type=pa.int64())})
+
+    def _lm_table(rows_ds):
+        df = rows_ds.groupby("h").sum("c").to_pandas()  # pruned-LM sized
+        hs = df["h"].to_numpy(dtype=np.int64)
+        cs = df["sum(c)"].to_numpy(dtype=np.float64)
+        order = np.argsort(hs)
+        return hs[order], cs[order]
+
+    c12 = _lm_table(ds.map_batches(partial_bigram, batch_format="pyarrow"))
+    c1 = _lm_table(ds.map_batches(partial_left, batch_format="pyarrow"))
+    ref = ray.put((c12, c1))
+
+    def score(batch: pa.Table) -> pa.Table:
+        (h12_s, c12_v), (h1_s, c1_v) = ray.get(ref)
+        h12, h1, rows = _bigram_keys(batch)
+        n = batch.num_rows
+        nb = np.bincount(rows, minlength=n).astype(np.int64)
+        i12 = np.searchsorted(h12_s, h12)
+        i1 = np.searchsorted(h1_s, h1)
+        # LM built on this corpus: every in-doc bigram is in-table
+        lp = np.log(c12_v[np.minimum(i12, max(len(h12_s) - 1, 0))]
+                    / c1_v[np.minimum(i1, max(len(h1_s) - 1, 0))])
+        sums = np.zeros(n, dtype=np.float64)
+        np.add.at(sums, rows, lp)
+        avg = np.divide(sums, nb, out=np.zeros(n, dtype=np.float64),
+                        where=nb > 0)
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        return pa.table({
+            id_col: pa.array(ids, type=pa.int64()),
+            "n_bigrams": pa.array(nb, type=pa.int64()),
+            "avg_logprob": pa.array(np.round(avg, 6), type=pa.float64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

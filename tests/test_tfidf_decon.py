@@ -170,3 +170,53 @@ def test_collapse_lang_invariants(ray_session):
     # ranks ordered by (score desc, doc_id)
     keys = [(-np.float32(dict(zip(docs.tolist(), scores.tolist()))[d]), d) for d in got["doc_id"].to_pylist()]
     assert keys == sorted(keys)
+
+
+def test_bigram_lm_planted(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from lucene_solr_ray.stages.textstats import bigram_lm_scores
+
+    rows = [
+        {"doc_id": 0, "text": "a b a b"},
+        {"doc_id": 1, "text": "a b c"},
+        {"doc_id": 2, "text": "solo"},  # < 2 tokens -> 0 bigrams
+    ]
+    out = bigram_lm_scores(rd.from_items(rows)).to_pandas().set_index("doc_id")
+    # corpus bigrams: (a,b)x3, (b,a)x1, (b,c)x1; lefts: a->3, b->2
+    # doc0: ab ba ab -> ln(3/3), ln(1/2), ln(3/3)
+    assert out.loc[0, "n_bigrams"] == 3
+    assert out.loc[0, "avg_logprob"] == round(math.log(0.5) / 3, 6)
+    # doc1: ab bc -> ln(3/3) + ln(1/2)
+    assert out.loc[1, "n_bigrams"] == 2
+    assert out.loc[1, "avg_logprob"] == round(math.log(0.5) / 2, 6)
+    assert out.loc[2, "n_bigrams"] == 0 and out.loc[2, "avg_logprob"] == 0.0
+
+
+def test_bigram_lm_matches_duckdb(ray_session):
+    import os
+
+    import duckdb
+
+    import __ray_entry__
+    from lucene_solr_ray.pipelines.relational import bigram_lm_docs
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(os.path.join(sf, "documents.parquet")):
+        import pytest
+
+        pytest.skip("testdata not present")
+    got = bigram_lm_docs(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.execute(__ray_entry__.oracle_sql()["bigram_lm_docs"]).fetchdf()
+    assert len(got) == len(want) > 0
+    import numpy as np
+
+    for c in ("doc_id", "n_bigrams"):
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    assert np.array_equal(got["avg_logprob"].to_numpy(), want["avg_logprob"].to_numpy())
