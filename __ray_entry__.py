@@ -145,7 +145,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_refined_lang": ft.facet_refined_lang,
         "events_sliding_counts": rl.events_sliding_counts,
         "search_with_deletes": ft.search_with_deletes,
-        "expunge_index_stats": ft.expunge_index_stats,
+        # (expunge_index_stats demoted r4, r3-green: the deletes family
+        # stays in-cap via search_with_deletes and expunge keeps its
+        # fresh-build bit-equality O gate in test_deletes.py;
+        # facet_range_other_events takes the slot)
+        "facet_range_other_events": rl.facet_range_other_events,
         "repetition_docs": rl.repetition_docs,
         # (stopword_docs demoted r4, r3-green: the stopword-ratio signal
         # stays in-cap via quality_docs' n_stopwords column;
@@ -187,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # row + the O-gated test_query_features differential; the top-k
         # scoring family stays in-cap via bm25/edismax/rerank entries)
         "search_after_page2": ft.search_after_page2,
+        "expunge_index_stats": ft.expunge_index_stats,
         "stopword_docs": rl.stopword_docs,
         "ngram_jaccard_dups_docs": rl.ngram_jaccard_dups_docs,
         "facet_source_prefix": ft.facet_source_prefix,
@@ -979,6 +984,23 @@ def oracle_sql() -> dict[str, str]:
         # CCNet-style unigram LM: avg token ln-prob under the corpus unigram
         # distribution; 6-decimal rounding is the output contract (keeps the
         # value independent of float summation order across engines)
+        # facet.range include=all + other=all: buckets inclusive of BOTH
+        # edges (Solr's documented boundary double-count), before/after
+        # strict, between inclusive — exact float64 edge compares against
+        # the same constants on both sides
+        "facet_range_other_events": " UNION ALL ".join(
+            [
+                f"SELECT CAST({i} AS BIGINT) AS ord, '{int(lo)}' AS bucket, "
+                f"CAST(count(CASE WHEN value >= {lo!r} AND value <= {lo + 50.0!r} THEN 1 END) AS BIGINT) AS cnt FROM events"
+                for i, lo in enumerate([50.0, 100.0, 150.0, 200.0, 250.0, 300.0])
+            ]
+            + [
+                "SELECT CAST(6 AS BIGINT) AS ord, 'before' AS bucket, CAST(count(CASE WHEN value < 50.0 THEN 1 END) AS BIGINT) AS cnt FROM events",
+                "SELECT CAST(7 AS BIGINT) AS ord, 'after' AS bucket, CAST(count(CASE WHEN value > 350.0 THEN 1 END) AS BIGINT) AS cnt FROM events",
+                "SELECT CAST(8 AS BIGINT) AS ord, 'between' AS bucket, CAST(count(CASE WHEN value >= 50.0 AND value <= 350.0 THEN 1 END) AS BIGINT) AS cnt FROM events",
+            ]
+        )
+        + " ORDER BY ord",
         # bigram conditional LM: ln(C(t1 t2) / C(t1 ·)) averaged per doc,
         # both counts from the corpus itself (window-function bigrams);
         # 6-decimal round = the shared output contract (summation order)

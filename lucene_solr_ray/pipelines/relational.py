@@ -93,6 +93,53 @@ def ngram_jaccard_dups_docs(sf_dir: str) -> pa.Table:
     )
 
 
+FRO_START, FRO_END, FRO_GAP = 50.0, 350.0, 50.0
+
+
+def facet_range_other_events(sf_dir: str) -> pa.Table:
+    """``facet.range`` with ``facet.range.include=all`` +
+    ``facet.range.other=all`` (`solr/core/src/java/org/apache/solr/request/
+    SimpleFacets.java` rangeCounts over `FacetParams.FacetRangeInclude/
+    FacetRangeOther`): every bucket [lo, hi] is inclusive of BOTH edges
+    (include=all's documented boundary double-count), plus the
+    before (< start) / after (> end) / between (start <= v <= end) rows.
+    Edge comparisons are exact float64 equality against shared constants —
+    identical IEEE compares on engine and oracle, no hash hazard.
+
+    Scale shape: per-batch combiner (one vectorized pass, 9 counters),
+    driver merge bounded by n_rows_out x n_blocks."""
+    los = np.arange(FRO_START, FRO_END, FRO_GAP)
+    labels = [str(int(lo)) for lo in los] + ["before", "after", "between"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["value"], dtype=np.float64)
+        cnt = [int(((v >= lo) & (v <= lo + FRO_GAP)).sum()) for lo in los]
+        cnt.append(int((v < FRO_START).sum()))
+        cnt.append(int((v > FRO_END).sum()))
+        cnt.append(int(((v >= FRO_START) & (v <= FRO_END)).sum()))
+        return pa.table(
+            {
+                "ord": pa.array(range(len(labels)), type=pa.int64()),
+                "cnt": pa.array(cnt, type=pa.int64()),
+            }
+        )
+
+    parts = (
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    total = np.zeros(len(labels), dtype=np.int64)
+    np.add.at(total, parts["ord"].to_numpy(), parts["cnt"].to_numpy())
+    return pa.table(
+        {
+            "ord": pa.array(range(len(labels)), type=pa.int64()),
+            "bucket": pa.array(labels, type=pa.string()),
+            "cnt": pa.array(total, type=pa.int64()),
+        }
+    )
+
+
 def bigram_lm_docs(sf_dir: str) -> pa.Table:
     """Bigram conditional-LM quality score (`stages/textstats.py::
     bigram_lm_scores`): per-doc mean of ln(C(t1 t2)/C(t1 ·)) under the

@@ -273,3 +273,42 @@ def test_stopword_kernel_crafted():
     assert out["n_stopwords"].to_pylist() == [3, 0]
     assert out["n_tokens"].to_pylist() == [5, 2]
     assert out["stop_ratio"].to_pylist() == [0.6, 0.0]
+
+
+def test_facet_range_other_entry_matches_oracle(ray_session, con):
+    eng, ora = _both(ray_session, con, "facet_range_other_events")
+    assert list(eng.columns) == list(ora.columns)
+    assert len(eng) == len(ora) == 9
+    for c in eng.columns:
+        assert (eng[c].astype(str) == ora[c].astype(str)).all(), c
+
+
+def test_facet_range_include_all_double_counts_edges(ray_session):
+    """include=all: a value exactly on a shared bucket edge counts in BOTH
+    adjacent buckets (Solr's documented behavior), and other=all rows use
+    strict before/after with inclusive between."""
+    import numpy as np
+
+    from lucene_solr_ray.pipelines.relational import (
+        FRO_GAP,
+        FRO_START,
+        facet_range_other_events,
+    )
+
+    t = facet_range_other_events(SF).to_pandas().set_index("bucket")
+    # bucket sums exceed 'between' exactly by the number of edge-sitting
+    # values counted twice (non-negative; equality iff no value sits on an
+    # interior edge)
+    import pyarrow.parquet as pq
+
+    v = pq.read_table(SF + "/events.parquet", columns=["value"])["value"].to_numpy()
+    interior_edges = np.arange(FRO_START + FRO_GAP, 350.0, FRO_GAP)
+    dup = int(np.isin(v, interior_edges).sum())
+    bucket_sum = int(t.loc[[str(int(x)) for x in np.arange(50.0, 350.0, 50.0)], "cnt"].sum())
+    assert bucket_sum == int(t.loc["between", "cnt"]) + dup
+    assert (
+        int(t.loc["before", "cnt"])
+        + int(t.loc["after", "cnt"])
+        + int(t.loc["between", "cnt"])
+        == len(v)
+    )
