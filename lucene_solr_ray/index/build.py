@@ -389,27 +389,61 @@ def build_index(
                         multi=f in multi_facet_fields,
                     )
                 if small_fields:
-                    # cardinality-bounded fields only: total values shipped to
-                    # the driver here is <= dict_shard_threshold per field
-                    def block_uniques(t: pa.Table) -> pa.Table:
-                        cols = {}
+                    # cardinality-bounded fields: per-block uniques of a
+                    # duplicate-heavy field (e.g. a links column) OVERLAP
+                    # across blocks, so a straight take_all ships
+                    # O(blocks * per-block-distinct) values and the driver
+                    # set-union is serial and grows with the block count
+                    # (measured: the old path made this stage SLOWER at 32
+                    # CPUs than 8).  Instead: skinny (field, value) rows ->
+                    # one bucketed shuffle -> per-bucket Arrow distinct ->
+                    # the driver receives each value exactly ONCE
+                    # (<= dict_shard_threshold per field by the regime
+                    # decision above).
+                    from ..hashing import hash_strings_u64
+
+                    def block_unique_rows(t: pa.Table) -> pa.Table:
+                        fs: list = []
+                        vs: list = []
                         for f in small_fields:
                             col = t[f].combine_chunks()
                             if f in multi_facet_fields:
                                 col = pc.list_flatten(col)
-                            cols[f] = [pc.unique(col.drop_null()).to_pylist()]
-                        return pa.table(cols)
+                            u = pc.unique(col.drop_null())
+                            u = pc.cast(u, pa.string())
+                            fs.append(pa.array([f] * len(u), type=pa.string()))
+                            vs.append(u)
+                        return pa.table(
+                            {
+                                "f": pa.concat_arrays(fs) if fs else pa.array([], type=pa.string()),
+                                "v": pa.concat_arrays(vs) if vs else pa.array([], type=pa.string()),
+                            }
+                        )
 
-                    blocks = (
+                    def add_vbucket(t: pa.Table) -> pa.Table:
+                        h = hash_strings_u64(t["v"]) % np.uint64(32)
+                        return t.append_column(
+                            "__b", pa.array(h.astype(np.int64), type=pa.int64())
+                        )
+
+                    def bucket_distinct(t: pa.Table) -> pa.Table:
+                        return (
+                            t.select(["f", "v"]).group_by(["f", "v"]).aggregate([])
+                        )
+
+                    distinct = (
                         _read_sized(tokenized_dir, columns=list(small_fields))
-                        .map_batches(block_uniques, batch_format="pyarrow")
-                        .take_all()
+                        .map_batches(block_unique_rows, batch_format="pyarrow")
+                        .map_batches(add_vbucket, batch_format="pyarrow")
+                        .groupby("__b")
+                        .map_groups(bucket_distinct, batch_format="pyarrow")
+                        .to_pandas()
                     )
                     for f in small_fields:
-                        seen: set = set()
-                        for b in blocks:
-                            seen.update(v for v in b[f] if v is not None)
-                        vals = sorted(seen, key=lambda s: str(s).encode())
+                        vals = sorted(
+                            distinct.loc[distinct["f"] == f, "v"].tolist(),
+                            key=lambda s: str(s).encode(),
+                        )
                         pq.write_table(
                             pa.table({"value": pa.array(vals, type=pa.string())}),
                             os.path.join(dicts_dir, f"{f}.parquet"),
