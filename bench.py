@@ -460,9 +460,12 @@ def run_scaling() -> dict:
     # with zero orchestration.  One interleaved cycle by default (the corpus
     # is already warm); BENCH_SKIP_WORKLOAD_CEILING=1 disables.
     if not os.environ.get("BENCH_SKIP_WORKLOAD_CEILING"):
-        os.environ.setdefault("BENCH_CEILING_REPEATS", "1")
+        # one cycle by default (corpus already warm); an explicit
+        # BENCH_CEILING_REPEATS env wins — passed as an argument, the
+        # process env is never mutated (ADVICE r4)
+        wl_repeats = int(os.environ.get("BENCH_CEILING_REPEATS", "1"))
         try:
-            wl = run_workload_ceiling()
+            wl = run_workload_ceiling(repeats=wl_repeats)
         except Exception as ex:  # never fail the protocol for the divisor
             result["workload_ceiling_error"] = repr(ex)
         else:
@@ -516,7 +519,7 @@ def _ceiling_files_worker(args):
     return ndocs
 
 
-def run_workload_ceiling() -> dict:
+def run_workload_ceiling(repeats: int | None = None) -> dict:
     """Workload-SHAPED scaling ceiling: the tokenize stage's own kernels via
     bare ``multiprocessing`` at 2 and 8 processes over the same corpus the
     --scaling protocol builds.  If the Ray pipeline's per-stage efficiency
@@ -529,21 +532,30 @@ def run_workload_ceiling() -> dict:
     pages_n = int(os.environ.get("BENCH_SCALING_N", "400000"))
     cache = f"/tmp/lsr_bench_pages_{pages_n}"
     if not os.path.exists(os.path.join(cache, "_DONE")):
-        # create the corpus once (the only Ray use in this mode)
+        # create the corpus once (the only Ray use in this mode); reuse a
+        # live in-process session rather than tearing it down (ADVICE r4 —
+        # shutdown here would kill a caller's session, and fork-mode Pool
+        # after a live Ray session risks deadlock, so never init one either
+        # when the corpus is warm)
         import ray
 
-        ray.init(address="local", num_cpus=8, include_dashboard=False,
-                 ignore_reinit_error=True, logging_level="ERROR")
+        owns_session = not ray.is_initialized()
+        if owns_session:
+            ray.init(address="local", num_cpus=8, include_dashboard=False,
+                     logging_level="ERROR")
         from lucene_solr_ray.fixtures import write_pages_parquet
 
         shutil.rmtree(cache, ignore_errors=True)
         write_pages_parquet(cache, pages_n, n_files=PAGES_FILES)
         open(os.path.join(cache, "_DONE"), "w").write("ok")
-        ray.shutdown()
+        if owns_session:
+            ray.shutdown()
     files = sorted(_glob.glob(os.path.join(cache, "*.parquet")))
 
     levels = [int(c) for c in os.environ.get("BENCH_CEILING_CPUS", "2,8").split(",")]
-    repeats = max(1, int(os.environ.get("BENCH_CEILING_REPEATS", "3")))
+    if repeats is None:
+        repeats = int(os.environ.get("BENCH_CEILING_REPEATS", "3"))
+    repeats = max(1, repeats)
     cycles: list[dict[int, float]] = []
     ctx = mp.get_context("fork")
     for _ in range(repeats):

@@ -1234,6 +1234,11 @@ def simhash_md5_signature_batch(batch: pa.Table, *, text_col: str = "text",
     frequencies, so the sign test is integer-exact on both sides (ties
     ``== 0`` -> bit 0).
 
+    Zero-token docs emit NO signature row: a sig=0 row would band-join with
+    every other token-less doc (Hamming 0) while the SQL oracle's tf CTE has
+    no rows for them at all — engine and oracle must share one doc universe
+    regardless of fixture content (ADVICE r4).
+
     The native vectorized family (:func:`simhash_signatures`) stays the
     production path; md5 is the replayability price, paid once per
     batch-distinct token."""
@@ -1248,8 +1253,8 @@ def simhash_md5_signature_batch(batch: pa.Table, *, text_col: str = "text",
     rows = row_of[keep]
     if len(rows) == 0:
         return pa.table({
-            id_col: pa.array(ids, type=pa.int64()),
-            "sig": pa.array(np.zeros(len(ids), dtype=np.uint64), type=pa.uint64()),
+            id_col: pa.array([], type=pa.int64()),
+            "sig": pa.array([], type=pa.uint64()),
         })
     enc = pc.dictionary_encode(toks)
     codes = np.asarray(enc.indices, dtype=np.int64)
@@ -1271,9 +1276,11 @@ def simhash_md5_signature_batch(batch: pa.Table, *, text_col: str = "text",
     bits = (acc > 0).astype(np.uint8)
     sig = np.packbits(bits, axis=1)  # big-endian bytes
     sig = sig.copy().view(">u8").ravel().astype(np.uint64)
+    has_tokens = np.zeros(len(ids), dtype=bool)
+    has_tokens[rows] = True
     return pa.table({
-        id_col: pa.array(ids, type=pa.int64()),
-        "sig": pa.array(sig, type=pa.uint64()),
+        id_col: pa.array(ids[has_tokens], type=pa.int64()),
+        "sig": pa.array(sig[has_tokens], type=pa.uint64()),
     })
 
 

@@ -51,12 +51,14 @@ for name in incap:
             print(json.dumps({name: rec}), flush=True)
             continue
         ora = con.execute(o[name]).fetchdf()
+        # Compare the ORIGINAL column order first (the real driver may hash
+        # on it); only then canonicalize to sorted order for value compare.
+        rec["schema_match"] = list(eng.columns) == list(ora.columns)
         eng = eng[sorted(eng.columns)].reset_index(drop=True)
         ora = ora[sorted(ora.columns)].reset_index(drop=True)
         rec["spark_rows"] = len(eng)
         rec["oracle_rows"] = len(ora)
         rec["rows_match"] = len(eng) == len(ora)
-        rec["schema_match"] = list(eng.columns) == list(ora.columns)
         hm = rec["rows_match"] and rec["schema_match"]
         if hm:
             for c in eng.columns:

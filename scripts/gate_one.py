@@ -16,9 +16,12 @@ for name in sys.argv[1:]:
     if hasattr(eng, "to_pandas"):
         eng = eng.to_pandas()
     ora = con.execute(__ray_entry__.oracle_sql()[name]).fetchdf()
+    schema_ok = list(eng.columns) == list(ora.columns)  # original ORDER too
     eng = eng[sorted(eng.columns)].reset_index(drop=True)
     ora = ora[sorted(ora.columns)].reset_index(drop=True)
-    ok = list(eng.columns) == list(ora.columns) and len(eng) == len(ora)
+    ok = schema_ok and len(eng) == len(ora)
+    if not schema_ok:
+        print(name, "SCHEMA ORDER MISMATCH", list(eng.columns), list(ora.columns))
     if ok:
         for c in eng.columns:
             a, b = eng[c].to_numpy(), ora[c].to_numpy()

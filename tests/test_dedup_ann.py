@@ -671,8 +671,12 @@ class TestSimhashMd5Family:
         t = pa.table(
             {"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": texts}
         )
-        got = simhash_md5_signature_batch(t)["sig"].to_pylist()
-        for txt, g in zip(texts, got):
+        out = simhash_md5_signature_batch(t)
+        # Zero-token docs emit NO signature row (oracle-universe parity):
+        # doc 3 ("") must be absent, the three token-bearing docs present.
+        assert out["doc_id"].to_pylist() == [0, 1, 2]
+        got = out["sig"].to_pylist()
+        for txt, g in zip(texts[:3], got):
             tf = Counter(_re.findall(r"[a-z0-9]+", txt.lower()))
             acc = np.zeros(64, dtype=np.int64)
             for tok, w in tf.items():
@@ -685,6 +689,27 @@ class TestSimhashMd5Family:
                 if acc[j] > 0:
                     want |= 1 << (63 - j)
             assert g == want, txt
+
+    def test_empty_token_docs_never_pair(self, ray_session):
+        """>=2 zero-token docs must NOT pair (sig=0, hamming 0) — the DuckDB
+        oracle's tf CTE has no rows for them, so neither may the engine
+        (ADVICE r4)."""
+        import ray.data as rd
+
+        from lucene_solr_ray.stages.dedup import (
+            simhash_md5_pairs,
+            simhash_md5_signature_batch,
+        )
+
+        t = pa.table({
+            "doc_id": pa.array([10, 11, 12, 13], type=pa.int64()),
+            "text": ["", "  --  ", "shared words here", "shared words here"],
+        })
+        out = simhash_md5_signature_batch(t)
+        assert out["doc_id"].to_pylist() == [12, 13]
+        pairs = simhash_md5_pairs(rd.from_arrow(t).repartition(2),
+                                  max_hamming=3).take_all()
+        assert [(r["a"], r["b"]) for r in pairs] == [(12, 13)]
 
     def test_banded_equals_brute_hamming(self, ray_session, corpus):
         import ray.data as rd
@@ -700,8 +725,9 @@ class TestSimhashMd5Family:
                 rd.from_arrow(corpus).repartition(4), max_hamming=3
             ).take_all()
         }
-        sigs = simhash_md5_signature_batch(corpus)["sig"].to_pylist()
-        ids = corpus["doc_id"].to_pylist()
+        sig_t = simhash_md5_signature_batch(corpus)
+        sigs = sig_t["sig"].to_pylist()
+        ids = sig_t["doc_id"].to_pylist()
         want = {}
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):

@@ -220,3 +220,40 @@ def test_bigram_lm_matches_duckdb(ray_session):
     for c in ("doc_id", "n_bigrams"):
         assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
     assert np.array_equal(got["avg_logprob"].to_numpy(), want["avg_logprob"].to_numpy())
+    # 63-bit-hash collision guard (ADVICE r4): the engine keys its LM count
+    # tables by (h12>>1, h1>>1); a collision between distinct string bigrams
+    # (or left tokens) would silently merge counts and break the gate.  Assert
+    # the hash spaces are collision-free on THIS corpus: distinct string
+    # count == distinct hash count for both tables.
+    import re as _re
+
+    import pyarrow.parquet as _pq
+
+    from lucene_solr_ray.hashing import _MIX, hash_strings_u64
+    import pyarrow as _pa
+
+    texts = _pq.read_table(os.path.join(sf, "documents.parquet"),
+                           columns=["text"])["text"].to_pylist()
+    str_bigrams, str_lefts = set(), set()
+    all_toks: list[str] = []
+    bounds: list[tuple[int, int]] = []
+    for txt in texts:
+        toks = _re.findall(r"[a-z0-9]+", (txt or "").lower())
+        bounds.append((len(all_toks), len(toks)))
+        all_toks.extend(toks)
+        for a, b in zip(toks, toks[1:]):
+            str_bigrams.add((a, b))
+            str_lefts.add(a)
+    h = hash_strings_u64(_pa.array(all_toks))
+    h12s, h1s = set(), set()
+    with np.errstate(over="ignore"):
+        for off, n in bounds:
+            if n < 2:
+                continue
+            hh = h[off:off + n]
+            h1 = hh[:-1]
+            h12 = ((h1 * np.uint64(1099511628211) + hh[1:]) * _MIX) >> np.uint64(1)
+            h12s.update((h12).tolist())
+            h1s.update((h1 >> np.uint64(1)).tolist())
+    assert len(h12s) == len(str_bigrams), "63-bit bigram-hash collision"
+    assert len(h1s) == len(str_lefts), "63-bit left-token-hash collision"
