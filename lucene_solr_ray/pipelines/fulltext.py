@@ -775,6 +775,44 @@ def spellcheck_collation(sf_dir: str) -> pa.Table:
     )
 
 
+def spellcheck_collations_docs(sf_dir: str) -> pa.Table:
+    """Multi-collation search (`spelling/SpellCheckCollator.java:66-185` with
+    ``maxCollationTries`` — the combination search the top-1-only entry
+    ``spellcheck_collation`` does not exercise): the misspelled PHRASE query
+    ``"dat dupp"`` enumerates correction combinations via the
+    PossibilityIterator odometer (rank = sum of per-term suggestion indices,
+    tried in (rank, generation) order), each verified by re-running the
+    collation AS A PHRASE (getCollation preserves the original query
+    structure).  On this corpus the top combination ("data dup") has zero
+    phrase hits — only a later try collates, so the gate covers the
+    maxCollationTries loop, not just the first substitution.  Returns every
+    TRIED collation in try order with its hit count and kept flag; the
+    DuckDB oracle replays the same candidate ranking (levenshtein asc, df
+    desc, term asc), the same odometer order, the same phrase-adjacency
+    re-query, and the same stop rule (10 tries / 2 kept collations)."""
+    from ..index.reader import GlobalStats
+    from ..query.suggest import spellcheck_collations
+
+    ix = documents_index(sf_dir)
+    stats = GlobalStats(ix)
+    ev = Evaluator(LocalIndex(ix))
+
+    def verify(ws):
+        docs, _ = ev.scored(PhraseQ(tuple(ws)))
+        return len(docs)
+
+    tried = spellcheck_collations(stats, ["dat", "dupp"], verify,
+                                  max_edits=2, top_per_term=5,
+                                  max_tries=10, max_collations=2)
+    return pa.table({
+        "try_no": pa.array([r["try_no"] for r in tried], type=pa.int64()),
+        "collation": pa.array([" ".join(r["collation"]) for r in tried],
+                              type=pa.string()),
+        "hits": pa.array([r["hits"] for r in tried], type=pa.int64()),
+        "kept": pa.array([r["kept"] for r in tried], type=pa.int64()),
+    })
+
+
 def complexphrase_search_docs(sf_dir: str) -> pa.Table:
     """ComplexPhrase parser subset (`ComplexPhraseQParserPlugin.java` /
     `complexPhrase/ComplexPhraseQueryParser.java`): a WILDCARD inside a

@@ -184,6 +184,85 @@ def spellcheck_collate(stats, words, *, field: str = "text", max_edits: int = 2)
     return out
 
 
+def spellcheck_collations(stats, words, verify, *, field: str = "text",
+                          max_edits: int = 2, top_per_term: int = 5,
+                          max_tries: int = 10, max_collations: int = 2):
+    """Multi-collation search — the full SpellCheckCollator contract
+    (`solr/core/src/java/org/apache/solr/spelling/SpellCheckCollator.java:66-185`
+    with ``maxCollationTries`` > 0): instead of substituting only the top-1
+    suggestion per misspelled term, enumerate CORRECTION COMBINATIONS the way
+    `spelling/PossibilityIterator.java:200-258` does — an odometer over the
+    per-term ranked suggestion lists (last term's index advancing fastest),
+    each combination ranked by the SUM of its per-term suggestion indices,
+    tried in (rank asc, generation-index asc) order — and VERIFY each against
+    the index by re-running the collated query (`SpellCheckCollator.java:95-164`:
+    tryNo counts every verification, a collation is kept iff its re-query
+    hits > 0, the loop stops at ``max_tries`` tries or ``max_collations``
+    kept collations, whichever first).
+
+    ``verify(corrected_words) -> int`` re-runs the collation (the caller
+    preserves the original query structure, e.g. a phrase stays a phrase —
+    `getCollation`'s in-place token replacement).  In-dictionary words pass
+    through verbatim and take no part in the enumeration.  Returns the TRIED
+    sequence, in try order: ``[{try_no, rank, collation(list[str]), hits,
+    kept}]`` — the kept collations are the ``kept == 1`` rows.
+    """
+    fixed: list[str | None] = []  # verbatim word, or None -> misspelled slot
+    cand_lists: list[list[str]] = []
+    for w in words:
+        if stats.df.get(field_term_key(field, w), 0) > 0:
+            fixed.append(w)
+        else:
+            sugs = [t for t, _d, _df in
+                    spellcheck(stats, w, field=field, max_edits=max_edits,
+                               top=top_per_term)]
+            fixed.append(None)
+            cand_lists.append(sugs if sugs else [w])  # no suggestion: keep
+    if not cand_lists:
+        hits = int(verify(list(words)))
+        return [{"try_no": 0, "rank": 0, "collation": list(words),
+                 "hits": hits, "kept": int(hits > 0)}]
+    # odometer enumeration: rank = sum of indices, index = generation order
+    combos: list[tuple[int, int, tuple[int, ...]]] = []
+    sizes = [len(c) for c in cand_lists]
+    idxs = [0] * len(sizes)
+    gen = 0
+    while True:
+        combos.append((sum(idxs), gen, tuple(idxs)))
+        gen += 1
+        pos = len(sizes) - 1
+        while pos >= 0:
+            idxs[pos] += 1
+            if idxs[pos] < sizes[pos]:
+                break
+            idxs[pos] = 0
+            pos -= 1
+        if pos < 0:
+            break
+    combos.sort()
+    out = []
+    try_no = 0
+    kept_n = 0
+    for rank, _gen, choice in combos:
+        if try_no >= max_tries or kept_n >= max_collations:
+            break
+        corrected: list[str] = []
+        ci = 0
+        for f in fixed:
+            if f is not None:
+                corrected.append(f)
+            else:
+                corrected.append(cand_lists[ci][choice[ci]])
+                ci += 1
+        hits = int(verify(corrected))
+        kept = int(hits > 0)
+        out.append({"try_no": try_no, "rank": rank, "collation": corrected,
+                    "hits": hits, "kept": kept})
+        try_no += 1
+        kept_n += kept
+    return out
+
+
 def infix_suggest(stats, sub: str, *, field: str = "text", top: int = 10) -> list[tuple[str, int]]:
     """AnalyzingInfixSuggester analog
     (`lucene/suggest/src/java/org/apache/lucene/search/suggest/analyzing/AnalyzingInfixSuggester.java`):
