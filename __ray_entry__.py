@@ -94,7 +94,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bbox_customers": rl.bbox_customers,
         "polygon_customers": rl.polygon_customers,
         "polygon_star_customers": rl.polygon_star_customers,
-        "heatmap_customers": rl.heatmap_customers,
+        "heatmap_polygon_customers": rl.heatmap_polygon_customers,
+        # (heatmap_customers demoted r5, r4-green: superseded in-family by
+        # heatmap_polygon_customers — same dense-grid counts_ints2D contract
+        # plus the RPT-filter composition; keeps its r4 row + pytest gate)
         "payload_score_docs": ft.payload_score_docs,
         "embedding_dup_pairs_brute": rl.embedding_dup_pairs_brute,
         "interval_facets_quantity": rl.interval_facets_quantity,
@@ -199,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # scoring family stays in-cap via bm25/edismax/rerank entries)
         "search_after_page2": ft.search_after_page2,
         "spellcheck_collation": ft.spellcheck_collation,
+        "heatmap_customers": rl.heatmap_customers,
         "expunge_index_stats": ft.expunge_index_stats,
         "stopword_docs": rl.stopword_docs,
         "ngram_jaccard_dups_docs": rl.ngram_jaccard_dups_docs,
@@ -762,6 +766,39 @@ def oracle_sql() -> dict[str, str]:
               SELECT CAST(r AS BIGINT) AS heat_row, CAST(c AS BIGINT) AS heat_col
               FROM generate_series(14, 24) AS gr(r)
               CROSS JOIN generate_series(10, 20) AS gc(c))
+            SELECT g.heat_row, g.heat_col,
+                   coalesce(n.cell_count, CAST(0 AS BIGINT)) AS cell_count
+            FROM grid g LEFT JOIN counts n
+              ON g.heat_row = n.heat_row AND g.heat_col = n.heat_col
+            ORDER BY g.heat_row, g.heat_col""",
+        # facet.heatmap over the RPT polygon fq (composition): counted docs
+        # = the star-with-hole even-odd accept (identical parity expression
+        # to polygon_star_customers), region = the star's bbox snapped to
+        # level-5 cells — rows 10..24 x cols 11..18, constants asserted
+        # equal to heatmap_region_for_rings(STAR_RINGS, 5) in pytest; cell
+        # indices in BIGINT floor-division space, zero cells included
+        "heatmap_polygon_customers": f"""
+            WITH pts AS (
+              SELECT c_custkey,
+                     ((c_custkey * 7) % 1800) / 10.0 - 90.0 AS lat,
+                     ((c_custkey * 13) % 3600) / 10.0 - 180.0 AS lon
+              FROM customer),
+            acc AS (
+              SELECT c_custkey FROM pts
+              WHERE ({_star_terms}) % 2 = 1),
+            cells AS (
+              SELECT (((c_custkey * 7) % 1800) * 32) // 1800 AS heat_row,
+                     (((c_custkey * 13) % 3600) * 32) // 3600 AS heat_col
+              FROM acc),
+            counts AS (
+              SELECT heat_row, heat_col, CAST(count(*) AS BIGINT) AS cell_count
+              FROM cells
+              WHERE heat_row BETWEEN 10 AND 24 AND heat_col BETWEEN 11 AND 18
+              GROUP BY heat_row, heat_col),
+            grid AS (
+              SELECT CAST(r AS BIGINT) AS heat_row, CAST(c AS BIGINT) AS heat_col
+              FROM generate_series(10, 24) AS gr(r)
+              CROSS JOIN generate_series(11, 18) AS gc(c))
             SELECT g.heat_row, g.heat_col,
                    coalesce(n.cell_count, CAST(0 AS BIGINT)) AS cell_count
             FROM grid g LEFT JOIN counts n

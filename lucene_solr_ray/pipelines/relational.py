@@ -1580,6 +1580,104 @@ def heatmap_customers(sf_dir: str) -> pa.Table:
     )
 
 
+def heatmap_polygon_customers(sf_dir: str) -> pa.Table:
+    """facet.heatmap OVER the RPT polygon filter region — the composition of
+    the two spatial surfaces (`HeatmapFacetCounter` cells gridding the doc
+    set of a `RecursivePrefixTreeStrategy` Intersects filter; Solr's
+    ``facet.heatmap.geom`` sets the heatmap region to the shape's
+    cell-snapped BOUNDING BOX while ``fq={!field f=loc}Intersects(...)``
+    restricts the counted docs to the shape itself): per-level-5-cell counts
+    of the customers ACCEPTED by the star-with-hole polygon filter
+    (:func:`polygon_star_customers`' exact even-odd predicate behind the
+    same quad covering accelerator), over the star's bbox-snapped cell
+    ranges, zero cells included (counts_ints2D dense contract).
+
+    Cell assignment stays in INTEGER tenths space (BIGINT floor division on
+    both sides); only the polygon accept decision is float64 — the same
+    expression order the star oracle already replays hash-exact.
+
+    Scale shape: one stateless ``map_batches`` doing filter + per-batch
+    bincount combiner (region cells x blocks partials, never O(corpus));
+    the covering and the region ranges are computed once on the driver and
+    closed over."""
+    from ..functions.spatial_rpt import (
+        candidate_mask,
+        cover_rings,
+        point_in_rings,
+        quad_codes,
+    )
+
+    level = HEATMAP_LEVEL
+    (r0, r1), (c0, c1) = heatmap_region_for_rings(STAR_RINGS, level)
+    nrows, ncols = r1 - r0 + 1, c1 - c0 + 1
+    ncells = nrows * ncols
+    within_cells, boundary_leaves = cover_rings(STAR_RINGS, RPT_LEVEL)
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t["c_custkey"], dtype=np.int64)
+        lat = ((keys * 7) % 1800) / 10.0 - 90.0
+        lon = ((keys * 13) % 3600) / 10.0 - 180.0
+        codes = quad_codes(lat, lon, RPT_LEVEL)
+        accepted, needs_verify = candidate_mask(
+            codes, within_cells, boundary_leaves, RPT_LEVEL
+        )
+        if needs_verify.any():
+            idx = np.flatnonzero(needs_verify)
+            accepted[idx] = point_in_rings(lat[idx], lon[idx], STAR_RINGS)
+        keys = keys[accepted]
+        ilat = (keys * 7) % 1800
+        ilon = (keys * 13) % 3600
+        row = (ilat << level) // 1800
+        col = (ilon << level) // 3600
+        m = (row >= r0) & (row <= r1) & (col >= c0) & (col <= c1)
+        flat = (row[m] - r0) * ncols + (col[m] - c0)
+        counts = np.bincount(flat, minlength=ncells)
+        return pa.table(
+            {
+                "cell": np.arange(ncells, dtype=np.int64),
+                "cnt": counts.astype(np.int64),
+            }
+        )
+
+    parts = (
+        rd.read_parquet(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    total = np.zeros(ncells, dtype=np.int64)
+    np.add.at(total, parts["cell"].to_numpy(), parts["cnt"].to_numpy())
+    cells = np.arange(ncells, dtype=np.int64)
+    return pa.table(
+        {
+            "heat_row": (r0 + cells // ncols),
+            "heat_col": (c0 + cells % ncols),
+            "cell_count": total,
+        }
+    )
+
+
+def heatmap_region_for_rings(
+    rings, level: int
+) -> tuple[tuple[int, int], tuple[int, int]]:
+    """Cell-snapped bounding box of a multi-ring shape at a heatmap level:
+    inclusive (row, col) index ranges of the level-``level`` quad grid cells
+    containing the shape's float bbox corners (Solr snaps
+    ``facet.heatmap.geom`` outward to grid boundaries).  Driver-side, O(1);
+    the SQL oracle hardcodes the resulting constants (asserted equal in
+    pytest)."""
+    import math
+
+    lats = [y for ring in rings for (y, _x) in ring]
+    lons = [x for ring in rings for (_y, x) in ring]
+    n = 1 << level
+    r0 = int(math.floor((min(lats) + 90.0) * n / 180.0))
+    r1 = int(math.floor((max(lats) + 90.0) * n / 180.0))
+    c0 = int(math.floor((min(lons) + 180.0) * n / 360.0))
+    c1 = int(math.floor((max(lons) + 180.0) * n / 360.0))
+    clamp = lambda v: max(0, min(n - 1, v))  # noqa: E731
+    return (clamp(r0), clamp(r1)), (clamp(c0), clamp(c1))
+
+
 def kmeans_clusters_docs(sf_dir: str) -> pa.Table:
     """Corpus k-means clustering (clustering-contrib surface analog,
     `solr/contrib/clustering/`): hashed-TF-IDF Lloyd iterations with

@@ -318,3 +318,68 @@ class TestHeatmap:
             & (col <= HEATMAP_COL_RANGE[1])
         )
         assert t["cell_count"].sum() == int(m.sum()) > 0
+
+
+class TestHeatmapOverPolygon:
+    """facet.heatmap composed with the RPT polygon fq: counted docs are the
+    star-with-hole accept set, region is the star's bbox-snapped cells."""
+
+    def test_region_constants_match_sql(self):
+        """The oracle SQL hardcodes rows 10..24 x cols 11..18; they must be
+        exactly heatmap_region_for_rings(STAR_RINGS, HEATMAP_LEVEL)."""
+        from lucene_solr_ray.pipelines.relational import (
+            HEATMAP_LEVEL,
+            STAR_RINGS,
+            heatmap_region_for_rings,
+        )
+
+        assert heatmap_region_for_rings(STAR_RINGS, HEATMAP_LEVEL) == (
+            (10, 24),
+            (11, 18),
+        )
+
+    def test_matches_duckdb_oracle(self, ray_session):
+        import duckdb
+
+        import __ray_entry__
+        from lucene_solr_ray.pipelines.relational import heatmap_polygon_customers
+
+        got = heatmap_polygon_customers(SF).to_pandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW customer AS SELECT * FROM read_parquet('{SF}/customer.parquet')"
+        )
+        want = con.execute(
+            __ray_entry__.oracle_sql()["heatmap_polygon_customers"]
+        ).fetchdf()
+        got = got[sorted(got.columns)].reset_index(drop=True)
+        want = want[sorted(want.columns)].reset_index(drop=True)
+        assert list(got.columns) == list(want.columns)
+        assert len(got) == len(want) == 15 * 8
+        for c in got.columns:
+            assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+    def test_counts_are_polygon_filtered(self, ray_session):
+        """Totals == |star accept set restricted to the region|, strictly
+        below the unfiltered heatmap total over the same cells — i.e. the
+        fq really filters; and zero cells exist (dense contract)."""
+        from lucene_solr_ray.functions.spatial_rpt import point_in_rings
+        from lucene_solr_ray.pipelines.relational import (
+            HEATMAP_LEVEL,
+            STAR_RINGS,
+            heatmap_polygon_customers,
+        )
+
+        t = heatmap_polygon_customers(SF).to_pandas()
+        keys = pq.read_table(SF + "/customer.parquet", columns=["c_custkey"])[
+            "c_custkey"
+        ].to_numpy()
+        lat = ((keys * 7) % 1800) / 10.0 - 90.0
+        lon = ((keys * 13) % 3600) / 10.0 - 180.0
+        inside = point_in_rings(lat, lon, STAR_RINGS)
+        row = (((keys * 7) % 1800) << HEATMAP_LEVEL) // 1800
+        col = (((keys * 13) % 3600) << HEATMAP_LEVEL) // 3600
+        region = (row >= 10) & (row <= 24) & (col >= 11) & (col <= 18)
+        assert t["cell_count"].sum() == int((inside & region).sum()) > 0
+        assert t["cell_count"].sum() < int(region.sum())
+        assert (t["cell_count"] == 0).any()
