@@ -151,7 +151,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # supersedes it under the gate — same machinery, plus the 3-clause
         # clause-order f32 fold the 2-clause oracle could not replay)
         "dismax3_topk_simple": ft.dismax3_topk_simple,
-        "suggest_infix": ft.suggest_infix,
+        "fuzzy_suggest_docs": ft.fuzzy_suggest_docs,
+        # (suggest_infix demoted r5, r4-green: the suggest family stays
+        # in-cap via fuzzy_suggest_docs — same dictionary-scan + (weight
+        # desc, term) ranking machinery, plus the Damerau prefix-automaton
+        # semantics; keeps its r4 row + pytest gate)
         "facet_refined_lang": ft.facet_refined_lang,
         "events_sliding_counts": rl.events_sliding_counts,
         "search_with_deletes": ft.search_with_deletes,
@@ -203,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_after_page2": ft.search_after_page2,
         "spellcheck_collation": ft.spellcheck_collation,
         "heatmap_customers": rl.heatmap_customers,
+        "suggest_infix": ft.suggest_infix,
         "expunge_index_stats": ft.expunge_index_stats,
         "stopword_docs": rl.stopword_docs,
         "ngram_jaccard_dups_docs": rl.ngram_jaccard_dups_docs,
@@ -577,6 +582,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN t ON t.term LIKE p.prefix || '%'
             QUALIFY row_number() OVER (PARTITION BY p.prefix ORDER BY weight DESC, term) <= 10
             ORDER BY p.prefix, rank""",
+        # FuzzySuggester: completion matches iff the term starts with the
+        # non-fuzzy prefix and SOME prefix of the remainder is within
+        # max_edits Damerau edits of the query remainder (the Levenshtein
+        # automaton's accept-then-complete semantics); 'jo' is under
+        # minFuzzyLength=3 so me=0 (exact prefix completion).  The prefix
+        # minimum is replayed with an uncorrelated 0..64 series bounded by
+        # the term length (DuckDB's generate_series cannot laterally
+        # reference t.term).
+        "fuzzy_suggest_docs": f"""
+            WITH t AS (SELECT term, CAST(count(*) AS BIGINT) AS weight
+                       FROM ({tok_terms}) WHERE term != '' GROUP BY term),
+            qs AS (SELECT * FROM (VALUES ('jo','j','o',0), ('sman','s','man',1)) v(q, pref, rest, me)),
+            m AS (
+              SELECT qs.q, t.term, t.weight FROM qs JOIN t
+                ON starts_with(t.term, qs.pref)
+               AND EXISTS (SELECT 1
+                           FROM generate_series(0, 64) g(k)
+                           WHERE k <= length(t.term) - length(qs.pref)
+                             AND damerau_levenshtein(substr(t.term, length(qs.pref) + 1, CAST(k AS INTEGER)), qs.rest) <= qs.me))
+            SELECT q, CAST(row_number() OVER (PARTITION BY q ORDER BY weight DESC, term) - 1 AS BIGINT) AS rank,
+                   term, weight
+            FROM m
+            QUALIFY row_number() OVER (PARTITION BY q ORDER BY weight DESC, term) <= 10
+            ORDER BY q, rank""",
         "suggest_infix": f"""
             WITH t AS (SELECT term, CAST(count(*) AS BIGINT) AS weight
                        FROM ({tok_terms}) WHERE term != '' GROUP BY term)

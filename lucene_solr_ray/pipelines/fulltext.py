@@ -887,6 +887,38 @@ def suggest_infix(sf_dir: str) -> pa.Table:
     )
 
 
+def fuzzy_suggest_docs(sf_dir: str) -> pa.Table:
+    """FuzzySuggester analog gate (`analyzing/FuzzySuggester.java:54-110`):
+    "sman" (fuzzy: some prefix of the post-'s' remainder within 1 Damerau
+    edit of "man" — matches scan via "can"@1 and small via "ma"/"mal"@1,
+    exercising the completion-after-automaton-final semantics) and "jo"
+    (shorter than minFuzzyLength=3: zero edits allowed, degrades to exact
+    prefix completion).  Ranked (weight=ttf desc, term asc) per query; the
+    DuckDB oracle replays the prefix-min Damerau condition with
+    ``damerau_levenshtein`` over generate_series prefixes (the reference's
+    transpositions=true default)."""
+    from ..index.reader import GlobalStats
+    from ..query.suggest import fuzzy_suggest
+
+    ix = documents_index(sf_dir)
+    stats = GlobalStats(ix)
+    out = {"q": [], "rank": [], "term": [], "weight": []}
+    for q in ("jo", "sman"):  # alphabetical: oracle row order is ORDER BY q
+        for rank, (term, w) in enumerate(fuzzy_suggest(stats, q, top=10)):
+            out["q"].append(q)
+            out["rank"].append(rank)
+            out["term"].append(term)
+            out["weight"].append(w)
+    return pa.table(
+        {
+            "q": pa.array(out["q"], type=pa.string()),
+            "rank": pa.array(out["rank"], type=pa.int64()),
+            "term": pa.array(out["term"], type=pa.string()),
+            "weight": pa.array(out["weight"], type=pa.int64()),
+        }
+    )
+
+
 def facet_source_prefix(sf_dir: str) -> pa.Table:
     """facet.prefix=src1 over hits of term 'join': the sorted facet
     dictionary makes the prefix an ORDINAL RANGE (`SimpleFacets.java`

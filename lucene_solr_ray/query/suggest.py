@@ -184,6 +184,73 @@ def spellcheck_collate(stats, words, *, field: str = "text", max_edits: int = 2)
     return out
 
 
+def fuzzy_suggest(stats, q: str, *, field: str = "text", max_edits: int = 1,
+                  non_fuzzy_prefix: int = 1, min_fuzzy_length: int = 3,
+                  top: int = 10) -> list[tuple[str, int]]:
+    """FuzzySuggester analog
+    (`lucene/suggest/src/java/org/apache/lucene/search/suggest/analyzing/FuzzySuggester.java:54-110`):
+    completions whose analyzed form starts with the query's first
+    ``non_fuzzy_prefix`` chars exactly and has SOME PREFIX of the remainder
+    within ``max_edits`` Damerau (transpositions=true, the reference
+    default) edits of the query remainder — the Levenshtein-automaton
+    ⋂ suggest-FST intersection, where automaton-final states accept every
+    completion.  A query shorter than ``min_fuzzy_length`` allows no edits
+    (`FuzzySuggester.java:93` DEFAULT_MIN_FUZZY_LENGTH) and degrades to
+    exact prefix completion.  Ranked (weight desc, term asc), weight = ttf
+    — the AnalyzingSuggester ordering.
+
+    The scan is the sorted-dictionary range of the non-fuzzy prefix (a
+    range seek, not O(vocab)) with a banded DP per term: row ``j`` holds
+    the OSA distances of the term's first ``j`` chars vs the query
+    remainder, the term is accepted the first time ``row[j][W] <=
+    max_edits`` (any completion then matches), and abandoned when the row
+    minimum exceeds ``max_edits`` (row minima are non-decreasing).  At web
+    vocabulary the range rides the same mmapped shard scan as
+    :func:`fuzzy_seek`."""
+    me = max_edits if len(q) >= min_fuzzy_length else 0
+    pref = q[:non_fuzzy_prefix]
+    q_rest = q[non_fuzzy_prefix:]
+    W = len(q_rest)
+    key_pref = field_term_key(field, pref)
+    lo, hi = stats.terms.prefix_range(key_pref)
+    if lo >= hi:
+        return []
+    w = stats.ttf_slice(lo, hi)
+    strip = len(key_pref) - len(pref)
+    matches: list[tuple[int, str]] = []  # (-weight, body)
+    for oi in range(hi - lo):
+        t_full = stats.terms[lo + oi]
+        body = t_full[strip:]
+        if FIELD_SEP in body:
+            continue
+        t_rest = body[len(pref):]
+        rows = [list(range(W + 1))]
+        if W <= me:  # empty prefix already within distance
+            matches.append((-int(w[oi]), body))
+            continue
+        ok = False
+        for j, cj in enumerate(t_rest, 1):
+            last = rows[-1]
+            cur = [last[0] + 1]
+            for i in range(1, W + 1):
+                c = min(last[i] + 1, cur[i - 1] + 1,
+                        last[i - 1] + (cj != q_rest[i - 1]))
+                if (j >= 2 and i >= 2 and cj == q_rest[i - 2]
+                        and t_rest[j - 2] == q_rest[i - 1]):
+                    c = min(c, rows[j - 2][i - 2] + 1)
+                cur.append(c)
+            rows.append(cur)
+            if cur[W] <= me:
+                ok = True
+                break
+            if min(cur) > me:
+                break
+        if ok:
+            matches.append((-int(w[oi]), body))
+    matches.sort()
+    return [(t, -negw) for negw, t in matches[:top]]
+
+
 def spellcheck_collations(stats, words, verify, *, field: str = "text",
                           max_edits: int = 2, top_per_term: int = 5,
                           max_tries: int = 10, max_collations: int = 2):

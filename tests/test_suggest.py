@@ -189,3 +189,61 @@ class TestSuggest:
         stats = GlobalStats(pages_corpus["index_dir"])
         word = sorted(df)[0]
         assert all(s != word for s, _, _ in spellcheck(stats, word))
+
+
+def _osa(a, b):
+    """Damerau OSA distance (transpositions allowed, no substring reuse)."""
+    rows = [list(range(len(b) + 1))]
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            c = min(rows[i - 1][j] + 1, cur[j - 1] + 1, rows[i - 1][j - 1] + (ca != cb))
+            if i >= 2 and j >= 2 and ca == b[j - 2] and a[i - 2] == cb:
+                c = min(c, rows[i - 2][j - 2] + 1)
+            cur.append(c)
+        rows.append(cur)
+    return rows[-1][-1]
+
+
+class TestFuzzySuggest:
+    """FuzzySuggester analog vs a brute all-vocab prefix-automaton oracle."""
+
+    def _brute(self, ttf, q, *, max_edits=1, non_fuzzy_prefix=1,
+               min_fuzzy_length=3, top=10):
+        me = max_edits if len(q) >= min_fuzzy_length else 0
+        pref, rest = q[:non_fuzzy_prefix], q[non_fuzzy_prefix:]
+        cands = []
+        for t, w in ttf.items():
+            if not t.startswith(pref):
+                continue
+            t_rest = t[len(pref):]
+            if any(_osa(t_rest[:k], rest) <= me for k in range(len(t_rest) + 1)):
+                cands.append((-w, t))
+        cands.sort()
+        return [(t, -nw) for nw, t in cands[:top]]
+
+    def test_matches_brute(self, pages_corpus, term_stats):
+        from lucene_solr_ray.query.suggest import fuzzy_suggest
+
+        _, ttf = term_stats
+        stats = GlobalStats(pages_corpus["index_dir"])
+        some = sorted(ttf)[:3]
+        queries = ["lu", "ka", "zzz"] + [t[:-1] + "x" for t in some if len(t) > 4]
+        for q in queries:
+            got = fuzzy_suggest(stats, q)
+            want = self._brute(ttf, q)
+            assert got == want, q
+
+    def test_short_query_is_exact_prefix(self, pages_corpus, term_stats):
+        from lucene_solr_ray.query.suggest import fuzzy_suggest
+
+        _, ttf = term_stats
+        stats = GlobalStats(pages_corpus["index_dir"])
+        got = fuzzy_suggest(stats, "lu")  # < min_fuzzy_length → 0 edits
+        want = sorted(((t, w) for t, w in ttf.items() if t.startswith("lu")),
+                      key=lambda tw: (-tw[1], tw[0]))[:10]
+        assert got == want
+
+    def test_transposition_is_one_edit(self):
+        # pure-DP check: 'sacn' matches 'scan...' completions at 1 OSA edit
+        assert _osa("acn", "can") == 1
