@@ -152,6 +152,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # clause-order f32 fold the 2-clause oracle could not replay)
         "dismax3_topk_simple": ft.dismax3_topk_simple,
         "fuzzy_suggest_docs": ft.fuzzy_suggest_docs,
+        "free_text_suggest_docs": ft.free_text_suggest_docs,
+        # (unigram_lm_docs demoted r5, r4-green: its distributed unigram
+        # count machinery is exercised in-cap by free_text_suggest_docs'
+        # backoff leg AND bigram_lm_docs' left-marginal pass; keeps its r4
+        # row + pytest gate)
         # (suggest_infix demoted r5, r4-green: the suggest family stays
         # in-cap via fuzzy_suggest_docs — same dictionary-scan + (weight
         # desc, term) ranking machinery, plus the Damerau prefix-automaton
@@ -174,7 +179,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk_simple": ft.tfidf_topk_simple,
         "decontaminate_docs": rl.decontaminate_docs,
         "collapse_lang_docs": ft.collapse_lang_docs,
-        "unigram_lm_docs": rl.unigram_lm_docs,
         # ---- (3) last row is from round 1 ----
         # (group_top1_orders demoted below the cap: the grouping family is
         # in-cap via group_topk_orders + expand_orders)
@@ -208,6 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spellcheck_collation": ft.spellcheck_collation,
         "heatmap_customers": rl.heatmap_customers,
         "suggest_infix": ft.suggest_infix,
+        "unigram_lm_docs": rl.unigram_lm_docs,
         "expunge_index_stats": ft.expunge_index_stats,
         "stopword_docs": rl.stopword_docs,
         "ngram_jaccard_dups_docs": rl.ngram_jaccard_dups_docs,
@@ -605,6 +610,38 @@ def oracle_sql() -> dict[str, str]:
                    term, weight
             FROM m
             QUALIFY row_number() OVER (PARTITION BY q ORDER BY weight DESC, term) <= 10
+            ORDER BY q, rank""",
+        # FreeTextSuggester: 2-gram stupid backoff (ALPHA=0.4).  Bigram
+        # candidates score C(ctx w)/C(ctx ·); unigram backoff candidates
+        # (prefix matches not already suggested at bigram order) score
+        # 0.4 * (C(w)/T); with no context the unigram order is highest and
+        # takes no penalty.  Parenthesization matches the engine's
+        # float64 evaluation order exactly (alpha * (c/T)).
+        "free_text_suggest_docs": f"""
+            WITH toks AS (SELECT doc_id, list_filter({_TOK}, t -> t != '') AS tk FROM documents),
+            tg AS (SELECT doc_id, unnest(tk) AS tok, unnest(range(1, len(tk)+1)) AS pos FROM toks),
+            bg AS (SELECT doc_id, tok AS t1, lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+                   FROM tg QUALIFY t2 IS NOT NULL),
+            uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tg GROUP BY tok),
+            tot AS (SELECT CAST(sum(c) AS DOUBLE) AS T FROM uni),
+            qs AS (SELECT * FROM (VALUES ('data d','data','d'), ('sc', NULL, 'sc'), ('the ', 'the', '')) v(q, ctx, pref)),
+            c1 AS (SELECT t1, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY t1),
+            c12 AS (SELECT t1, t2, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY t1, t2),
+            bcand AS (
+              SELECT qs.q, c12.t2 AS term, CAST(c12.c AS DOUBLE) / c1.c AS score
+              FROM qs JOIN c12 ON c12.t1 = qs.ctx AND starts_with(c12.t2, qs.pref)
+                      JOIN c1 ON c1.t1 = qs.ctx),
+            ucand AS (
+              SELECT qs.q, uni.tok AS term,
+                     CASE WHEN qs.ctx IS NULL THEN uni.c / tot.T
+                          ELSE 0.4 * (uni.c / tot.T) END AS score
+              FROM qs JOIN uni ON starts_with(uni.tok, qs.pref), tot
+              WHERE NOT EXISTS (SELECT 1 FROM bcand b WHERE b.q = qs.q AND b.term = uni.tok)),
+            m AS (SELECT * FROM bcand UNION ALL SELECT * FROM ucand)
+            SELECT q, CAST(row_number() OVER (PARTITION BY q ORDER BY score DESC, term) - 1 AS BIGINT) AS rank,
+                   term, round(score, 6) AS score
+            FROM m
+            QUALIFY row_number() OVER (PARTITION BY q ORDER BY score DESC, term) <= 10
             ORDER BY q, rank""",
         "suggest_infix": f"""
             WITH t AS (SELECT term, CAST(count(*) AS BIGINT) AS weight

@@ -87,7 +87,8 @@ def incremental_union_term_df(sf_dir: str) -> pa.Table:
         build_index([os.path.join(root, "b.parquet")], os.path.join(root, "ixb"), **kw)
         union_indexes([os.path.join(root, "ixa"), os.path.join(root, "ixb")], union_dir)
     t = _terms_topn(union_dir, "df", 100)
-    return _rank_table({"term": t["term"].tolist(), "df": t["df"].astype("int64").tolist()})
+    return _rank_table({"term": t["term"].to_pylist(),
+                        "df": pc.cast(t["df"], pa.int64()).to_pylist()})
 
 
 def _rank_table(cols: dict) -> pa.Table:
@@ -112,26 +113,31 @@ def _terms_topn(index_dir: str, key: str, n: int):
         )
         return t.take(idx[:n])
 
-    parts = (
+    parts = pa.concat_tables(
         rd.read_parquet(os.path.join(index_dir, "terms_global"), columns=["term", key])
         .map_batches(block_top, batch_format="pyarrow")
-        .to_pandas()  # <= n * n_blocks rows
+        .iter_batches(batch_format="pyarrow")  # <= n * n_blocks rows total
     )
-    return parts.sort_values([key, "term"], ascending=[False, True]).head(n)
+    idx = pc.sort_indices(
+        parts, sort_keys=[(key, "descending"), ("term", "ascending")]
+    )
+    return parts.take(idx[:n])
 
 
 def term_df_top100(sf_dir: str) -> pa.Table:
     """Top 100 terms by document frequency (df desc, term asc)."""
     ix = documents_index(sf_dir)
     t = _terms_topn(ix, "df", 100)
-    return _rank_table({"term": t["term"].tolist(), "df": t["df"].astype("int64").tolist()})
+    return _rank_table({"term": t["term"].to_pylist(),
+                        "df": pc.cast(t["df"], pa.int64()).to_pylist()})
 
 
 def term_ttf_top100(sf_dir: str) -> pa.Table:
     """Top 100 terms by total term frequency (ttf desc, term asc)."""
     ix = documents_index(sf_dir)
     t = _terms_topn(ix, "ttf", 100)
-    return _rank_table({"term": t["term"].tolist(), "ttf": t["ttf"].astype("int64").tolist()})
+    return _rank_table({"term": t["term"].to_pylist(),
+                        "ttf": pc.cast(t["ttf"], pa.int64()).to_pylist()})
 
 
 def terms_component_prefix(sf_dir: str) -> pa.Table:
@@ -915,6 +921,27 @@ def fuzzy_suggest_docs(sf_dir: str) -> pa.Table:
             "rank": pa.array(out["rank"], type=pa.int64()),
             "term": pa.array(out["term"], type=pa.string()),
             "weight": pa.array(out["weight"], type=pa.int64()),
+        }
+    )
+
+
+def free_text_suggest_docs(sf_dir: str) -> pa.Table:
+    """FreeTextSuggester gate (`analyzing/FreeTextSuggester.java:66-131`):
+    "data d" (context 'data', prefix 'd' — bigram completion with unigram
+    stupid-backoff at ALPHA=0.4), "sc" (no context — pure unigram order),
+    "the " (trailing separator — next-word suggestion, empty prefix, full
+    backoff vocabulary).  The DuckDB oracle replays the 2-gram counts, the
+    backoff formula and the (score desc, term asc) ranking verbatim."""
+    from ..stages.textstats import free_text_suggest
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+    rows = free_text_suggest(ds, ["data d", "sc", "the "], top=10)
+    return pa.table(
+        {
+            "q": pa.array([r[0] for r in rows], type=pa.string()),
+            "rank": pa.array([r[1] for r in rows], type=pa.int64()),
+            "term": pa.array([r[2] for r in rows], type=pa.string()),
+            "score": pa.array([r[3] for r in rows], type=pa.float64()),
         }
     )
 

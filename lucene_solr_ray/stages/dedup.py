@@ -403,7 +403,15 @@ def minhash_dedup(ds, *, broadcast_threshold: int = 50_000_000,
 
         sd = spill_dir or tempfile.mkdtemp(prefix="minhash_losers_")
         return partitioned_anti_join(ds, losers, id_col, sd)
-    loser_ids = [r[id_col] for r in losers.take_all()]
+    # drain the loser ids as Arrow batches -> ONE int64 numpy array (round-4
+    # verdict #2: no 50M-row Python dict list on the driver at the regime
+    # boundary — ~400 MB columnar vs multi-GB of row dicts)
+    parts = [
+        np.asarray(b[id_col], dtype=np.int64)
+        for b in losers.iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    loser_ids = np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
     return broadcast_semi_join(ds, loser_ids, id_col, anti=True)
 
 
@@ -651,8 +659,8 @@ def pairwise_join_reduce(payload_ds, pairs, *, id_col: str,
     pair IDENTITY is the (a, b) columns themselves, so a Dataset of pairs
     never needs a driver-side enumeration; a bucketed hash join replicates
     payloads per membership, a second bucketed shuffle on ``a`` co-locates
-    each pair (every row of a pair shares ``a``), and ``per_pair`` (pandas
-    group -> pa.Table keyed by (a, b)) reduces it vectorized.  Nothing
+    each pair (every row of a pair shares ``a``), and ``per_pair`` (Arrow
+    group table -> pa.Table keyed by (a, b)) reduces it vectorized.  Nothing
     reaches the driver unless the caller take_all()s the result."""
     import ray.data as rd
 
@@ -691,7 +699,7 @@ def pairwise_join_reduce(payload_ds, pairs, *, id_col: str,
     return (
         joined.map_batches(_with_bucket("a", shuffle_buckets), batch_format="pyarrow")
         .groupby("__b")
-        .map_groups(per_pair, batch_format="pandas")
+        .map_groups(per_pair, batch_format="pyarrow")
     )
 
 
@@ -778,12 +786,12 @@ def verify_pairs_jaccard(ds, pairs, *, text_col: str = "text", id_col: str = "do
                 "union_": pa.array([], type=pa.int64()),
             }
         )
-        if len(group) == 0:
+        if group.num_rows == 0:
             return empty
-        pa_id = group["a"].to_numpy().astype(np.int64)
-        pb_id = group["b"].to_numpy().astype(np.int64)
-        side = group["side"].to_numpy().astype(np.int64)
-        gram = group["gram"].to_numpy().astype(np.int64)
+        pa_id = np.asarray(group["a"], dtype=np.int64)
+        pb_id = np.asarray(group["b"], dtype=np.int64)
+        side = np.asarray(group["side"], dtype=np.int64)
+        gram = np.asarray(group["gram"], dtype=np.int64)
         order = np.lexsort((side, gram, pb_id, pa_id))
         A, B, g, s = pa_id[order], pb_id[order], gram[order], side[order]
         # distinct (pair, gram) runs; a run spanning both sides = intersection
@@ -1204,8 +1212,8 @@ def minhash_md5_candidates(ds, *, n_perms: int = 8, band_r: int = 2,
         )
         return t.append_column("bkey", key)
 
-    def per_group(df) -> pa.Table:
-        ids = np.unique(df[id_col].to_numpy())
+    def per_group(t: pa.Table) -> pa.Table:
+        ids = np.unique(np.asarray(t[id_col], dtype=np.int64))
         if len(ids) < 2:
             return pa.table({"a": pa.array([], type=pa.int64()),
                              "b": pa.array([], type=pa.int64())})
@@ -1216,7 +1224,7 @@ def minhash_md5_candidates(ds, *, n_perms: int = 8, band_r: int = 2,
     pairs = (
         rows.map_batches(add_key, batch_format="pyarrow")
         .groupby("bkey")
-        .map_groups(per_group, batch_format="pandas")
+        .map_groups(per_group, batch_format="pyarrow")
         .to_pandas()
     )
     return sorted(set(zip(pairs["a"].tolist(), pairs["b"].tolist())))

@@ -27,8 +27,20 @@ def broadcast_semi_join(ds, keys, key_col: str, *, anti: bool = False):
     """Keep rows whose key is (not, for anti) in the broadcast key set.
 
     The key set is shipped ONCE as an Arrow array (``ray.put``); each batch
-    filters with the vectorized C++ ``is_in`` kernel — no per-row Python."""
-    ref = ray.put(pa.array(sorted(keys)))
+    filters with the vectorized C++ ``is_in`` kernel — no per-row Python.
+    ``keys`` may be a numpy or Arrow array (kept columnar end-to-end — the
+    50M-loser regime never becomes Python objects) or any iterable."""
+    import numpy as np
+
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    if isinstance(keys, pa.Array):
+        arr = keys.take(pc.array_sort_indices(keys))
+    elif isinstance(keys, np.ndarray):
+        arr = pa.array(np.sort(keys))
+    else:
+        arr = pa.array(sorted(keys))
+    ref = ray.put(arr)
 
     def filt(t: pa.Table) -> pa.Table:
         mask = pc.is_in(t[key_col], value_set=ray.get(ref))
@@ -164,34 +176,51 @@ def hash_join(
     lt = lt.select_columns(ordered)
     rt = rt.select_columns(ordered)
 
-    def _np_dtypes(schema: dict) -> dict:
-        out = {}
-        for n, t in schema.items():
-            if pa.types.is_integer(t) or pa.types.is_floating(t):
-                out[n] = t.to_pandas_dtype()
-        return out
-
-    l_np = _np_dtypes(l_schema)
-    r_np = _np_dtypes(r_schema)
-
-    def join_bucket(group):
-        import pandas as pd  # noqa: F401
-
-        # union-with-nulls upcast ints to float in pandas; restore dtypes
-        # after splitting the sides (no nulls remain within a side)
-        gl = group[group["__side"] == "L"][list(l_names)].astype(l_np)
-        gr = group[group["__side"] == "R"][list(r_names)].astype(r_np)
-        out = gl.merge(
-            gr,
-            left_on=left_key,
-            right_on=right_key,
-            how="inner" if how == "inner" else "left",
-            suffixes=("", "_r"),
+    def join_bucket(group: pa.Table) -> pa.Table:
+        # Arrow-native per-bucket join (no pandas detour; int columns keep
+        # their types through the union's null padding).  Acero joins only
+        # SKINNY (row-index, key) tables — payload columns of ANY type
+        # (incl. list<float> embeddings Acero can't carry as non-key
+        # fields) are assembled afterwards with ``take`` on the match
+        # indices; a null right index yields null right columns, which is
+        # exactly the left-outer contract.
+        lmask = pc.equal(group["__side"], "L")
+        gl = group.filter(lmask).select(list(l_names))
+        gr = group.filter(pc.invert(lmask)).select(list(r_names))
+        lk = pa.table(
+            {"__li": pa.array(np.arange(gl.num_rows, dtype=np.int64)),
+             "__lk": gl[left_key]}
         )
-        return out
+        rk = pa.table(
+            {"__ri": pa.array(np.arange(gr.num_rows, dtype=np.int64)),
+             "__rk": gr[right_key]}
+        )
+        m = lk.join(
+            rk, keys="__lk", right_keys="__rk",
+            join_type="inner" if how == "inner" else "left outer",
+        )
+        li, ri = m["__li"], m["__ri"]
+        cols, names = [], []
+        left_out = gl.take(li)
+        for n in l_names:
+            names.append(n)
+            cols.append(left_out[n])
+        for n in r_names:
+            if n == right_key:
+                if right_key == left_key:
+                    continue  # coalesced into the left key column
+                col = pc.if_else(
+                    pc.is_valid(ri), left_out[left_key],
+                    pa.scalar(None, type=gl.schema.field(left_key).type),
+                )
+            else:
+                col = gr[n].take(ri)
+            names.append(n if n not in set(l_names) else f"{n}_r")
+            cols.append(col)
+        return pa.table(dict(zip(names, cols)))
 
     return (
         lt.union(rt)
         .groupby("__bucket")
-        .map_groups(join_bucket, batch_format="pandas")
+        .map_groups(join_bucket, batch_format="pyarrow")
     )

@@ -420,3 +420,115 @@ def bigram_lm_scores(ds, *, text_col: str = "text", id_col: str = "doc_id"):
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def free_text_suggest(ds, queries, *, alpha: float = 0.4, top: int = 10,
+                      text_col: str = "text"):
+    """FreeTextSuggester analog
+    (`lucene/suggest/src/java/org/apache/lucene/search/suggest/analyzing/FreeTextSuggester.java:66-131`):
+    next-token completion from a corpus 2-gram model with STUPID BACKOFF
+    (Brants et al. 2007, the reference's ALPHA=0.4 at
+    `FreeTextSuggester.java:123`).  Query parse mirrors the reference's
+    lookup contract: if the raw query ends mid-token the last token is the
+    completion PREFIX and the token before it the context; a trailing
+    separator means "suggest the next word" (empty prefix, last token is
+    the context).
+
+    Scoring: bigram candidates (context, w) score ``C(ctx w) / C(ctx ·)``
+    (highest available order, no penalty); unigram backoff candidates —
+    prefix matches NOT already suggested at bigram order — score
+    ``alpha * C(w) / T``.  With no context the unigram order IS the highest:
+    ``C(w) / T``.  Ranked (score desc, term asc), top ``top`` per query.
+
+    Shape: ONE distributed counting pass (per-batch Arrow value_counts
+    partials for each query's candidate sets + marginals, then a small
+    multi-key groupby); the driver holds only per-query candidate tables
+    (bounded by prefix selectivity — at web scale pass a prefix of >= 1
+    char, same posture as the dictionary range scans).  Returns
+    ``[(query, rank, term, score)]`` with score rounded to 6 decimals (the
+    cross-engine float contract used by every LM gate in this module)."""
+    import re
+
+    parsed = []
+    for qid, q in enumerate(queries):
+        ql = q.lower()
+        ends_mid = bool(re.search(r"[a-z0-9]$", ql))
+        toks = [t for t in re.split(r"[^a-z0-9]+", ql) if t]
+        if ends_mid:
+            prefix = toks[-1] if toks else ""
+            ctx = toks[-2] if len(toks) >= 2 else None
+        else:
+            prefix = ""
+            ctx = toks[-1] if toks else None
+        parsed.append((qid, ctx, prefix))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, row_of, tok_len = _token_lists(batch[text_col])
+        keep = tok_len > 0
+        toks = flat.filter(pa.array(keep))
+        rows = row_of[keep]
+        same = rows[:-1] == rows[1:] if len(rows) > 1 else np.empty(0, bool)
+        a = toks.slice(0, max(len(toks) - 1, 0))
+        b = toks.slice(1)
+        out_q, out_k, out_t, out_c = [], [], [], []
+
+        def emit(qid, kind, terms, counts):
+            out_q.extend([qid] * len(terms))
+            out_k.extend([kind] * len(terms))
+            out_t.extend(terms)
+            out_c.extend(counts)
+
+        emit(-1, "t", [""], [len(toks)])
+        for qid, ctx, prefix in parsed:
+            # unigram candidates: prefix matches over all tokens
+            um = pc.starts_with(toks, prefix).to_numpy(zero_copy_only=False)
+            if um.any():
+                vc = pc.value_counts(toks.filter(pa.array(um)))
+                emit(qid, "u", vc.field("values").to_pylist(),
+                     vc.field("counts").to_pylist())
+            if ctx is None:
+                continue
+            cm = pc.equal(a, ctx).to_numpy(zero_copy_only=False).astype(bool) & same
+            n_left = int(cm.sum())
+            if n_left:
+                emit(qid, "l", [""], [n_left])
+                bm = cm & pc.starts_with(b, prefix).to_numpy(zero_copy_only=False)
+                if bm.any():
+                    vc = pc.value_counts(b.filter(pa.array(bm)))
+                    emit(qid, "b", vc.field("values").to_pylist(),
+                         vc.field("counts").to_pylist())
+        return pa.table({
+            "qid": pa.array(out_q, type=pa.int64()),
+            "kind": pa.array(out_k, type=pa.string()),
+            "term": pa.array(out_t, type=pa.string()),
+            "c": pa.array(out_c, type=pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["qid", "kind", "term"])
+        .sum("c")
+        .to_pandas()  # bounded by per-query prefix selectivity
+    )
+    total = float(agg.loc[agg["kind"] == "t", "sum(c)"].sum())
+    out = []
+    for qid, ctx, prefix in parsed:
+        sub = agg[agg["qid"] == qid]
+        c1 = float(sub.loc[sub["kind"] == "l", "sum(c)"].sum())
+        big = dict(zip(sub.loc[sub["kind"] == "b", "term"],
+                       sub.loc[sub["kind"] == "b", "sum(c)"]))
+        uni = dict(zip(sub.loc[sub["kind"] == "u", "term"],
+                       sub.loc[sub["kind"] == "u", "sum(c)"]))
+        cands: dict[str, float] = {}
+        if ctx is not None and c1 > 0:
+            for t, c in big.items():
+                cands[t] = float(c) / c1
+        for t, c in uni.items():
+            if t in cands:
+                continue
+            s = float(c) / total if total else 0.0
+            cands[t] = s if ctx is None else alpha * s
+        ranked = sorted(cands.items(), key=lambda ts: (-ts[1], ts[0]))[:top]
+        for rank, (t, s) in enumerate(ranked):
+            out.append((queries[qid], rank, t, round(s, 6)))
+    return out

@@ -84,3 +84,41 @@ def test_minhash_dedup_anti_join_regime(ray_session):
     key = lambda r: r["doc_id"]
     assert sorted(kept_a, key=key) == sorted(kept_b, key=key)
     assert not ({100, 101, 102} & {r["doc_id"] for r in kept_a})
+
+
+def test_minhash_dedup_broadcast_regime_columnar_losers(ray_session, monkeypatch):
+    """The broadcast regime ships the loser set as ONE sorted columnar array:
+    minhash_dedup itself never take_all()s (no Python row dicts on the driver
+    at the 50M-loser boundary — round-4 verdict #2), proven by making
+    Dataset.take_all raise for the duration of the pipeline build."""
+    import ray.data as rd
+    from ray.data import Dataset
+
+    rng = np.random.default_rng(6)
+    vocab = [f"w{i:03d}" for i in range(120)]
+    texts, ids = [], []
+    for i in range(50):
+        texts.append(" ".join(rng.choice(vocab, size=int(rng.integers(20, 40)))))
+        ids.append(i)
+    for j, src in enumerate([2, 7]):
+        texts.append(texts[src])
+        ids.append(100 + j)
+    corpus = pa.table({"doc_id": pa.array(ids, type=pa.int64()), "text": pa.array(texts)})
+
+    from lucene_solr_ray.stages.dedup import minhash_dedup
+
+    real_take_all = Dataset.take_all
+
+    def forbidden(self, *a, **kw):
+        raise AssertionError("driver row materialization in minhash_dedup")
+
+    want = {r["doc_id"] for r in minhash_dedup(rd.from_arrow(corpus), rounds=None).take_all()}
+
+    monkeypatch.setattr(Dataset, "take_all", forbidden)
+    try:
+        kept_ds = minhash_dedup(rd.from_arrow(corpus), rounds=None)
+    finally:
+        monkeypatch.setattr(Dataset, "take_all", real_take_all)
+    kept = {r["doc_id"] for r in kept_ds.take_all()}
+    assert kept == want
+    assert not ({100, 101} & kept)  # planted exact dups lost

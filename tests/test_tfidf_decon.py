@@ -257,3 +257,54 @@ def test_bigram_lm_matches_duckdb(ray_session):
             h1s.update((h1 >> np.uint64(1)).tolist())
     assert len(h12s) == len(str_bigrams), "63-bit bigram-hash collision"
     assert len(h1s) == len(str_lefts), "63-bit left-token-hash collision"
+
+
+def test_free_text_suggest_matches_brute(ray_session):
+    """Stupid-backoff next-token suggestion vs a brute recomputation: bigram
+    order C(ctx w)/C(ctx .), unigram backoff 0.4*C(w)/T excluding terms
+    already suggested at bigram order, no-context queries at unigram order
+    unpenalized; ranked (score desc, term asc)."""
+    import re
+
+    import ray.data as rd
+
+    from lucene_solr_ray.stages.textstats import free_text_suggest
+
+    texts = [
+        "data scan data sort data scan merge",
+        "the data the sort the scan",
+        "sort merge join data dump",
+        "scan scan dump the data dump",
+    ]
+    tbl = pa.table({"text": pa.array(texts)})
+    queries = ["data s", "du", "the "]
+    got = free_text_suggest(rd.from_arrow(tbl).repartition(3), queries, top=5)
+
+    toks_by_doc = [[t for t in re.split(r"[^a-z0-9]+", s.lower()) if t] for s in texts]
+    allt = [t for d in toks_by_doc for t in d]
+    bigrams = [(d[i], d[i + 1]) for d in toks_by_doc for i in range(len(d) - 1)]
+    T = float(len(allt))
+
+    def brute(q, top=5):
+        ql = q.lower()
+        ends_mid = bool(re.search(r"[a-z0-9]$", ql))
+        toks = [t for t in re.split(r"[^a-z0-9]+", ql) if t]
+        prefix = toks[-1] if (ends_mid and toks) else ""
+        ctx = (toks[-2] if len(toks) >= 2 else None) if ends_mid else (toks[-1] if toks else None)
+        cands = {}
+        if ctx is not None:
+            c1 = sum(1 for a, _ in bigrams if a == ctx)
+            if c1:
+                for a, b in bigrams:
+                    if a == ctx and b.startswith(prefix):
+                        cands[b] = cands.get(b, 0) + 1
+                cands = {t: c / c1 for t, c in cands.items()}
+        for t in set(allt):
+            if t.startswith(prefix) and t not in cands:
+                s = allt.count(t) / T
+                cands[t] = s if ctx is None else 0.4 * s
+        ranked = sorted(cands.items(), key=lambda ts: (-ts[1], ts[0]))[:top]
+        return [(q, r, t, round(s, 6)) for r, (t, s) in enumerate(ranked)]
+
+    want = [row for q in queries for row in brute(q)]
+    assert got == want
