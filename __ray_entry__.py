@@ -137,10 +137,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # search_prefix_docs + search_fuzzy_docs, range family via
         # search_numeric_range_docs + frange_docs; expand_orders demoted,
         # grouping family in-cap via group_topk_orders — all keep r3 rows)
-        "search_prefix_docs": ft.search_prefix_docs,
+        "blended_infix_suggest_docs": ft.blended_infix_suggest_docs,
+        # (search_prefix_docs demoted r5, r4-green: the prefix dict-scan
+        # machinery stays in-cap via fuzzy_suggest_docs' prefix_range seek
+        # and suggest_infix's r4 row; blended infix — the last member of
+        # the analyzing-suggester family — takes the slot)
         # (search_fuzzy_docs demoted r4, r3-green: fuzzy DP-seek keeps its P
         # brute-equivalence gate and the dict-scan family stays in-cap via
-        # search_prefix_docs; surround_search_docs takes the slot)
+        # fuzzy_suggest_docs; surround_search_docs takes the slot)
         "surround_search_docs": ft.surround_search_docs,
         # (facet_source_prefix demoted r4, r3-green: the facet family stays
         # in-cap via facet_refined_lang + interval_facets_quantity +
@@ -213,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heatmap_customers": rl.heatmap_customers,
         "suggest_infix": ft.suggest_infix,
         "unigram_lm_docs": rl.unigram_lm_docs,
+        "search_prefix_docs": ft.search_prefix_docs,
         "expunge_index_stats": ft.expunge_index_stats,
         "stopword_docs": rl.stopword_docs,
         "ngram_jaccard_dups_docs": rl.ngram_jaccard_dups_docs,
@@ -610,6 +615,24 @@ def oracle_sql() -> dict[str, str]:
                    term, weight
             FROM m
             QUALIFY row_number() OVER (PARTITION BY q ORDER BY weight DESC, term) <= 10
+            ORDER BY q, rank""",
+        # BlendedInfixSuggester: suggestion = first 8 tokens of each doc,
+        # weight = full-doc token count, infix prefix match anywhere in the
+        # suggestion, score = weight * 1/(1+first-match position)
+        # (POSITION_RECIPROCAL), top-10 (score desc, doc_id asc).
+        "blended_infix_suggest_docs": f"""
+            WITH toks AS (SELECT doc_id, list_filter({_TOK}, t -> t != '') AS tk FROM documents),
+            tg AS (SELECT doc_id, unnest(tk) AS tok, unnest(range(1, len(tk)+1)) AS pos, len(tk) AS w FROM toks),
+            qs AS (SELECT * FROM (VALUES ('jo'), ('sor')) v(q)),
+            m AS (
+              SELECT qs.q, tg.doc_id, CAST(min(tg.pos) - 1 AS BIGINT) AS p, max(tg.w) AS w
+              FROM qs JOIN tg ON starts_with(tg.tok, qs.q) AND tg.pos <= 8
+              GROUP BY qs.q, tg.doc_id)
+            SELECT q,
+                   CAST(row_number() OVER (PARTITION BY q ORDER BY CAST(w AS DOUBLE) / (p + 1) DESC, doc_id) - 1 AS BIGINT) AS rank,
+                   doc_id, round(CAST(w AS DOUBLE) / (p + 1), 6) AS score
+            FROM m
+            QUALIFY row_number() OVER (PARTITION BY q ORDER BY CAST(w AS DOUBLE) / (p + 1) DESC, doc_id) <= 10
             ORDER BY q, rank""",
         # FreeTextSuggester: 2-gram stupid backoff (ALPHA=0.4).  Bigram
         # candidates score C(ctx w)/C(ctx ·); unigram backoff candidates

@@ -946,6 +946,89 @@ def free_text_suggest_docs(sf_dir: str) -> pa.Table:
     )
 
 
+def blended_infix_suggest_docs(sf_dir: str) -> pa.Table:
+    """BlendedInfixSuggester analog
+    (`lucene/suggest/src/java/org/apache/lucene/search/suggest/analyzing/BlendedInfixSuggester.java:60-150`):
+    infix term-prefix match anywhere in the suggestion, score = weight
+    blended by the FIRST matching token's position with the
+    POSITION_RECIPROCAL coefficient ``1/(1+position)``
+    (`BlendedInfixSuggester.java:253-262`).  Suggestion corpus = each
+    document's first 8 simple-analyzer tokens, weight = the doc's full
+    token count (both SQL-replayable); suggestions keyed by doc_id.
+    Queries 'jo' and 'sor'; top-10 per query ranked (score desc, doc_id
+    asc).  Fully distributed: one vectorized pass computes per-doc first
+    match positions and a per-block partial top-10; the driver merges
+    <= 10 * blocks rows."""
+    from ..stages.textstats import _token_lists
+
+    qs = ["jo", "sor"]
+    K = 8
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        flat, row_of, tok_len = _token_lists(batch["text"])
+        keep = tok_len > 0
+        toks = flat.filter(pa.array(keep))
+        rows = row_of[keep]
+        n = batch.num_rows
+        counts = np.bincount(rows, minlength=n).astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        pos = np.arange(len(rows), dtype=np.int64) - starts[rows]
+        first = pos < K
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        out_q: list[str] = []
+        out_id: list[int] = []
+        out_s: list[float] = []
+        for q in qs:
+            m = pc.starts_with(toks, q).to_numpy(zero_copy_only=False).astype(bool)
+            m &= first
+            if not m.any():
+                continue
+            mrows, mpos = rows[m], pos[m]
+            order = np.lexsort((mpos, mrows))
+            mrows, mpos = mrows[order], mpos[order]
+            fm = np.ones(len(mrows), dtype=bool)
+            fm[1:] = mrows[1:] != mrows[:-1]
+            drow, dpos = mrows[fm], mpos[fm]
+            score = counts[drow].astype(np.float64) / (dpos + 1)
+            idx = np.lexsort((ids[drow], -score))[:10]
+            out_q.extend([q] * len(idx))
+            out_id.extend(ids[drow][idx].tolist())
+            out_s.extend(score[idx].tolist())
+        return pa.table(
+            {
+                "q": pa.array(out_q, type=pa.string()),
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    parts = pa.concat_tables(
+        ds.map_batches(part, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
+    )
+    out = {"q": [], "rank": [], "doc_id": [], "score": []}
+    for q in qs:
+        sub = parts.filter(pc.equal(parts["q"], q))
+        idx = np.lexsort(
+            (np.asarray(sub["doc_id"], dtype=np.int64),
+             -np.asarray(sub["score"], dtype=np.float64))
+        )[:10]
+        sub = sub.take(idx)
+        for rank in range(sub.num_rows):
+            out["q"].append(q)
+            out["rank"].append(rank)
+            out["doc_id"].append(sub["doc_id"][rank].as_py())
+            out["score"].append(round(sub["score"][rank].as_py(), 6))
+    return pa.table(
+        {
+            "q": pa.array(out["q"], type=pa.string()),
+            "rank": pa.array(out["rank"], type=pa.int64()),
+            "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+            "score": pa.array(out["score"], type=pa.float64()),
+        }
+    )
+
+
 def facet_source_prefix(sf_dir: str) -> pa.Table:
     """facet.prefix=src1 over hits of term 'join': the sorted facet
     dictionary makes the prefix an ORDINAL RANGE (`SimpleFacets.java`

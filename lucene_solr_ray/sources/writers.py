@@ -123,3 +123,198 @@ def to_csv_response(table: pa.Table, *, separator: str = ",",
                 row.append("" if v is None else v)
         w.writerow(row)
     return out.getvalue()
+
+
+def _py_payload(table: pa.Table, num_found, start, qtime_ms) -> dict:
+    docs = _rows(table)
+    return {
+        "responseHeader": {"status": 0, "QTime": int(qtime_ms)},
+        "response": {
+            "numFound": len(docs) if num_found is None else int(num_found),
+            "start": int(start),
+            "docs": docs,
+        },
+    }
+
+
+def to_python_response(table: pa.Table, *, num_found: int | None = None,
+                       start: int = 0, qtime_ms: int = 0) -> str:
+    """``wt=python`` (`solr/core/src/java/org/apache/solr/response/
+    PythonResponseWriter.java:30-95`): the JSON payload rendered as a
+    Python literal — single-quoted strings, ``True``/``False``/``None`` —
+    so ``ast.literal_eval`` round-trips it.  Python's ``repr`` of the
+    nested dict/list/scalar payload IS that rendering (dates stringified
+    first, like the JSON writer's ``default=str``)."""
+    def conv(v):
+        import datetime
+
+        if isinstance(v, dict):
+            return {k: conv(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [conv(x) for x in v]
+        if isinstance(v, (datetime.date, datetime.datetime)):
+            return str(v)
+        return v
+
+    return repr(conv(_py_payload(table, num_found, start, qtime_ms)))
+
+
+def to_ruby_response(table: pa.Table, *, num_found: int | None = None,
+                     start: int = 0, qtime_ms: int = 0) -> str:
+    """``wt=ruby`` (`RubyResponseWriter.java:28-60`): hash-rocket pairs,
+    ``nil`` for null, single-quoted strings with ``\\`` and ``'``
+    escaped — eval-able Ruby, per the reference's NaN/Infinity-free
+    contract."""
+    def render(v) -> str:
+        import datetime
+
+        if v is None:
+            return "nil"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, dict):
+            inner = ",".join(f"{render(k)}=>{render(x)}" for k, x in v.items())
+            return "{" + inner + "}"
+        if isinstance(v, (list, tuple)):
+            return "[" + ",".join(render(x) for x in v) + "]"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        if isinstance(v, (datetime.date, datetime.datetime)):
+            v = str(v)
+        s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+        return f"'{s}'"
+
+    return render(_py_payload(table, num_found, start, qtime_ms))
+
+
+# ---- javabin (binary wire format) -------------------------------------------
+#
+# Minimal JavaBinCodec v2 subset (`solr/solrj/src/java/org/apache/solr/
+# common/util/JavaBinCodec.java:60-120`, format publicly documented on the
+# Solr wiki): NULL / BOOL / LONG (small-vint) / DOUBLE / STR / ARR /
+# ORDERED_MAP — enough to carry the response payload.  Round-trip tested
+# against its own reader; cross-implementation parity with SolrJ is
+# untestable in this sandbox (no JVM) and documented as such.
+
+_JB_NULL, _JB_TRUE, _JB_FALSE, _JB_DOUBLE, _JB_LONG = 0, 1, 2, 5, 7
+_JB_STR, _JB_ARR, _JB_OMAP = 1 << 5, 4 << 5, 5 << 5
+
+
+def _jb_vint(out: bytearray, v: int) -> None:
+    while (v & ~0x7F) != 0:
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+    out.append(v)
+
+
+def _jb_tagged_size(out: bytearray, tag: int, size: int) -> None:
+    """Upper-3-bit tag with the size packed in the low 5 bits (0x1F means
+    'continued as vint')."""
+    if size < 0x1F:
+        out.append(tag | size)
+    else:
+        out.append(tag | 0x1F)
+        _jb_vint(out, size - 0x1F)
+
+
+def javabin_dumps(obj) -> bytes:
+    out = bytearray([2])  # version byte
+
+    def write(v):
+        import datetime
+
+        if v is None:
+            out.append(_JB_NULL)
+        elif isinstance(v, bool):
+            out.append(_JB_TRUE if v else _JB_FALSE)
+        elif isinstance(v, int):
+            out.append(_JB_LONG)
+            out.extend(int(v).to_bytes(8, "big", signed=True))
+        elif isinstance(v, float):
+            import struct
+
+            out.append(_JB_DOUBLE)
+            out.extend(struct.pack(">d", v))
+        elif isinstance(v, (datetime.date, datetime.datetime)):
+            write(str(v))
+        elif isinstance(v, str):
+            b = v.encode("utf-8")
+            _jb_tagged_size(out, _JB_STR, len(b))
+            out.extend(b)
+        elif isinstance(v, dict):
+            _jb_tagged_size(out, _JB_OMAP, len(v))
+            for k, x in v.items():
+                write(str(k))
+                write(x)
+        elif isinstance(v, (list, tuple)):
+            _jb_tagged_size(out, _JB_ARR, len(v))
+            for x in v:
+                write(x)
+        else:
+            write(str(v))
+
+    write(obj)
+    return bytes(out)
+
+
+def javabin_loads(data: bytes):
+    pos = [1]  # skip version byte
+    if not data or data[0] != 2:
+        raise ValueError("unsupported javabin version")
+
+    def rd_vint() -> int:
+        v, shift = 0, 0
+        while True:
+            b = data[pos[0]]
+            pos[0] += 1
+            v |= (b & 0x7F) << shift
+            if not (b & 0x80):
+                return v
+            shift += 7
+
+    def rd_size(tagbyte: int) -> int:
+        size = tagbyte & 0x1F
+        if size == 0x1F:
+            size += rd_vint()
+        return size
+
+    def read():
+        import struct
+
+        tb = data[pos[0]]
+        pos[0] += 1
+        tag = tb & 0xE0
+        if tag:
+            size = rd_size(tb)
+            if tag == _JB_STR:
+                s = data[pos[0]:pos[0] + size].decode("utf-8")
+                pos[0] += size
+                return s
+            if tag == _JB_ARR:
+                return [read() for _ in range(size)]
+            if tag == _JB_OMAP:
+                return {read(): read() for _ in range(size)}
+            raise ValueError(f"unsupported javabin tag 0x{tag:02x}")
+        if tb == _JB_NULL:
+            return None
+        if tb == _JB_TRUE:
+            return True
+        if tb == _JB_FALSE:
+            return False
+        if tb == _JB_LONG:
+            v = int.from_bytes(data[pos[0]:pos[0] + 8], "big", signed=True)
+            pos[0] += 8
+            return v
+        if tb == _JB_DOUBLE:
+            v = struct.unpack(">d", data[pos[0]:pos[0] + 8])[0]
+            pos[0] += 8
+            return v
+        raise ValueError(f"unsupported javabin tag byte 0x{tb:02x}")
+
+    return read()
+
+
+def to_javabin_response(table: pa.Table, *, num_found: int | None = None,
+                        start: int = 0, qtime_ms: int = 0) -> bytes:
+    """``wt=javabin``: the response payload through :func:`javabin_dumps`."""
+    return javabin_dumps(_py_payload(table, num_found, start, qtime_ms))

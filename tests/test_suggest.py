@@ -247,3 +247,42 @@ class TestFuzzySuggest:
     def test_transposition_is_one_edit(self):
         # pure-DP check: 'sacn' matches 'scan...' completions at 1 OSA edit
         assert _osa("acn", "can") == 1
+
+
+def test_blended_infix_matches_brute(ray_session, tmp_path):
+    """BlendedInfixSuggester analog vs a per-doc brute recomputation:
+    first-8-token suggestion window, POSITION_RECIPROCAL blending
+    weight/(1+first match pos), (score desc, doc_id asc) top-10."""
+    import re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pqt
+
+    from lucene_solr_ray.pipelines.fulltext import blended_infix_suggest_docs
+
+    texts = [
+        "alpha joins the sort engine",            # 'jo' at pos 1, w=5
+        "zeta beta gamma delta epsilon eta theta iota joint",  # 'jo' at pos 8 -> outside window
+        "jolt first token here",                  # 'jo' at pos 0, w=4
+        "sorted merging of sorted runs",          # 'sor' at pos 0, w=5
+        "one two sort",                           # 'sor' at pos 2, w=3
+        "",                                        # no tokens
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": pa.array(texts)})
+    pqt.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = blended_infix_suggest_docs(str(tmp_path)).to_pandas()
+
+    want_rows = []
+    for q in ("jo", "sor"):
+        cands = []
+        for did, s in enumerate(texts):
+            toks = [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+            hits = [i for i, t in enumerate(toks[:8]) if t.startswith(q)]
+            if hits:
+                cands.append((len(toks) / (1 + hits[0]), did))
+        cands.sort(key=lambda sd: (-sd[0], sd[1]))
+        for rank, (score, did) in enumerate(cands[:10]):
+            want_rows.append((q, rank, did, round(score, 6)))
+    got_rows = list(zip(got["q"], got["rank"], got["doc_id"], got["score"]))
+    assert got_rows == want_rows
