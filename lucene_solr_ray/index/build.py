@@ -51,6 +51,28 @@ from ray.data.aggregate import Count, Sum
 from ..smallfloat import NORM_TABLE
 from ..stages.extract import extract_batch
 from ..stages.tokenize import tokenize_batch
+
+# Ray Data's path resolution does `from fsspec.implementations.http import
+# HTTPFileSystem` on EVERY write and catches only ModuleNotFoundError; with
+# aiohttp absent the module import fails and is retried each call, and
+# concurrent first-imports from this module's overlap THREADS can surface a
+# plain ImportError instead (uncaught -> a build stage dies).  Register a
+# sentinel module once so the import is deterministic and cheap; the class
+# is never instantiated here (local filesystem only), so the
+# isinstance(..., HTTPFileSystem) check it feeds is always False.
+try:  # pragma: no cover - depends on optional aiohttp
+    from fsspec.implementations.http import HTTPFileSystem as _HTTPFS  # noqa: F401
+except ImportError:  # aiohttp missing (this sandbox): install the sentinel
+    import sys as _sys
+    import types as _types
+
+    _mod = _types.ModuleType("fsspec.implementations.http")
+
+    class _HTTPFileSystemSentinel:
+        pass
+
+    _mod.HTTPFileSystem = _HTTPFileSystemSentinel
+    _sys.modules.setdefault("fsspec.implementations.http", _mod)
 from .postings import encode_cells_columns, float32_cells
 
 DEFAULT_FACET_FIELDS = ("host", "tld", "lang")
@@ -512,7 +534,10 @@ def build_index(
             ds.write_parquet(docmap_dir, partition_cols=["partition_id"], mode="overwrite")
             _mark_stage(index_dir, "docmap", secs=time.time() - t0)
 
-        # ---- stage 4b: stored-fields doc store (lazy .fdt analog) ----------
+    # ---- stage 4b: stored-fields doc store (lazy .fdt analog) ----------
+    # Depends only on the tokenized checkpoint (not on dicts/docmap), so it
+    # gets its own overlap thread alongside postings and dicts/docmap.
+    def _run_stored():
         if stored_fields and not (resume and _stage_done(index_dir, "stored")):
             t0 = time.time()
             _read_sized(
@@ -859,11 +884,31 @@ def build_index(
         _mark_stage(index_dir, "stats", secs=time.time() - t0)
 
     import threading
-    _th = threading.Thread(target=_run_dicts_docmap)
+
+    # overlap-thread failures must fail the BUILD, not vanish into the
+    # thread (a dead dicts/stored thread would otherwise leave a silently
+    # incomplete index that stage markers treat as done on resume)
+    _errs: list[BaseException] = []
+
+    def _guard(fn):
+        def run():
+            try:
+                fn()
+            except BaseException as e:  # re-raised on the main thread below
+                _errs.append(e)
+
+        return run
+
+    _th = threading.Thread(target=_guard(_run_dicts_docmap))
+    _th_stored = threading.Thread(target=_guard(_run_stored))
     _th.start()
+    _th_stored.start()
     _run_postings()
     _run_stats()  # needs only postings; overlaps the dicts/docmap tail
     _th.join()
+    _th_stored.join()
+    if _errs:
+        raise _errs[0]
 
     # ---- stage 7: commit manifest ------------------------------------------
     with open(os.path.join(index_dir, "stats.json")) as f:
