@@ -442,9 +442,10 @@ def free_text_suggest(ds, queries, *, alpha: float = 0.4, top: int = 10,
 
     Shape: ONE distributed counting pass (per-batch Arrow value_counts
     partials for each query's candidate sets + marginals, then a small
-    multi-key groupby); the driver holds only per-query candidate tables
-    (bounded by prefix selectivity — at web scale pass a prefix of >= 1
-    char, same posture as the dictionary range scans).  Returns
+    multi-key groupby); the vocab-sized unigram-backoff side ships only
+    per-block partial top-Ms after the groupby (exact: one row per
+    (qid, term) post-aggregation), so the driver holds <= M x blocks rows
+    even for an EMPTY prefix over web vocabulary.  Returns
     ``[(query, rank, term, score)]`` with score rounded to 6 decimals (the
     cross-engine float contract used by every LM gate in this module)."""
     import re
@@ -504,21 +505,66 @@ def free_text_suggest(ds, queries, *, alpha: float = 0.4, top: int = 10,
             "c": pa.array(out_c, type=pa.int64()),
         })
 
-    agg = (
+    agg_ds = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby(["qid", "kind", "term"])
         .sum("c")
-        .to_pandas()  # bounded by per-query prefix selectivity
+        .materialize()
     )
-    total = float(agg.loc[agg["kind"] == "t", "sum(c)"].sum())
+    # bigram/marginal/total rows are bounded by (context, prefix)
+    # selectivity and land on the driver whole; the unigram-backoff side is
+    # VOCAB-sized for short/empty prefixes, so it ships only per-block
+    # partial top-Ms — exact because after the groupby every (qid, term) is
+    # ONE row, so the global top-M by count is a subset of the union of
+    # block top-Ms.  M = top + |bigram candidate set| per query covers the
+    # worst case where every bigram-order term also occupies a backoff slot.
+    def _collect(ds_part) -> "pa.Table":
+        parts = list(ds_part.iter_batches(batch_format="pyarrow"))
+        if not parts:
+            return pa.table({"qid": pa.array([], type=pa.int64()),
+                             "kind": pa.array([], type=pa.string()),
+                             "term": pa.array([], type=pa.string()),
+                             "sum(c)": pa.array([], type=pa.int64())})
+        return pa.concat_tables(parts)
+
+    small = _collect(agg_ds.filter(expr="kind != 'u'")).to_pandas()
+    total = float(small.loc[small["kind"] == "t", "sum(c)"].sum())
+    big_by_q = {
+        qid: dict(zip(small.loc[(small["qid"] == qid) & (small["kind"] == "b"), "term"],
+                      small.loc[(small["qid"] == qid) & (small["kind"] == "b"), "sum(c)"]))
+        for qid, _c, _p in parsed
+    }
+    M = top + max((len(b) for b in big_by_q.values()), default=0)
+
+    def block_top_u(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        out_parts = []
+        qids = np.asarray(t["qid"], dtype=np.int64)
+        cs = np.asarray(t["sum(c)"], dtype=np.int64)
+        for qid in np.unique(qids):
+            m = np.flatnonzero(qids == qid)
+            # (count desc, term asc) — term order via Arrow take after lexsort
+            sub = t.take(m)
+            idx = pc.sort_indices(
+                sub, sort_keys=[("sum(c)", "descending"), ("term", "ascending")]
+            )
+            out_parts.append(sub.take(idx[:M]))
+        return pa.concat_tables(out_parts)
+
+    uni_small = _collect(
+        agg_ds.filter(expr="kind == 'u'")
+        .map_batches(block_top_u, batch_format="pyarrow")
+    ).to_pandas()  # <= M * blocks rows
+
     out = []
     for qid, ctx, prefix in parsed:
-        sub = agg[agg["qid"] == qid]
+        sub = small[small["qid"] == qid]
         c1 = float(sub.loc[sub["kind"] == "l", "sum(c)"].sum())
-        big = dict(zip(sub.loc[sub["kind"] == "b", "term"],
-                       sub.loc[sub["kind"] == "b", "sum(c)"]))
-        uni = dict(zip(sub.loc[sub["kind"] == "u", "term"],
-                       sub.loc[sub["kind"] == "u", "sum(c)"]))
+        big = big_by_q[qid]
+        usub = uni_small[uni_small["qid"] == qid]
+        usub = usub.sort_values(["sum(c)", "term"], ascending=[False, True]).head(M)
+        uni = dict(zip(usub["term"], usub["sum(c)"]))
         cands: dict[str, float] = {}
         if ctx is not None and c1 > 0:
             for t, c in big.items():
