@@ -1467,10 +1467,20 @@ def oracle_sql() -> dict[str, str]:
               SELECT t, row_number() OVER (ORDER BY levenshtein(t, 'dupp') ASC, df DESC, t ASC) - 1 AS i
               FROM dict WHERE t <> 'dupp' AND levenshtein(t, 'dupp') <= 2
               ORDER BY levenshtein(t, 'dupp') ASC, df DESC, t ASC LIMIT 5),
+            -- engine fallback parity: a misspelled term with NO in-dictionary
+            -- candidate keeps the original word (cand list [w], index 0) --
+            -- coalesce an empty candidate CTE to that same single row so the
+            -- cross join never collapses to zero tried rows
+            c1f AS (SELECT t, i FROM c1
+                    UNION ALL SELECT 'dat' AS t, 0 AS i
+                    WHERE NOT EXISTS (SELECT 1 FROM c1)),
+            c2f AS (SELECT t, i FROM c2
+                    UNION ALL SELECT 'dupp' AS t, 0 AS i
+                    WHERE NOT EXISTS (SELECT 1 FROM c2)),
             combos AS (
-              SELECT c1.t AS t1, c2.t AS t2, c1.i + c2.i AS rnk,
-                     c1.i * (SELECT count(*) FROM c2) + c2.i AS gen
-              FROM c1, c2),
+              SELECT c1f.t AS t1, c2f.t AS t2, c1f.i + c2f.i AS rnk,
+                     c1f.i * (SELECT count(*) FROM c2f) + c2f.i AS gen
+              FROM c1f, c2f),
             ordered AS (
               SELECT t1, t2, rnk, row_number() OVER (ORDER BY rnk, gen) - 1 AS try_no
               FROM combos ORDER BY rnk, gen LIMIT 10),

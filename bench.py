@@ -557,7 +557,12 @@ def run_workload_ceiling(repeats: int | None = None) -> dict:
         repeats = int(os.environ.get("BENCH_CEILING_REPEATS", "3"))
     repeats = max(1, repeats)
     cycles: list[dict[int, float]] = []
-    ctx = mp.get_context("fork")
+    # fork-mode Pool under a live in-process Ray session can inherit held
+    # gRPC/core-worker mutexes and hang; spawn costs ~1s of startup per leg
+    # but is safe regardless of the caller's session state.
+    import ray as _ray
+
+    ctx = mp.get_context("spawn" if _ray.is_initialized() else "fork")
     for _ in range(repeats):
         rates: dict[int, float] = {}
         for n in levels:

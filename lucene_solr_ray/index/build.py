@@ -863,10 +863,9 @@ def build_index(
             write_shards, batch_format="pyarrow", batch_size=TERMS_SHARD_ROWS
         ).materialize()
         write_shard_index(tg_dir)
-        import glob as _glob2
 
         parts = []
-        for f in sorted(_glob2.glob(os.path.join(postings_dir, "partition_id=*", "_part_stats.json"))):
+        for f in sorted(_g0.glob(os.path.join(postings_dir, "partition_id=*", "_part_stats.json"))):
             with open(f) as fh:
                 parts.append(json.load(fh))
         parts.sort(key=lambda p: p["partition_id"])

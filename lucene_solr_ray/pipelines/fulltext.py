@@ -98,6 +98,14 @@ def _rank_table(cols: dict) -> pa.Table:
     }})
 
 
+def _concat_or_empty(batches, schema: pa.Schema) -> pa.Table:
+    """``pa.concat_tables`` over an iterator of batches, tolerating a
+    ZERO-batch dataset (``concat_tables([])`` raises ArrowInvalid): an empty
+    corpus falls back to an empty table of the expected schema instead."""
+    tables = list(batches)
+    return pa.concat_tables(tables) if tables else schema.empty_table()
+
+
 # ---- term statistics (exercises the groupby-term shuffle) -------------------
 
 
@@ -113,10 +121,11 @@ def _terms_topn(index_dir: str, key: str, n: int):
         )
         return t.take(idx[:n])
 
-    parts = pa.concat_tables(
+    parts = _concat_or_empty(
         rd.read_parquet(os.path.join(index_dir, "terms_global"), columns=["term", key])
         .map_batches(block_top, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")  # <= n * n_blocks rows total
+        .iter_batches(batch_format="pyarrow"),  # <= n * n_blocks rows total
+        pa.schema([("term", pa.string()), (key, pa.int64())]),
     )
     idx = pc.sort_indices(
         parts, sort_keys=[(key, "descending"), ("term", "ascending")]
@@ -1003,8 +1012,10 @@ def blended_infix_suggest_docs(sf_dir: str) -> pa.Table:
             }
         )
 
-    parts = pa.concat_tables(
-        ds.map_batches(part, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
+    parts = _concat_or_empty(
+        ds.map_batches(part, batch_format="pyarrow").iter_batches(batch_format="pyarrow"),
+        pa.schema([("q", pa.string()), ("doc_id", pa.int64()),
+                   ("score", pa.float64())]),
     )
     out = {"q": [], "rank": [], "doc_id": [], "score": []}
     for q in qs:

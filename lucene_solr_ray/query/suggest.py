@@ -289,28 +289,37 @@ def spellcheck_collations(stats, words, verify, *, field: str = "text",
         hits = int(verify(list(words)))
         return [{"try_no": 0, "rank": 0, "collation": list(words),
                  "hits": hits, "kept": int(hits > 0)}]
-    # odometer enumeration: rank = sum of indices, index = generation order
-    combos: list[tuple[int, int, tuple[int, ...]]] = []
+    # Odometer enumeration, LAZY in (rank asc, generation asc) order.  The
+    # odometer (last slot advancing fastest) emits index tuples in
+    # lexicographic order, so generation order == lex order, and the
+    # (rank, gen) try order is exactly "for each rank r ascending, all
+    # tuples summing to r in lex order".  Enumerating that directly costs
+    # O(tries x n_slots) instead of the full cross-product (10 misspelled
+    # terms at top_per_term=5 would otherwise sort 5^10 tuples on the
+    # driver before applying the 10-try cap).
     sizes = [len(c) for c in cand_lists]
-    idxs = [0] * len(sizes)
-    gen = 0
-    while True:
-        combos.append((sum(idxs), gen, tuple(idxs)))
-        gen += 1
-        pos = len(sizes) - 1
-        while pos >= 0:
-            idxs[pos] += 1
-            if idxs[pos] < sizes[pos]:
-                break
-            idxs[pos] = 0
-            pos -= 1
-        if pos < 0:
-            break
-    combos.sort()
+    suffix_max = [0] * (len(sizes) + 1)
+    for p in range(len(sizes) - 1, -1, -1):
+        suffix_max[p] = suffix_max[p + 1] + sizes[p] - 1
+
+    def _lex_sum(pos: int, r: int, prefix: tuple[int, ...]):
+        if pos == len(sizes):
+            if r == 0:
+                yield prefix
+            return
+        for i in range(min(sizes[pos] - 1, r) + 1):
+            if r - i <= suffix_max[pos + 1]:
+                yield from _lex_sum(pos + 1, r - i, prefix + (i,))
+
+    def _ranked():
+        for r in range(suffix_max[0] + 1):
+            for tup in _lex_sum(0, r, ()):
+                yield r, tup
+
     out = []
     try_no = 0
     kept_n = 0
-    for rank, _gen, choice in combos:
+    for rank, choice in _ranked():
         if try_no >= max_tries or kept_n >= max_collations:
             break
         corrected: list[str] = []

@@ -10,8 +10,10 @@ double/bool/date); CSV quotes per RFC 4180 like ``CSVResponseWriter``.
 
 from __future__ import annotations
 
+import datetime
 import io
 import json
+import struct
 from xml.sax.saxutils import escape
 
 import pyarrow as pa
@@ -35,7 +37,6 @@ def _xml_tag(value) -> str:
         return "long"
     if isinstance(value, float):
         return "double"
-    import datetime
 
     if isinstance(value, (datetime.date, datetime.datetime)):
         return "date"
@@ -146,7 +147,6 @@ def to_python_response(table: pa.Table, *, num_found: int | None = None,
     nested dict/list/scalar payload IS that rendering (dates stringified
     first, like the JSON writer's ``default=str``)."""
     def conv(v):
-        import datetime
 
         if isinstance(v, dict):
             return {k: conv(x) for k, x in v.items()}
@@ -166,7 +166,6 @@ def to_ruby_response(table: pa.Table, *, num_found: int | None = None,
     escaped — eval-able Ruby, per the reference's NaN/Infinity-free
     contract."""
     def render(v) -> str:
-        import datetime
 
         if v is None:
             return "nil"
@@ -221,7 +220,6 @@ def javabin_dumps(obj) -> bytes:
     out = bytearray([2])  # version byte
 
     def write(v):
-        import datetime
 
         if v is None:
             out.append(_JB_NULL)
@@ -231,7 +229,6 @@ def javabin_dumps(obj) -> bytes:
             out.append(_JB_LONG)
             out.extend(int(v).to_bytes(8, "big", signed=True))
         elif isinstance(v, float):
-            import struct
 
             out.append(_JB_DOUBLE)
             out.extend(struct.pack(">d", v))
@@ -279,7 +276,6 @@ def javabin_loads(data: bytes):
         return size
 
     def read():
-        import struct
 
         tb = data[pos[0]]
         pos[0] += 1

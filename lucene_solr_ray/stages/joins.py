@@ -187,13 +187,25 @@ def hash_join(
         lmask = pc.equal(group["__side"], "L")
         gl = group.filter(lmask).select(list(l_names))
         gr = group.filter(pc.invert(lmask)).select(list(r_names))
+        # Acero requires identical key types; when they differ (int32 vs
+        # int64, string vs large_string) cast ONLY the skinny join keys to
+        # their promoted common type — output columns are assembled from the
+        # original tables, so both sides keep their native dtypes.
+        lk_col, rk_col = gl[left_key], gr[right_key]
+        if lk_col.type != rk_col.type:
+            common = pa.unify_schemas(
+                [pa.schema([("k", lk_col.type)]), pa.schema([("k", rk_col.type)])],
+                promote_options="permissive",
+            ).field("k").type
+            lk_col = pc.cast(lk_col, common)
+            rk_col = pc.cast(rk_col, common)
         lk = pa.table(
             {"__li": pa.array(np.arange(gl.num_rows, dtype=np.int64)),
-             "__lk": gl[left_key]}
+             "__lk": lk_col}
         )
         rk = pa.table(
             {"__ri": pa.array(np.arange(gr.num_rows, dtype=np.int64)),
-             "__rk": gr[right_key]}
+             "__rk": rk_col}
         )
         m = lk.join(
             rk, keys="__lk", right_keys="__rk",
@@ -206,15 +218,13 @@ def hash_join(
             names.append(n)
             cols.append(left_out[n])
         for n in r_names:
-            if n == right_key:
-                if right_key == left_key:
-                    continue  # coalesced into the left key column
-                col = pc.if_else(
-                    pc.is_valid(ri), left_out[left_key],
-                    pa.scalar(None, type=gl.schema.field(left_key).type),
-                )
-            else:
-                col = gr[n].take(ri)
+            if n == right_key and right_key == left_key:
+                continue  # coalesced into the left key column
+            # the right key rides along like any other right column (take
+            # with null indices yields nulls), keeping the RIGHT table's own
+            # dtype — rebuilding it from the left key would silently retype
+            # it when key dtypes differ (e.g. int32 vs int64)
+            col = gr[n].take(ri)
             names.append(n if n not in set(l_names) else f"{n}_r")
             cols.append(col)
         return pa.table(dict(zip(names, cols)))

@@ -53,11 +53,21 @@ r = subprocess.run(
     [sys.executable, "/root/repo/bench.py", "--scaling"],
     env=env, capture_output=True, text=True, cwd="/root/repo",
 )
-line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else "{}"
+line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
+if r.returncode != 0:
+    # Do NOT write the artifact: a traceback fragment or partial line would
+    # masquerade as a well-formed result to later readers of OUT.
+    print("[watch] bench.py --scaling FAILED (no artifact written)", flush=True)
+    print(r.stderr[-2000:], flush=True)
+    sys.exit(r.returncode)
+try:
+    parsed = json.loads(line)
+    assert "scaling_efficiency" in parsed
+except Exception:
+    print("[watch] last stdout line is not a scaling JSON (no artifact written):",
+          line[:500], flush=True)
+    sys.exit(2)
 os.makedirs(os.path.dirname(OUT), exist_ok=True)
 with open(OUT, "w") as f:
     f.write(line + "\n")
 print("[watch] done:", line, flush=True)
-if r.returncode != 0:
-    print(r.stderr[-2000:], flush=True)
-    sys.exit(r.returncode)

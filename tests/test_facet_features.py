@@ -138,3 +138,39 @@ def test_facet_missing_bucket(ray_session, tmp_path):
         assert res2["facets"]["lang"] == [("en", 3), ("de", 2)]
     finally:
         s.shutdown()
+
+
+def test_hash_join_preserves_right_key_dtype(ray_session):
+    """Differing key dtypes (int32 vs int64) promote only inside the skinny
+    Acero join; the OUTPUT right-key column keeps the right table's own
+    dtype and nulls out on unmatched left rows (left-outer contract)."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from lucene_solr_ray.stages.joins import hash_join
+
+    left = rd.from_arrow(pa.table(
+        {"lk": pa.array([1, 2, 3, 4], pa.int64()), "lv": list("abcd")}))
+    right = rd.from_arrow(pa.table(
+        {"rk": pa.array([2, 3, 5], pa.int32()), "rv": [20.0, 30.0, 50.0]}))
+    tabs = [ray.get(r) for r in
+            hash_join(left, right, "lk", "rk", how="left").to_arrow_refs()]
+    t = pa.concat_tables([x for x in tabs if x.num_rows]).sort_by("lk")
+    assert t.schema.field("rk").type == pa.int32()
+    assert t["rk"].to_pylist() == [None, 2, 3, None]
+    assert t["rv"].to_pylist() == [None, 20.0, 30.0, None]
+
+
+def test_concat_or_empty_zero_batches():
+    """A zero-batch dataset must yield an empty table of the expected
+    schema, not an ArrowInvalid from pa.concat_tables([])."""
+    import pyarrow as pa
+
+    from lucene_solr_ray.pipelines.fulltext import _concat_or_empty
+
+    schema = pa.schema([("term", pa.string()), ("df", pa.int64())])
+    out = _concat_or_empty(iter([]), schema)
+    assert out.num_rows == 0 and out.schema == schema
+    one = pa.table({"term": ["a"], "df": pa.array([1], pa.int64())})
+    assert _concat_or_empty(iter([one]), schema).num_rows == 1

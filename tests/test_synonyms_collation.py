@@ -239,3 +239,30 @@ class TestSpellcheckCollations:
             assert out[0]["kept"] == 1 and len(out) == 1
         finally:
             sug.spellcheck = orig
+
+    def test_odometer_is_lazy_at_exponential_space(self):
+        """10 misspelled slots x 5 candidates = 5^10 combinations; the
+        (rank, generation) enumeration must be lazy (PossibilityIterator
+        admits it), so max_tries=10 returns instantly instead of building
+        and sorting ~9.8M tuples on the driver."""
+        import time
+
+        import lucene_solr_ray.query.suggest as sug
+
+        orig = sug.spellcheck
+        sug.spellcheck = (lambda stats, w, field="text", max_edits=2, top=5:
+                          [(f"{w}c{i}", 1, 5 - i) for i in range(5)])
+        try:
+            stats = type("S", (), {"df": {}})()
+            words = [f"wrd{i}" for i in range(10)]
+            t0 = time.time()
+            out = sug.spellcheck_collations(
+                stats, words, lambda ws: 0, max_tries=10, max_collations=2)
+            took = time.time() - t0
+            assert len(out) == 10
+            # first try is all-top-1; ranks are nondecreasing
+            assert out[0]["collation"] == [f"wrd{i}c0" for i in range(10)]
+            assert [r["rank"] for r in out] == sorted(r["rank"] for r in out)
+            assert took < 1.0, f"odometer not lazy: {took:.2f}s"
+        finally:
+            sug.spellcheck = orig
