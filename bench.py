@@ -390,7 +390,19 @@ def run_scaling() -> dict:
     # killed mid-cycle (host drift can stretch a cycle past any timeout)
     # leaves every finished leg recoverable instead of losing the whole run
     journal = os.environ.get("BENCH_SCALING_JOURNAL", "/tmp/bench_scaling_journal.jsonl")
+    # Interleave ONE workload-ceiling cycle (bare-multiprocessing, same
+    # kernels) inside EACH pipeline cycle, so every cycle gets a divisor
+    # measured in ITS OWN window.  End-of-run ceilings repeatedly poisoned
+    # the normalization on this drifting host (run C: pipeline cycles at
+    # 0.751 raw, but the ceiling ran minutes later in a different window
+    # and measured > 1).  Median-of-per-cycle-normalized is the headline;
+    # BENCH_INTERLEAVE_CEILING=0 restores the end-of-run aggregate.
+    interleave_ceiling = (
+        not os.environ.get("BENCH_SKIP_WORKLOAD_CEILING")
+        and os.environ.get("BENCH_INTERLEAVE_CEILING", "1") != "0"
+    )
     cycles: list[dict[int, dict]] = []
+    wl_cycles: list[dict] = []
     for cyc in range(repeats):
         runs: dict[int, dict] = {}
         for c in levels:
@@ -402,6 +414,17 @@ def run_scaling() -> dict:
             except OSError:
                 pass
         cycles.append(runs)
+        if interleave_ceiling:
+            try:
+                wl = run_workload_ceiling(repeats=1)
+            except Exception as ex:  # never fail the protocol for the divisor
+                wl = {"error": repr(ex)}
+            wl_cycles.append(wl)
+            try:
+                with open(journal, "a") as jf:
+                    jf.write(json.dumps({"cycle": cyc, "workload_ceiling": wl}) + "\n")
+            except OSError:
+                pass
 
     def _median(xs):
         xs = sorted(xs)
@@ -457,10 +480,40 @@ def run_scaling() -> dict:
         result["scaling_efficiency_ceiling_normalized"] = result[first]
     # workload-shaped ceiling (bare multiprocessing, same kernels, no Ray):
     # the strongest divisor — what THIS workload can scale to on THIS box
-    # with zero orchestration.  One interleaved cycle by default (the corpus
-    # is already warm); BENCH_SKIP_WORKLOAD_CEILING=1 disables.
-    if not os.environ.get("BENCH_SKIP_WORKLOAD_CEILING"):
-        # one cycle by default (corpus already warm); an explicit
+    # with zero orchestration.  BENCH_SKIP_WORKLOAD_CEILING=1 disables.
+    if interleave_ceiling and wl_cycles:
+        # per-cycle same-window normalization: cycle i's measured eff
+        # divided by cycle i's OWN ceiling; headline = median of the
+        # per-cycle normalized values (median of ratios, not ratio of
+        # medians — each ratio is window-consistent by construction)
+        for lo, hi in zip(levels, levels[1:]):
+            key = f"eff_{lo}_{hi}"
+            raw_effs = [
+                (r[hi]["docs_per_sec"] / r[lo]["docs_per_sec"]) / (hi / lo)
+                for r in cycles
+            ]
+            cw = [w.get(key) for w in wl_cycles]
+            norm = [
+                round(e / c, 3) for e, c in zip(raw_effs, cw) if c
+            ]
+            good = [c for c in cw if c]
+            if good:
+                result[f"ceiling_workload_{lo}_{hi}"] = round(_median(good), 3)
+                result[f"ceiling_workload_{lo}_{hi}_cycles"] = [
+                    round(c, 3) if c else None for c in cw
+                ]
+            if norm:
+                result[f"eff_norm_workload_{lo}_{hi}"] = round(_median(norm), 3)
+                result[f"eff_norm_workload_{lo}_{hi}_cycles"] = norm
+        result["workload_ceiling_docs_per_sec"] = {
+            k: round(_median([w[k] for w in wl_cycles if k in w]), 1)
+            for k in {k for w in wl_cycles for k in w if k.startswith("docs_per_sec_") and not k.endswith("_cycles")}
+        }
+        errs = [w["error"] for w in wl_cycles if "error" in w]
+        if errs:
+            result["workload_ceiling_error"] = errs[0]
+    elif not os.environ.get("BENCH_SKIP_WORKLOAD_CEILING"):
+        # end-of-run aggregate (BENCH_INTERLEAVE_CEILING=0); an explicit
         # BENCH_CEILING_REPEATS env wins — passed as an argument, the
         # process env is never mutated (ADVICE r4)
         wl_repeats = int(os.environ.get("BENCH_CEILING_REPEATS", "1"))
