@@ -403,7 +403,21 @@ def run_scaling() -> dict:
     )
     cycles: list[dict[int, dict]] = []
     wl_cycles: list[dict] = []
+    # per-cycle host-noise probe IN THE SAME JSON as the efficiencies it
+    # qualifies (the verdict's done-criterion asks for probe-qualification
+    # in-band; build-only legs record no query-lane probe, so sample here,
+    # immediately before each cycle's first leg)
+    cycle_probes: list[float] = []
     for cyc in range(repeats):
+        probe = round(
+            statistics.median(_latency_probe_ms() for _ in range(3)), 2
+        )
+        cycle_probes.append(probe)
+        try:
+            with open(journal, "a") as jf:
+                jf.write(json.dumps({"cycle": cyc, "host_probe_ms": probe}) + "\n")
+        except OSError:
+            pass
         runs: dict[int, dict] = {}
         for c in levels:
             drain()
@@ -457,6 +471,11 @@ def run_scaling() -> dict:
         }
     result["scaling_efficiency"] = result.get(
         f"eff_{levels[0]}_{levels[1]}", next(v for k, v in result.items() if k.startswith("eff_"))
+    )
+    result["host_probe_ms_cycles"] = cycle_probes
+    result["host_probe_ms"] = round(_median(cycle_probes), 2)
+    result["host_probe_ms_end"] = round(
+        statistics.median(_latency_probe_ms() for _ in range(3)), 2
     )
     result.update(_machine_ceilings())
     # ceiling-normalized efficiency: measured eff divided by what a pure
