@@ -37,6 +37,10 @@ while True:
     if p <= THRESH:
         break
     if (time.time() - t0) / 60 > MAX_WAIT_MIN:
+        if os.environ.get("SCALING_WATCH_STRICT"):
+            print("[watch] max wait exceeded; STRICT mode — exiting without a "
+                  "run (no artifact written)", flush=True)
+            sys.exit(3)
         print("[watch] max wait exceeded; launching anyway (window still noisy)",
               flush=True)
         break
