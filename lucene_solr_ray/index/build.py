@@ -902,10 +902,15 @@ def build_index(
     _th_stored = threading.Thread(target=_guard(_run_stored))
     _th.start()
     _th_stored.start()
-    _run_postings()
-    _run_stats()  # needs only postings; overlaps the dicts/docmap tail
-    _th.join()
-    _th_stored.join()
+    try:
+        _run_postings()
+        _run_stats()  # needs only postings; overlaps the dicts/docmap tail
+    finally:
+        # join the overlap threads even when a main-thread stage raises: a
+        # caller retrying build_index(resume=True) must not race orphaned
+        # threads still writing dicts/docmap/stored into the same index_dir
+        _th.join()
+        _th_stored.join()
     if _errs:
         raise _errs[0]
 

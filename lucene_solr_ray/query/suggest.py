@@ -199,55 +199,106 @@ def fuzzy_suggest(stats, q: str, *, field: str = "text", max_edits: int = 1,
     exact prefix completion.  Ranked (weight desc, term asc), weight = ttf
     — the AnalyzingSuggester ordering.
 
-    The scan is the sorted-dictionary range of the non-fuzzy prefix (a
-    range seek, not O(vocab)) with a banded DP per term: row ``j`` holds
-    the OSA distances of the term's first ``j`` chars vs the query
-    remainder, the term is accepted the first time ``row[j][W] <=
-    max_edits`` (any completion then matches), and abandoned when the row
-    minimum exceeds ``max_edits`` (row minima are non-decreasing).  At web
-    vocabulary the range rides the same mmapped shard scan as
+    The scan is a DP-GUIDED SEEK over the non-fuzzy prefix's sorted range —
+    the :func:`fuzzy_seek` shape with two extra moves the prefix-accept
+    semantics enables: (a) when a dictionary prefix's DP row reaches
+    ``row[W] <= max_edits``, EVERY term extending it matches
+    (automaton-final states accept all completions), so the whole accept
+    block is consumed at once with a vectorized weight top-N; (b) when the
+    row minimum exceeds ``max_edits`` no extension can ever match
+    (row minima are non-decreasing) and the block is ``lower_bound``-seeked
+    past.  DP rows are reused across the sorted terms' shared prefixes, so
+    visited terms ~ the automaton frontier, not O(prefix range).  At web
+    vocabulary the seek rides the same mmapped shard scan as
     :func:`fuzzy_seek`."""
     me = max_edits if len(q) >= min_fuzzy_length else 0
     pref = q[:non_fuzzy_prefix]
     q_rest = q[non_fuzzy_prefix:]
     W = len(q_rest)
     key_pref = field_term_key(field, pref)
-    lo, hi = stats.terms.prefix_range(key_pref)
+    terms = stats.terms
+    lo, hi = terms.prefix_range(key_pref)
     if lo >= hi:
         return []
-    w = stats.ttf_slice(lo, hi)
     strip = len(key_pref) - len(pref)
+
+    def _interval_top(i0: int, i1: int) -> list[tuple[int, str]]:
+        # top-`top` of one ACCEPTED dictionary interval by (weight desc,
+        # term asc): weights come vectorized from the ttf column; term
+        # strings resolve lazily, only for the winners (dict order == term
+        # asc within the interval, so the arange tiebreak is exact)
+        w = stats.ttf_slice(i0, i1)
+        order = np.lexsort((np.arange(len(w)), -w))
+        got: list[tuple[int, str]] = []
+        for oi in order.tolist():
+            body = terms[i0 + oi][strip:]
+            if FIELD_SEP in body:  # another field's interleaved key block
+                continue
+            got.append((-int(w[oi]), body))
+            if len(got) >= top:
+                break
+        return got
+
     matches: list[tuple[int, str]] = []  # (-weight, body)
-    for oi in range(hi - lo):
-        t_full = stats.terms[lo + oi]
-        body = t_full[strip:]
-        if FIELD_SEP in body:
-            continue
-        t_rest = body[len(pref):]
-        rows = [list(range(W + 1))]
-        if W <= me:  # empty prefix already within distance
-            matches.append((-int(w[oi]), body))
-            continue
-        ok = False
-        for j, cj in enumerate(t_rest, 1):
-            last = rows[-1]
-            cur = [last[0] + 1]
-            for i in range(1, W + 1):
-                c = min(last[i] + 1, cur[i - 1] + 1,
-                        last[i - 1] + (cj != q_rest[i - 1]))
-                if (j >= 2 and i >= 2 and cj == q_rest[i - 2]
-                        and t_rest[j - 2] == q_rest[i - 1]):
-                    c = min(c, rows[j - 2][i - 2] + 1)
-                cur.append(c)
-            rows.append(cur)
-            if cur[W] <= me:
-                ok = True
-                break
-            if min(cur) > me:
-                break
-        if ok:
-            matches.append((-int(w[oi]), body))
-    matches.sort()
+    if W <= me:
+        # empty remainder is already within distance: the whole range is
+        # one accept block (exact prefix completion when me == 0)
+        matches = _interval_top(lo, hi)
+    else:
+        rows: list[list[int]] = [list(range(W + 1))]
+        prev = ""
+        i = lo
+        while i < hi:
+            t_full = terms[i]
+            body = t_full[strip:]
+            fs = body.find(FIELD_SEP)
+            if fs >= 0:
+                # interleaved `other_field\x1f` key block: seek past it
+                blk = t_full[: strip + fs + 1].encode("utf-8")
+                i = max(i + 1, terms.lower_bound(blk + _HI))
+                continue
+            t_rest = body[len(pref):]
+            # shared-prefix DP reuse (rows[0..cp] already describe
+            # t_rest[:cp]); every retained row has row[W] > me (else its
+            # term accepted and the block was consumed) and min <= me
+            # (else the block was abandoned), so no re-check is needed
+            cp = 0
+            lim = min(len(t_rest), len(prev), len(rows) - 1)
+            while cp < lim and t_rest[cp] == prev[cp]:
+                cp += 1
+            del rows[cp + 1:]
+            accepted = abandoned = -1
+            for j in range(cp, len(t_rest)):
+                last = rows[-1]
+                cj = t_rest[j]
+                cur = [last[0] + 1]
+                for k in range(1, W + 1):
+                    c = min(last[k] + 1, cur[k - 1] + 1,
+                            last[k - 1] + (cj != q_rest[k - 1]))
+                    if (j >= 1 and k >= 2 and cj == q_rest[k - 2]
+                            and t_rest[j - 1] == q_rest[k - 1]):
+                        c = min(c, rows[j - 1][k - 2] + 1)
+                    cur.append(c)
+                rows.append(cur)
+                if cur[W] <= me:
+                    accepted = j
+                    break
+                if min(cur) > me:
+                    abandoned = j
+                    break
+            prev = t_rest[: len(rows) - 1]
+            if accepted >= 0:
+                blk = t_full[: strip + len(pref) + accepted + 1].encode("utf-8")
+                end = min(max(i + 1, terms.lower_bound(blk + _HI)), hi)
+                matches.extend(_interval_top(i, end))
+                i = end
+                continue
+            if abandoned >= 0:
+                blk = t_full[: strip + len(pref) + abandoned + 1].encode("utf-8")
+                i = max(i + 1, terms.lower_bound(blk + _HI))
+                continue
+            i += 1  # full term consumed with no accepting prefix: no match
+        matches.sort()
     return [(t, -negw) for negw, t in matches[:top]]
 
 

@@ -440,12 +440,15 @@ def free_text_suggest(ds, queries, *, alpha: float = 0.4, top: int = 10,
     ``alpha * C(w) / T``.  With no context the unigram order IS the highest:
     ``C(w) / T``.  Ranked (score desc, term asc), top ``top`` per query.
 
-    Shape: ONE distributed counting pass (per-batch Arrow value_counts
+    Shape: one distributed counting pass (per-batch Arrow value_counts
     partials for each query's candidate sets + marginals, then a small
-    multi-key groupby); the vocab-sized unigram-backoff side ships only
-    per-block partial top-Ms after the groupby (exact: one row per
-    (qid, term) post-aggregation), so the driver holds <= M x blocks rows
-    even for an EMPTY prefix over web vocabulary.  Returns
+    multi-key groupby), then a (qid, term) fold that scores every candidate
+    dataset-side and ships only per-block top-`top` partials (exact: one
+    row per (qid, term) post-fold, so the global top-`top` by
+    (score desc, term asc) is a subset of the block-partial union).  The
+    driver holds O(#queries) marginal rows + <= top x blocks scored rows —
+    BOTH candidate sets (vocab-sized for a stopword context or an empty
+    prefix) stay distributed.  Returns
     ``[(query, rank, term, score)]`` with score rounded to 6 decimals (the
     cross-engine float contract used by every LM gate in this module)."""
     import re
@@ -511,70 +514,95 @@ def free_text_suggest(ds, queries, *, alpha: float = 0.4, top: int = 10,
         .sum("c")
         .materialize()
     )
-    # bigram/marginal/total rows are bounded by (context, prefix)
-    # selectivity and land on the driver whole; the unigram-backoff side is
-    # VOCAB-sized for short/empty prefixes, so it ships only per-block
-    # partial top-Ms — exact because after the groupby every (qid, term) is
-    # ONE row, so the global top-M by count is a subset of the union of
-    # block top-Ms.  M = top + |bigram candidate set| per query covers the
-    # worst case where every bigram-order term also occupies a backoff slot.
-    def _collect(ds_part) -> "pa.Table":
-        parts = list(ds_part.iter_batches(batch_format="pyarrow"))
-        if not parts:
-            return pa.table({"qid": pa.array([], type=pa.int64()),
-                             "kind": pa.array([], type=pa.string()),
-                             "term": pa.array([], type=pa.string()),
-                             "sum(c)": pa.array([], type=pa.int64())})
+    # Only the totals ('t', one row) and context marginals ('l', one row per
+    # context query) land on the driver — O(#queries), never O(vocab).  BOTH
+    # candidate sets stay dataset-side: for a stopword context with an empty
+    # prefix the bigram-successor set AND the prefix-match set are each
+    # vocab-sized, so neither may be collected whole.
+    def _typed_empty(names_types) -> "pa.Table":
+        return pa.table({n: pa.array([], type=ty) for n, ty in names_types})
+
+    def _collect(ds_part, names_types) -> "pa.Table":
+        parts = [b for b in ds_part.iter_batches(batch_format="pyarrow")
+                 if b.num_rows]
+        return pa.concat_tables(parts) if parts else _typed_empty(names_types)
+
+    small = _collect(
+        agg_ds.filter(expr="kind == 't' or kind == 'l'"),
+        [("qid", pa.int64()), ("kind", pa.string()),
+         ("term", pa.string()), ("sum(c)", pa.int64())],
+    ).to_pandas()
+    total = float(small.loc[small["kind"] == "t", "sum(c)"].sum())
+    c1_by_q = {
+        int(q): float(c)
+        for q, c in zip(small.loc[small["kind"] == "l", "qid"],
+                        small.loc[small["kind"] == "l", "sum(c)"])
+    }
+    has_ctx = {qid: ctx is not None for qid, ctx, _p in parsed}
+
+    # Fold the 'u'/'b' rows for each (qid, term) together and score every
+    # term exactly once, dataset-side: bigram order wins where a 'b' row
+    # exists (score c12/c1, no penalty — B is a subset of the prefix
+    # matches), else the STUPID-BACKOFF unigram score.  After this groupby
+    # each (qid, term) is ONE row, so the global top-`top` by
+    # (score desc, term asc) is a subset of the union of per-block
+    # top-`top`s — the driver receives <= top x blocks rows.
+    def to_cols(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["kind"], value_set=pa.array(["u", "b"])))
+        if t.num_rows == 0:
+            return _typed_empty([("qid", pa.int64()), ("term", pa.string()),
+                                 ("cu", pa.int64()), ("cb", pa.int64())])
+        is_b = pc.equal(t["kind"], "b")
+        zero = pa.scalar(0, type=pa.int64())
+        return pa.table({
+            "qid": t["qid"], "term": t["term"],
+            "cu": pc.if_else(is_b, zero, t["sum(c)"]),
+            "cb": pc.if_else(is_b, t["sum(c)"], zero),
+        })
+
+    _scored_schema = [("qid", pa.int64()), ("term", pa.string()),
+                      ("score", pa.float64())]
+
+    def score_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _typed_empty(_scored_schema)
+        qids = np.asarray(t["qid"], dtype=np.int64)
+        cu = np.asarray(t["cu"], dtype=np.float64)
+        cb = np.asarray(t["cb"], dtype=np.float64)
+        c1 = np.array([c1_by_q.get(int(q), 0.0) for q in qids])
+        ctxm = np.array([has_ctx[int(q)] for q in qids])
+        big = ctxm & (cb > 0) & (c1 > 0)
+        # float-op order matches the pre-fold driver loop (and the DuckDB
+        # oracle): c12/c1 at bigram order; alpha * (c/T) at backoff
+        s_uni = cu / total if total else np.zeros_like(cu)
+        s = np.where(big, cb / np.where(c1 > 0, c1, 1.0),
+                     np.where(ctxm, alpha * s_uni, s_uni))
+        scored = pa.table({"qid": pa.array(qids), "term": t["term"],
+                           "score": pa.array(s, type=pa.float64())})
+        parts = []
+        for qid in np.unique(qids):
+            sub = scored.filter(pc.equal(scored["qid"], int(qid)))
+            idx = pc.sort_indices(
+                sub, sort_keys=[("score", "descending"), ("term", "ascending")]
+            )
+            parts.append(sub.take(idx[:top]))
         return pa.concat_tables(parts)
 
-    small = _collect(agg_ds.filter(expr="kind != 'u'")).to_pandas()
-    total = float(small.loc[small["kind"] == "t", "sum(c)"].sum())
-    big_by_q = {
-        qid: dict(zip(small.loc[(small["qid"] == qid) & (small["kind"] == "b"), "term"],
-                      small.loc[(small["qid"] == qid) & (small["kind"] == "b"), "sum(c)"]))
-        for qid, _c, _p in parsed
-    }
-    M = top + max((len(b) for b in big_by_q.values()), default=0)
+    from ray.data.aggregate import Sum
 
-    def block_top_u(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return t
-        out_parts = []
-        qids = np.asarray(t["qid"], dtype=np.int64)
-        cs = np.asarray(t["sum(c)"], dtype=np.int64)
-        for qid in np.unique(qids):
-            m = np.flatnonzero(qids == qid)
-            # (count desc, term asc) — term order via Arrow take after lexsort
-            sub = t.take(m)
-            idx = pc.sort_indices(
-                sub, sort_keys=[("sum(c)", "descending"), ("term", "ascending")]
-            )
-            out_parts.append(sub.take(idx[:M]))
-        return pa.concat_tables(out_parts)
-
-    uni_small = _collect(
-        agg_ds.filter(expr="kind == 'u'")
-        .map_batches(block_top_u, batch_format="pyarrow")
-    ).to_pandas()  # <= M * blocks rows
+    scored = _collect(
+        agg_ds.map_batches(to_cols, batch_format="pyarrow")
+        .groupby(["qid", "term"])
+        .aggregate(Sum("cu", alias_name="cu"), Sum("cb", alias_name="cb"))
+        .map_batches(score_block, batch_format="pyarrow"),
+        _scored_schema,
+    ).to_pandas()  # <= top x blocks rows
 
     out = []
     for qid, ctx, prefix in parsed:
-        sub = small[small["qid"] == qid]
-        c1 = float(sub.loc[sub["kind"] == "l", "sum(c)"].sum())
-        big = big_by_q[qid]
-        usub = uni_small[uni_small["qid"] == qid]
-        usub = usub.sort_values(["sum(c)", "term"], ascending=[False, True]).head(M)
-        uni = dict(zip(usub["term"], usub["sum(c)"]))
-        cands: dict[str, float] = {}
-        if ctx is not None and c1 > 0:
-            for t, c in big.items():
-                cands[t] = float(c) / c1
-        for t, c in uni.items():
-            if t in cands:
-                continue
-            s = float(c) / total if total else 0.0
-            cands[t] = s if ctx is None else alpha * s
-        ranked = sorted(cands.items(), key=lambda ts: (-ts[1], ts[0]))[:top]
-        for rank, (t, s) in enumerate(ranked):
-            out.append((queries[qid], rank, t, round(s, 6)))
+        sub = scored[scored["qid"] == qid].sort_values(
+            ["score", "term"], ascending=[False, True]
+        ).head(top)
+        for rank, (t, s) in enumerate(zip(sub["term"], sub["score"])):
+            out.append((queries[qid], rank, t, round(float(s), 6)))
     return out

@@ -19,7 +19,13 @@ import bench  # noqa: E402
 
 THRESH = float(os.environ.get("SCALING_PROBE_MS", "4.5"))
 MAX_WAIT_MIN = float(sys.argv[1]) if len(sys.argv) > 1 else 90.0
-OUT = os.environ.get("BENCH_SCALING_OUT", "/root/repo/bench_artifacts/scaling_r5a.json")
+OUT = os.path.abspath(
+    os.environ.get("BENCH_SCALING_OUT", "/root/repo/bench_artifacts/scaling_r5a.json")
+)
+if not OUT.endswith(".json"):
+    # keep the journal path distinct from the artifact path (a suffix-less
+    # OUT would make .replace('.json', ...) a no-op and mix jsonl into it)
+    OUT += ".json"
 
 
 def probe3() -> float:

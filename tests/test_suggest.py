@@ -286,3 +286,81 @@ def test_blended_infix_matches_brute(ray_session, tmp_path):
             want_rows.append((q, rank, did, round(score, 6)))
     got_rows = list(zip(got["q"], got["rank"], got["doc_id"], got["score"]))
     assert got_rows == want_rows
+
+
+class TestFuzzySuggestRandomized:
+    """Seek-path differential: random prefix-heavy dictionaries stress the
+    accept-block take-all, abandon-block lower_bound skip, and shared-prefix
+    DP row reuse against an all-vocab prefix-automaton brute force."""
+
+    class _FakeStats:
+        def __init__(self, ttf: dict[str, int]):
+            import bisect
+
+            import numpy as np
+
+            terms = sorted(ttf)
+            enc = [t.encode("utf-8") for t in terms]
+            w = np.array([ttf[t] for t in terms], dtype=np.int64)
+
+            class _T:
+                def __len__(self):
+                    return len(terms)
+
+                def __getitem__(self, i):
+                    return terms[int(i)]
+
+                def lower_bound(self, b: bytes) -> int:
+                    return bisect.bisect_left(enc, b)
+
+                def prefix_range(self, prefix: str):
+                    pb = prefix.encode("utf-8")
+                    return (bisect.bisect_left(enc, pb),
+                            bisect.bisect_left(enc, pb + b"\xff\xff\xff\xff"))
+
+            self.terms = _T()
+            self._w = w
+
+        def ttf_slice(self, lo: int, hi: int):
+            return self._w[lo:hi]
+
+    @staticmethod
+    def _brute(ttf, q, *, max_edits, non_fuzzy_prefix, min_fuzzy_length, top):
+        me = max_edits if len(q) >= min_fuzzy_length else 0
+        pref, rest = q[:non_fuzzy_prefix], q[non_fuzzy_prefix:]
+        cands = []
+        for t, w in ttf.items():
+            if not t.startswith(pref):
+                continue
+            t_rest = t[len(pref):]
+            if any(_osa(t_rest[:k], rest) <= me for k in range(len(t_rest) + 1)):
+                cands.append((-w, t))
+        cands.sort()
+        return [(t, -nw) for nw, t in cands[:top]]
+
+    def test_random_dictionaries_match_brute(self):
+        import random
+
+        from lucene_solr_ray.query.suggest import fuzzy_suggest
+
+        rnd = random.Random(1307)
+        alphabet = "abc"
+        for trial in range(40):
+            vocab = {
+                "".join(rnd.choice(alphabet)
+                        for _ in range(rnd.randint(1, 7))): rnd.randint(1, 50)
+                for _ in range(rnd.randint(5, 120))
+            }
+            stats = self._FakeStats(vocab)
+            params = dict(
+                max_edits=rnd.choice([1, 2]),
+                non_fuzzy_prefix=rnd.choice([0, 1, 2]),
+                min_fuzzy_length=rnd.choice([1, 3]),
+                top=rnd.choice([3, 10]),
+            )
+            for _ in range(6):
+                q = "".join(rnd.choice(alphabet)
+                            for _ in range(rnd.randint(1, 6)))
+                got = fuzzy_suggest(stats, q, **params)
+                want = self._brute(vocab, q, **params)
+                assert got == want, (trial, q, params)
