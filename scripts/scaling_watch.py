@@ -4,8 +4,17 @@ as a quiet window appears (median probe <= threshold).  One run per
 invocation; results land in the artifact path given by BENCH_SCALING_OUT
 (default bench_artifacts/scaling_r5a.json), journal alongside.
 
+SCALING_ALU_GATE=<eff> adds an ALTERNATIVE trigger: a bare-multiprocessing
+ALU kernel measured 2-vs-8 processes right now.  The latency probe senses
+host jitter, but what the 2->8 criterion actually needs is parallel ALU
+headroom — round-5 sessions saw the probe stuck at 5.5-11 ms for hours
+while the ALU ceiling swung 0.69-0.99; the ceiling is the direct predictor,
+so fire when it reads >= the gate even if the probe stays noisy.
+
 Run: PYTHONPATH=/root/repo python scripts/scaling_watch.py [max_wait_min]
-Env: SCALING_PROBE_MS (default 4.5), BENCH_SCALING_REPEATS (default 3).
+Env: SCALING_PROBE_MS (default 4.5), SCALING_ALU_GATE (default off),
+SCALING_WATCH_STRICT (exit at max-wait instead of launching),
+BENCH_SCALING_REPEATS (default 3).
 """
 import json
 import os
@@ -28,6 +37,9 @@ if not OUT.endswith(".json"):
     OUT += ".json"
 
 
+ALU_GATE = float(os.environ.get("SCALING_ALU_GATE", "0") or 0)
+
+
 def probe3() -> float:
     vals = []
     for _ in range(3):
@@ -36,11 +48,33 @@ def probe3() -> float:
     return statistics.median(vals)
 
 
+def alu_2_8() -> float:
+    """One bare-multiprocessing ALU 2-vs-8 ratio, right now (~10 s)."""
+    import multiprocessing as mp
+
+    per = {}
+    for n in (2, 8):
+        with mp.Pool(n) as pool:
+            pool.map(bench._ceil_alu, [1000] * n)  # absorb fork/import
+            t0 = time.time()
+            pool.map(bench._ceil_alu, [6_000_000] * (n * 2))
+            per[n] = (n * 2) / (time.time() - t0)
+    return (per[8] / per[2]) / 4.0
+
+
 t0 = time.time()
 while True:
     p = probe3()
-    print(f"[watch] probe median {p:.2f} ms (threshold {THRESH})", flush=True)
+    msg = f"[watch] probe median {p:.2f} ms (threshold {THRESH})"
     if p <= THRESH:
+        print(msg, flush=True)
+        break
+    a = None
+    if ALU_GATE:
+        a = alu_2_8()
+        msg += f"; alu_2_8 {a:.3f} (gate {ALU_GATE})"
+    print(msg, flush=True)
+    if a is not None and a >= ALU_GATE:
         break
     if (time.time() - t0) / 60 > MAX_WAIT_MIN:
         if os.environ.get("SCALING_WATCH_STRICT"):
@@ -50,7 +84,7 @@ while True:
         print("[watch] max wait exceeded; launching anyway (window still noisy)",
               flush=True)
         break
-    time.sleep(60)
+    time.sleep(90)
 
 env = dict(
     os.environ,
