@@ -229,6 +229,10 @@ class GlobalStats:
         lo, hi = self.terms.prefix_range(pref)
         return [t[len(pref):] for t in self.terms.iter_range(lo, hi)]
 
+    def vocabulary(self, field: str):
+        """TermSource alias (multiterm_terms' wildcard/regexp fallback)."""
+        return self.field_vocabulary(field)
+
     def fuzzy_terms(self, field: str, word: str, max_edits: int):
         """[(term, distance)] within ``max_edits`` — DP-guided seek over the
         sorted dictionary (never materializes the vocabulary)."""
@@ -499,10 +503,16 @@ class IndexPartition(TermSource):
             if q.field in self.stats.dicts and (q.field + "_ords") in self._list_flat:
                 o = self.stats.ord_of(q.field, q.value)
                 remap = self.stats.ordmap_for(self.pid, q.field)
-                if remap is not None:
+                if remap is not None and o >= 0:
                     # global ord -> member-local (remap strictly increasing)
                     ml = int(np.searchsorted(remap, o))
                     o = ml if ml < len(remap) and remap[ml] == o else -1
+                if o < 0:
+                    # out-of-vocabulary value: matches nothing.  (-1 is also
+                    # the NULL-element sentinel in the flattened ords column
+                    # (build.py), so falling through would match docs whose
+                    # list contains a null instead of no docs.)
+                    return np.empty(0, dtype=np.int64)
                 flat, row_of = self._list_flat[q.field + "_ords"]
                 mask = np.zeros(len(self.doc_ids), dtype=bool)
                 mask[row_of[flat == o]] = True

@@ -299,6 +299,12 @@ class SegmentSearcher:
         """STAGE_GET_FIELDS: stored/doc-values fields for result ids owned by
         this actor (`QueryComponent.java:656-658` second round-trip)."""
         want = np.asarray(sorted(doc_ids), dtype=np.int64)
+        if self._has_deletes:
+            # tombstoned docs are not retrievable (fetch_stored already
+            # masks them; doc-values must follow the same contract)
+            from .deletes import mask_deleted
+
+            want = want[mask_deleted(self.stats.deleted, want)]
         stored_want = [f for f in fields if f in self.stats.stored_fields]
         out: dict[int, dict] = {}
         for part in self.parts:
@@ -357,13 +363,15 @@ class SegmentSearcher:
 
     # -- two-level pivot facets (PivotFacetProcessor analog) ------------------
 
-    def _pivot_pair_counts(self, query, f1: str, f2: str):
+    def _pivot_pair_counts(self, query, f1: str, f2: str, hits: list | None = None):
         """(packed_key, count) for this shard's hits: key = ord1 * n2 + ord2
-        over docs having BOTH values (single-valued fields), sorted by key."""
+        over docs having BOTH values (single-valued fields), sorted by key.
+        ``hits``: optional precomputed per-partition hit arrays (so pivot()
+        evaluates the query once per partition, not once per counting pass)."""
         n2 = len(self.stats.dicts[f2])
         keys_list = []
-        for part in self.parts:
-            docs, _ = Evaluator(part).scored(query)
+        for pi, part in enumerate(self.parts):
+            docs = hits[pi] if hits is not None else Evaluator(part).scored(query)[0]
             o1, o2 = part.facet_ord_pairs(f1, f2, docs)
             if len(o1):
                 keys_list.append(o1 * n2 + o2)
@@ -388,11 +396,13 @@ class SegmentSearcher:
         truncated per-shard trees)."""
         f1, f2 = fields
         n2 = len(self.stats.dicts[f2])
-        keys, counts = self._pivot_pair_counts(query, f1, f2)
-        p_pairs = []
-        for part in self.parts:
-            docs, _ = Evaluator(part).scored(query)
-            p_pairs.append(self._facet_counts_for_hits(part, f1, docs))
+        # evaluate the query ONCE per partition; both counting passes share it
+        hits = [Evaluator(part).scored(query)[0] for part in self.parts]
+        keys, counts = self._pivot_pair_counts(query, f1, f2, hits=hits)
+        p_pairs = [
+            self._facet_counts_for_hits(part, f1, docs)
+            for part, docs in zip(self.parts, hits)
+        ]
         p_ords, p_counts = _merge_ord_counts(p_pairs)
         if shard_limit is not None and len(keys):
             parents = keys // n2
@@ -578,14 +588,24 @@ class RayIndexSearcher:
         from ..query.highlight import highlight_text, query_term_idfs
 
         def terms_of(q, acc):
-            from ..query.ast import BoolQ, BoostQ, PhraseQ, TermQ
+            from ..query.ast import (
+                BoolQ, BoostQ, DisMaxQ, MultiTermQ, PhraseQ, TermQ,
+                multiterm_terms,
+            )
 
             if isinstance(q, TermQ) and q.field == field:
                 acc.add(q.term)
             elif isinstance(q, PhraseQ) and q.field == field:
                 acc.update(q.terms)
+            elif isinstance(q, MultiTermQ) and q.field == field:
+                # expand over the global dictionary (prefix/fuzzy seeks are
+                # bounded scans; driver-side, k docs only)
+                acc.update(multiterm_terms(self.stats, q))
             elif isinstance(q, BoolQ):
                 for c in (*q.must, *q.should):
+                    terms_of(c, acc)
+            elif isinstance(q, DisMaxQ):
+                for c in q.clauses:
                     terms_of(c, acc)
             elif isinstance(q, BoostQ):
                 terms_of(q.child, acc)
@@ -785,4 +805,11 @@ class RayIndexSearcher:
                 # facet.missing=true appends the no-value bucket under None
                 # (`SimpleFacets.java` FacetParams.FACET_MISSING)
                 facets[f].append((None, int(missing_total)))
-        return {"topk": topk, "total_hits": total, "facets": facets}
+        return {
+            "topk": topk,
+            "total_hits": total,
+            "facets": facets,
+            # Solr's partialResults header: any deadline-truncated actor
+            # makes the merged result partial (timeAllowed contract)
+            "partial": any(r.get("partial", False) for r in results),
+        }

@@ -42,7 +42,7 @@ def union_indexes(member_dirs: list[str], out_dir: str) -> dict:
 
     m0 = manifests[0]
     for m in manifests[1:]:
-        for key in ("with_positions", "analyzer", "facet_fields", "multi_facet_fields", "numeric_fields", "rows_per_partition", "extra_text_fields"):
+        for key in ("with_positions", "analyzer", "facet_fields", "multi_facet_fields", "numeric_fields", "rows_per_partition", "extra_text_fields", "stored_fields"):
             if m.get(key) != m0.get(key):
                 raise ValueError(f"member config mismatch on {key}")
     all_pids = [p["partition_id"] for m in manifests for p in m["partitions"]]
@@ -91,6 +91,23 @@ def union_indexes(member_dirs: list[str], out_dir: str) -> dict:
         )
     write_shard_index(tg_dir)
 
+    # ---- inherited tombstones ----------------------------------------------
+    # Members' live-docs generations carry over into the union commit (the
+    # segments_N + .liv analog: a commit point references each segment's
+    # current deletes generation).  Doc ids are content-derived and member
+    # ranges are disjoint, so a single merged generation file under the
+    # union's own livedocs/ is exact.  Deletes applied to a MEMBER after
+    # this commit are NOT visible through the union — reopen semantics are
+    # per commit point, matching deletes.py's point-in-time contract.
+    from .deletes import load_deleted
+
+    inherited = [load_deleted(d) for d in members]
+    inherited = [a for a in inherited if len(a)]
+    if inherited:
+        from .deletes import apply_deletes
+
+        apply_deletes(out_dir, doc_ids=np.unique(np.concatenate(inherited)))
+
     # ---- union manifest (commit point) -------------------------------------
     partitions = []
     for mi, m in enumerate(manifests):
@@ -108,6 +125,7 @@ def union_indexes(member_dirs: list[str], out_dir: str) -> dict:
         "multi_facet_fields": m0["multi_facet_fields"],
         "numeric_fields": m0["numeric_fields"],
         "extra_text_fields": m0.get("extra_text_fields", []),
+        "stored_fields": m0.get("stored_fields", []),
         "max_doc": sum(m["max_doc"] for m in manifests),
         "sum_dl": sum(m["sum_dl"] for m in manifests),
         **{

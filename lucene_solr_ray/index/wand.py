@@ -33,12 +33,19 @@ from .reader import IndexPartition
 
 
 def _term_weights(stats, terms: list[str], field: str = "text"):
-    n, sttf = stats.max_doc, stats.sum_dl
+    from ..stages.tokenize import field_term_key
+
+    n = stats.max_doc
+    # field-scoped length stats, as reader.global_stats does (per-field BM25)
+    if field != "text" and field in stats.sum_dl_field:
+        sttf = stats.sum_dl_field[field]
+    else:
+        sttf = stats.sum_dl
     avgdl = bm25.avg_dl(sttf, n)
     cache = bm25.norm_cache(avgdl)
     wvs = []
     for t in terms:
-        idf = bm25.idf(stats.df.get(t, 0), n)
+        idf = bm25.idf(stats.df.get(field_term_key(field, t), 0), n)
         wvs.append(np.float32(np.float32(idf) * np.float32(bm25.K1 + np.float32(1.0))))
     return wvs, cache, float(avgdl)
 
@@ -136,27 +143,44 @@ def wand_topk(
 ) -> list[tuple[float, int]]:
     """Exact top-k for OR(terms) over the given partitions with block-max
     skipping.  Returns [(float32 score, doc_id)] in (score desc, doc asc)."""
+    from ..stages.tokenize import field_term_key
+
     wvs, cache, avgdl = _term_weights(stats, terms, field)
     k1, b = float(bm25.K1), float(bm25.B)
 
+    # Running top-k under the FINAL total order (score desc, doc asc):
+    # truncating to k after each merge is exact — a candidate outside the
+    # running top-k can never re-enter it — and keeps threshold maintenance
+    # O(n log k) total instead of re-partitioning every accumulated score
+    # after each segment (O(n^2) on broad disjunctions).
     cand_docs: list[np.ndarray] = []
     cand_scores: list[np.ndarray] = []
+    run_docs = np.empty(0, dtype=np.int64)
+    run_scores = np.empty(0, dtype=np.float32)
     threshold = -np.inf
     n_in_heap = 0
 
     def current_threshold():
-        nonlocal threshold, n_in_heap
+        nonlocal threshold, n_in_heap, run_docs, run_scores
         if not cand_docs:
             return
-        s = np.concatenate(cand_scores)
-        n_in_heap = len(s)
-        if n_in_heap >= k:
-            threshold = float(np.partition(s, -k)[-k])
+        d = np.concatenate([run_docs, *cand_docs])
+        s = np.concatenate([run_scores, *cand_scores])
+        cand_docs.clear()
+        cand_scores.clear()
+        if len(d) > k:
+            order = np.lexsort((d, -s.astype(np.float64)))[:k]
+            d, s = d[order], s[order]
+            threshold = float(s[-1])
+        elif len(d) == k:
+            threshold = float(s.min())
+        run_docs, run_scores = d, s
+        n_in_heap = len(d)
 
     for part in parts:
         cells = []
         for ti, t in enumerate(terms):
-            cell = part.cell(t)
+            cell = part.cell(field_term_key(field, t))
             if cell is None:
                 continue
             first = np.asarray(cell["skip_first_doc"], dtype=np.int64)
@@ -217,9 +241,9 @@ def wand_topk(
             cand_scores.append(acc.astype(np.float32))
             current_threshold()
 
-    if not cand_docs:
+    docs = np.concatenate([run_docs, *cand_docs])
+    scores = np.concatenate([run_scores, *cand_scores])
+    if not len(docs):
         return []
-    docs = np.concatenate(cand_docs)
-    scores = np.concatenate(cand_scores)
     order = np.lexsort((docs, -scores.astype(np.float64)))[:k]
     return [(float(scores[i]), int(docs[i])) for i in order]

@@ -440,6 +440,11 @@ class Evaluator:
                 return docs, scores
             fdocs, vals = self.src.numeric_values(q.func.field)
             fv = np.zeros(len(docs), dtype=np.float32)
+            if len(fdocs) == 0:
+                # missing/unknown boost field: every matched doc has no value,
+                # so the product degrades to 0 (same contract as docs outside
+                # fdocs below) instead of indexing an empty array
+                return docs, (scores * fv).astype(np.float32)
             idx = np.searchsorted(fdocs, docs)
             ok = (idx < len(fdocs)) & (fdocs[np.minimum(idx, len(fdocs) - 1)] == docs)
             fv[ok] = _function_scores(vals[idx[ok]], q.func.fn, q.func.boost)

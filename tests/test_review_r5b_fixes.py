@@ -1,0 +1,218 @@
+"""Regression tests for the round-5 core-module review findings.
+
+Covers: BoostedQ missing-boost-field guard, OOV multi-valued FilterQ vs
+the -1 NULL-element sentinel, union carry-over of member tombstones and
+stored_fields, deleted-doc masking in fetch_fields, the driver-side
+``partial`` flag, field-scoped wand_topk/conjunction_topk keys+stats, and
+the bounded WAND threshold buffer (rank identity on broad disjunctions).
+"""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_ray.index.build import build_index
+from lucene_solr_ray.index.reader import LocalIndex
+from lucene_solr_ray.query.ast import (
+    BoolQ,
+    BoostedQ,
+    Evaluator,
+    FilterQ,
+    FunctionQ,
+    MatchAllQ,
+    TermQ,
+    top_k,
+)
+
+
+class TestBoostedQMissingField:
+    def test_missing_boost_field_degrades_to_zero(self, pages_corpus):
+        loc = LocalIndex(pages_corpus["index_dir"])
+        child = TermQ("luko")
+        cdocs, _ = Evaluator(loc).scored(child)
+        assert len(cdocs)
+        # previously: IndexError (fdocs[-1] on an empty numeric_values array)
+        docs, scores = Evaluator(loc).scored(
+            BoostedQ(child=child, func=FunctionQ("no_such_field"))
+        )
+        assert docs.tolist() == cdocs.tolist()
+        assert scores.dtype == np.float32
+        assert not scores.any()  # every doc misses the field -> product 0
+
+
+def test_oov_multivalue_filter_with_null_elements(ray_session, tmp_path):
+    """FilterQ(field, out-of-vocabulary) must match NOTHING, even when the
+    flattened ords column contains -1 NULL-element sentinels (previously the
+    OOV ord -1 matched exactly those docs)."""
+    rows = pa.table(
+        {
+            "doc_id": pa.array(range(6), type=pa.int64()),
+            "text": pa.array(["alpha beta"] * 6),
+            "tags": pa.array(
+                [["a"], ["b", None], None, ["a", "c"], [None], ["c"]],
+                type=pa.list_(pa.string()),
+            ),
+        }
+    )
+    src = str(tmp_path / "d.parquet")
+    pq.write_table(rows, src)
+    ix = str(tmp_path / "ix")
+    build_index(
+        [src], ix, rows_per_partition=4, extract_html=False, dedup_url=False,
+        analyzer="simple", facet_fields=(), multi_facet_fields=("tags",),
+        resume=False,
+    )
+    loc = LocalIndex(ix)
+    docs, _ = Evaluator(loc).scored(FilterQ("tags", "zz-not-a-value"))
+    assert len(docs) == 0
+    # present values still match exactly
+    for val, want_n in [("a", 2), ("b", 1), ("c", 2)]:
+        docs, _ = Evaluator(loc).scored(FilterQ("tags", val))
+        assert len(docs) == want_n, val
+
+
+@pytest.fixture(scope="module")
+def union_del_setup(ray_session, tmp_path_factory):
+    """Two increments with stored fields; one doc tombstoned in member A
+    BEFORE the union commit."""
+    from lucene_solr_ray.fixtures import make_pages_batch, write_pages_parquet
+    from lucene_solr_ray.index.deletes import apply_deletes
+    from lucene_solr_ray.index.union import union_indexes
+
+    root = str(tmp_path_factory.mktemp("uniondel"))
+    kw = dict(rows_per_partition=64, stored_fields=("text",))
+    files_a = write_pages_parquet(os.path.join(root, "pa"), 128, n_files=1)
+    os.makedirs(os.path.join(root, "pb"), exist_ok=True)
+    fb = os.path.join(root, "pb", "pages-00000.parquet")
+    pq.write_table(make_pages_batch(np.arange(128, 256)), fb)
+    ix_a = os.path.join(root, "ixa")
+    ix_b = os.path.join(root, "ixb")
+    ix_u = os.path.join(root, "ixu")
+    build_index(files_a, ix_a, **kw)
+    build_index([fb], ix_b, **kw)
+
+    # tombstone one live doc of member A before the union commit
+    la = LocalIndex(ix_a)
+    victim = int(la.all_docs()[3])
+    assert apply_deletes(ix_a, doc_ids=[victim]) == 1
+    union_indexes([ix_a, ix_b], ix_u)
+    return {"union": ix_u, "victim": victim}
+
+
+class TestUnionCarryOver:
+    def test_member_tombstones_visible_through_union(self, union_del_setup):
+        lu = LocalIndex(union_del_setup["union"])
+        victim = union_del_setup["victim"]
+        assert victim in lu.stats.deleted
+        assert victim not in lu.all_docs()
+        docs, _ = Evaluator(lu).scored(MatchAllQ())
+        assert victim not in docs
+
+    def test_stored_fields_survive_union(self, union_del_setup):
+        from lucene_solr_ray.index.searcher import SegmentSearcher
+
+        lu = LocalIndex(union_del_setup["union"])
+        assert lu.stats.stored_fields == ("text",)
+        pids = [p["partition_id"] for p in lu.stats.manifest["partitions"]]
+        seg = SegmentSearcher(union_del_setup["union"], pids)
+        live = lu.all_docs()[:2].tolist()
+        out = seg.fetch_fields(live, ["text"])
+        assert set(out) == set(live)
+        assert all(isinstance(v.get("text"), str) and v["text"] for v in out.values())
+
+    def test_fetch_fields_masks_tombstoned_docs(self, union_del_setup):
+        from lucene_solr_ray.index.searcher import SegmentSearcher
+
+        lu = LocalIndex(union_del_setup["union"])
+        pids = [p["partition_id"] for p in lu.stats.manifest["partitions"]]
+        seg = SegmentSearcher(union_del_setup["union"], pids)
+        victim = union_del_setup["victim"]
+        live = int(lu.all_docs()[0])
+        out = seg.fetch_fields([victim, live], ["host", "text"])
+        assert victim not in out  # doc-values AND stored both masked
+        assert live in out
+
+
+def test_driver_search_reports_partial_flag(ray_session, pages_corpus):
+    from lucene_solr_ray.index.searcher import RayIndexSearcher
+
+    s = RayIndexSearcher(pages_corpus["index_dir"], num_actors=2)
+    try:
+        res = s.search(TermQ("luko"), k=5)
+        assert res["partial"] is False  # key present; no deadline -> complete
+    finally:
+        s.shutdown()
+
+
+@pytest.fixture(scope="module")
+def titled_index(ray_session, tmp_path_factory):
+    from lucene_solr_ray.fixtures import write_pages_parquet
+
+    root = str(tmp_path_factory.mktemp("wandfield"))
+    files = write_pages_parquet(os.path.join(root, "pages"), 300, n_files=2)
+    ix = os.path.join(root, "ix")
+    build_index(files, ix, rows_per_partition=64, extra_text_fields=("title",))
+    return LocalIndex(ix)
+
+
+class TestWandFieldScoped:
+    def _title_terms(self, loc, n):
+        terms = loc.stats.field_vocabulary("title")
+        # pick mid-frequency terms so disjunctions overlap
+        return terms[: n]
+
+    def test_wand_topk_title_field_rank_identical(self, titled_index):
+        from lucene_solr_ray.index.wand import wand_topk
+
+        loc = titled_index
+        terms = self._title_terms(loc, 3)
+        assert terms
+        got = wand_topk(loc.parts, loc.stats, terms, 10, field="title")
+        assert got, "field-scoped cells must match (bare keys matched nothing)"
+        ast = BoolQ(should=tuple(TermQ(t, field="title") for t in terms))
+        docs, scores = Evaluator(loc).scored(ast)
+        assert got == top_k(docs, scores, 10)
+
+    def test_conjunction_topk_title_field_rank_identical(self, titled_index):
+        from lucene_solr_ray.index.wand import conjunction_topk
+
+        loc = titled_index
+        # find two title terms that co-occur
+        terms = loc.stats.field_vocabulary("title")
+        pair = None
+        for a in terms[:20]:
+            da, _ = Evaluator(loc).scored(TermQ(a, field="title"))
+            for b in terms[:20]:
+                if a == b:
+                    continue
+                db, _ = Evaluator(loc).scored(TermQ(b, field="title"))
+                if len(np.intersect1d(da, db)):
+                    pair = [a, b]
+                    break
+            if pair:
+                break
+        assert pair, "fixture titles should share some terms"
+        got, total = conjunction_topk(loc.parts, loc.stats, pair, 10, field="title")
+        ast = BoolQ(must=tuple(TermQ(t, field="title") for t in pair))
+        docs, scores = Evaluator(loc).scored(ast)
+        assert got == top_k(docs, scores, 10)
+        assert total == len(docs)
+
+
+class TestWandBoundedThreshold:
+    def test_broad_disjunction_small_k_rank_identical(self, pages_corpus, oracle_index):
+        """k << candidate count: the running top-k buffer truncates many
+        times; results must stay rank-identical to exhaustive evaluation."""
+        from lucene_solr_ray.index.wand import wand_topk
+
+        loc = LocalIndex(pages_corpus["index_dir"])
+        for terms in [["luko", "kalo", "zeph", "tali"], ["luko", "kalo"], ["mado"]]:
+            for k in (1, 3, 7):
+                got = wand_topk(loc.parts, loc.stats, terms, k)
+                want = oracle_index.search(
+                    BoolQ(should=tuple(TermQ(t) for t in terms)), k
+                )
+                assert got == want, (terms, k)
