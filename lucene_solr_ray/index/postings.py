@@ -57,12 +57,17 @@ def _unpack_for(buf: memoryview, off: int) -> tuple[np.ndarray, int]:
 # ---- vbyte ------------------------------------------------------------------
 
 def _vbyte_encode(vals: np.ndarray) -> bytes:
-    """Vectorized little-endian-7-bit VByte encode (values < 2^35)."""
+    """Vectorized little-endian-7-bit VByte encode (full uint64 range).
+
+    The byte-count precomputation must agree exactly with the encode loop
+    below (which emits continuation bytes until the remainder fits 7 bits)
+    — a shorter cap would let a large value overwrite its neighbor's slot
+    silently.  uint64 needs at most ceil(64/7) = 10 groups."""
     v = np.asarray(vals, dtype=np.uint64)
     if len(v) == 0:
         return b""
     nbytes = np.ones(len(v), dtype=np.int64)
-    for k in range(1, 5):
+    for k in range(1, 10):
         nbytes += v >= (np.uint64(1) << np.uint64(7 * k))
     ends = np.cumsum(nbytes)
     total = int(ends[-1])
@@ -202,8 +207,9 @@ def encode_cell(
 
 
 def _vbyte_lengths(v: np.ndarray) -> np.ndarray:
+    # must match _vbyte_encode's group count exactly (full uint64 range)
     nb = np.ones(len(v), dtype=np.int64)
-    for k in range(1, 5):
+    for k in range(1, 10):
         nb += v >= (np.uint64(1) << np.uint64(7 * k))
     return nb
 
@@ -368,6 +374,7 @@ def decode_block(cell_row: dict, bi: int) -> tuple[np.ndarray, np.ndarray]:
     """
     n = cell_row["df"]
     nblocks = (n + BLOCK - 1) // BLOCK
+    assert bi < nblocks, (bi, nblocks)  # precondition, checked BEFORE decoding
     start = bi * BLOCK
     cnt = min(n, start + BLOCK) - start
     if cnt == BLOCK and start + BLOCK <= (n // BLOCK) * BLOCK:
@@ -378,7 +385,6 @@ def decode_block(cell_row: dict, bi: int) -> tuple[np.ndarray, np.ndarray]:
         tfs, _ = _vbyte_decode(memoryview(cell_row["freqs"]), cell_row["skip_freqs_off"][bi], cnt)
     docs = np.cumsum(deltas, dtype=np.uint64)
     docs += np.uint64(cell_row["skip_first_doc"][bi]) - docs[0]
-    assert bi < nblocks
     return docs.astype(np.int64), tfs.astype(np.int64)
 
 

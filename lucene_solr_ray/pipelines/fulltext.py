@@ -161,7 +161,13 @@ def terms_component_prefix(sf_dir: str) -> pa.Table:
     stats = GlobalStats(ix)
     lo, hi = stats.terms.prefix_range("c")
     terms = []
+    from ..stages.tokenize import FIELD_SEP
+
     for t in stats.terms.iter_range(lo, hi):
+        if FIELD_SEP in t:
+            # other fields' "field\x1fterm" keys interleave the default
+            # field's range (same skip as GlobalStats.prefix_terms)
+            continue
         terms.append(t)
         if len(terms) >= 50:
             break
@@ -703,7 +709,14 @@ def stats_full_nchars(sf_dir: str) -> pa.Table:
     cnt = sum(r["cnt"] for r in rows)
     sum_c = sum(r["sum_c"] for r in rows)
     sumsq_c = sum(r["sumsq_c"] for r in rows)
-    stddev = math.sqrt((sumsq_c - float(sum_c) * float(sum_c) / cnt) / (cnt - 1))
+    if cnt < 2:
+        stddev = 0.0  # sample stddev undefined below 2 rows (oracle: NULL->0)
+    else:
+        # clamp: float64 rounding of sum^2/cnt can dip the radicand just
+        # below 0 on near-constant data
+        stddev = math.sqrt(
+            max(0.0, (sumsq_c - float(sum_c) * float(sum_c) / cnt) / (cnt - 1))
+        )
     return pa.table(
         {
             "cnt": pa.array([cnt], type=pa.int64()),
@@ -1065,18 +1078,21 @@ def search_with_deletes(sf_dir: str) -> pa.Table:
     containing 'dup' (by-query, `IndexWriter.deleteDocuments(Query)`), then
     the hit set of 'join AND vector' must equal the oracle's live filter.
     Stats stay stale (Lucene semantics) so this gates the hit SET mask."""
-    from ..index.deletes import apply_deletes, load_deleted
+    from ..index.deletes import apply_deletes
     from ..index.reader import LocalIndex
 
     ix = documents_index(sf_dir, variant="del1")
-    if len(load_deleted(ix)) == 0:
-        import pyarrow.parquet as pqf
+    # Seed unconditionally: both calls are idempotent (by-id dedups against
+    # prior generations; by-query can't match already-deleted docs; zero new
+    # ids writes no generation file), so a crash between them can't leave
+    # the cached index half-seeded the way a len(load_deleted)==0 guard did.
+    import pyarrow.parquet as pqf
 
-        ids = pqf.read_table(
-            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
-        )["doc_id"].to_numpy()
-        apply_deletes(ix, doc_ids=ids[ids % 7 == 3])
-        apply_deletes(ix, query=TermQ("dup"))
+    ids = pqf.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )["doc_id"].to_numpy()
+    apply_deletes(ix, doc_ids=ids[ids % 7 == 3])
+    apply_deletes(ix, query=TermQ("dup"))
     docs, _ = Evaluator(LocalIndex(ix)).scored(
         BoolQ(must=(TermQ("join"), TermQ("vector")))
     )
@@ -1147,8 +1163,14 @@ def mlt_topk_docs(sf_dir: str) -> pa.Table:
 
     SRC_DOC = 42
     ix = documents_index(sf_dir)
-    tbl = pqf.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
-    text = tbl.filter(pc.equal(tbl["doc_id"], SRC_DOC))["text"][0].as_py()
+    # point lookup: predicate pushdown fetches one row-group's worth, not
+    # the whole corpus text column onto the driver
+    tbl = pqf.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "=", SRC_DOC)],
+    )
+    text = tbl["text"][0].as_py()
     loc = LocalIndex(ix)
     q = mlt_query(text, loc, analyzer="simple",
                   min_term_freq=2, min_doc_freq=5, max_query_terms=10)
@@ -1469,32 +1491,47 @@ def payload_score_docs(sf_dir: str) -> pa.Table:
     ``func=max`` on 'customer' then return the first/last whitespace
     position per matching doc — positions are small integers so the float32
     scores replay exactly in SQL via list positional filters."""
-    import pyarrow.parquet as pqf
-
     from ..query.parser import QueryParser
 
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
     key = hashlib.md5(
-        f"{src}:{st.st_size}:{st.st_mtime_ns}:payloadv1".encode()
+        f"{src}:{st.st_size}:{st.st_mtime_ns}:payloadv2".encode()
     ).hexdigest()[:16]
     root = os.path.join(CACHE_ROOT, "payload_" + key)
-    derived = os.path.join(root, "docs.parquet")
-    if not os.path.exists(derived):
+    derived = os.path.join(root, "docs")
+    marker = os.path.join(root, "_docs_done")
+    if not os.path.exists(marker):
+        # distributed rewrite: the per-token "tok|pos" join runs inside
+        # map_batches workers (bounded per batch), never materializing the
+        # corpus on the driver; the marker commits the multi-file output
+        import ray.data as rd
+
+        def rewrite(t: pa.Table) -> pa.Table:
+            texts = [
+                " ".join(f"{w}|{i + 1}" for i, w in enumerate((x or "").split()))
+                for x in t["text"].to_pylist()
+            ]
+            return pa.table(
+                {"doc_id": t["doc_id"], "text": pa.array(texts, type=pa.string())}
+            )
+
         os.makedirs(root, exist_ok=True)
-        tbl = pqf.read_table(src, columns=["doc_id", "text"])
-        texts = [
-            " ".join(f"{w}|{i + 1}" for i, w in enumerate(x.split()))
-            for x in tbl["text"].to_pylist()
-        ]
-        pqf.write_table(
-            pa.table({"doc_id": tbl["doc_id"], "text": pa.array(texts)}),
-            derived + ".tmp",
+        (
+            rd.read_parquet(src, columns=["doc_id", "text"])
+            .map_batches(rewrite, batch_format="pyarrow")
+            .write_parquet(derived)
         )
-        os.replace(derived + ".tmp", derived)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    files = sorted(
+        os.path.join(derived, f)
+        for f in os.listdir(derived)
+        if f.endswith(".parquet")
+    )
     ix = os.path.join(root, "ix")
     build_index(
-        [derived],
+        files,
         ix,
         rows_per_partition=128,
         extract_html=False,

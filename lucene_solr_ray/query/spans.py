@@ -41,6 +41,26 @@ import numpy as np
 DEFAULT_FIELD = "text"
 
 
+def _unify_span_field(node, child_fields) -> None:
+    """Single-field contract for composite span nodes (`SpanNearQuery.java`
+    ctor: "Clauses must have same field"; SpanOr/SpanNot likewise).  A
+    composite left at the DEFAULT field inherits its clauses' field, so
+    scoring (`ast.py` SPAN_NODES branch) reads idf/norms from the field the
+    spans actually matched in; genuinely mixed clause fields raise."""
+    fs = {f for f in child_fields}
+    if len(fs) > 1:
+        raise ValueError(f"span clauses must share one field, got {sorted(fs)}")
+    if fs:
+        cf = fs.pop()
+        if node.field != cf:
+            if node.field == DEFAULT_FIELD:
+                object.__setattr__(node, "field", cf)
+            else:
+                raise ValueError(
+                    f"span node field {node.field!r} != clause field {cf!r}"
+                )
+
+
 @dataclass(frozen=True)
 class SpanTermQ:
     term: str
@@ -54,11 +74,17 @@ class SpanNearQ:
     in_order: bool = True
     field: str = DEFAULT_FIELD
 
+    def __post_init__(self):
+        _unify_span_field(self, (c.field for c in self.clauses))
+
 
 @dataclass(frozen=True)
 class SpanOrQ:
     clauses: tuple
     field: str = DEFAULT_FIELD
+
+    def __post_init__(self):
+        _unify_span_field(self, (c.field for c in self.clauses))
 
 
 @dataclass(frozen=True)
@@ -66,6 +92,9 @@ class SpanNotQ:
     include: object
     exclude: object
     field: str = DEFAULT_FIELD
+
+    def __post_init__(self):
+        _unify_span_field(self, (c.field for c in (self.include, self.exclude)))
 
 
 @dataclass(frozen=True)
@@ -76,6 +105,9 @@ class SpanFirstQ:
     match: object
     end: int
     field: str = DEFAULT_FIELD
+
+    def __post_init__(self):
+        _unify_span_field(self, (self.match.field,))
 
 
 @dataclass(frozen=True)
@@ -89,6 +121,9 @@ class SpanMultiQ:
 
     multi: object  # ast.MultiTermQ
     field: str = DEFAULT_FIELD
+
+    def __post_init__(self):
+        _unify_span_field(self, (self.multi.field,))
 
 
 SPAN_NODES = (SpanTermQ, SpanNearQ, SpanOrQ, SpanNotQ, SpanFirstQ, SpanMultiQ)

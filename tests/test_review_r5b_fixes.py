@@ -216,3 +216,143 @@ class TestWandBoundedThreshold:
                     BoolQ(should=tuple(TermQ(t) for t in terms)), k
                 )
                 assert got == want, (terms, k)
+
+
+class TestVByteFullRange:
+    def test_roundtrip_beyond_2_35(self):
+        """Values >= 2^35 previously overwrote their neighbor's bytes (the
+        nbytes precomputation capped at 5 while the encode loop kept
+        writing); the full uint64 range must round-trip."""
+        from lucene_solr_ray.index.postings import (
+            _vbyte_decode,
+            _vbyte_encode,
+            _vbyte_lengths,
+        )
+
+        vals = np.array(
+            [0, 1, 127, 128, 2**34, 2**35, 7, 2**35 - 1, 2**50 + 3,
+             2**63, 2**64 - 1, 42],
+            dtype=np.uint64,
+        )
+        blob = _vbyte_encode(vals)
+        assert len(blob) == int(_vbyte_lengths(vals).sum())
+        got, off = _vbyte_decode(memoryview(blob), 0, len(vals))
+        assert got.tolist() == vals.tolist()
+        assert off == len(blob)
+
+    def test_trailing_large_value_no_indexerror(self):
+        from lucene_solr_ray.index.postings import _vbyte_decode, _vbyte_encode
+
+        vals = np.array([3, 2**35], dtype=np.uint64)
+        got, _ = _vbyte_decode(memoryview(_vbyte_encode(vals)), 0, 2)
+        assert got.tolist() == [3, 2**35]
+
+
+class TestSpanFieldContract:
+    def test_mixed_clause_fields_raise(self):
+        from lucene_solr_ray.query.spans import SpanNearQ, SpanOrQ, SpanTermQ
+
+        with pytest.raises(ValueError, match="share one field"):
+            SpanNearQ((SpanTermQ("a", field="title"), SpanTermQ("b")))
+        with pytest.raises(ValueError, match="share one field"):
+            SpanOrQ((SpanTermQ("a"), SpanTermQ("b", field="title")))
+
+    def test_composite_inherits_clause_field(self):
+        from lucene_solr_ray.query.spans import (
+            SpanFirstQ,
+            SpanNearQ,
+            SpanNotQ,
+            SpanOrQ,
+            SpanTermQ,
+        )
+
+        near = SpanNearQ(
+            (SpanTermQ("a", field="title"), SpanTermQ("b", field="title"))
+        )
+        assert near.field == "title"
+        assert SpanOrQ((SpanTermQ("a", field="title"),)).field == "title"
+        assert SpanFirstQ(SpanTermQ("a", field="title"), 5).field == "title"
+        assert SpanNotQ(
+            SpanTermQ("a", field="title"), SpanTermQ("b", field="title")
+        ).field == "title"
+
+    def test_explicit_non_default_mismatch_raises(self):
+        from lucene_solr_ray.query.spans import SpanNearQ, SpanTermQ
+
+        with pytest.raises(ValueError, match="!= clause field"):
+            SpanNearQ((SpanTermQ("a", field="title"),), field="host")
+
+    def test_title_span_scored_with_title_stats(self, titled_index):
+        """A span tree over a non-text field must score with THAT field's
+        idf/norms (previously the composite defaulted to 'text')."""
+        from lucene_solr_ray.query.ast import PhraseQ
+        from lucene_solr_ray.query.spans import SpanNearQ, SpanTermQ
+
+        import re
+
+        from lucene_solr_ray.analysis.html_extract import extract
+        from lucene_solr_ray.fixtures import make_pages_batch
+
+        loc = titled_index
+        # probe consecutive token pairs from real fixture titles until one
+        # matches as an exact title phrase (stop-filtered/OOV pairs skip)
+        pair = None
+        for html in make_pages_batch(np.arange(20))["html"].to_pylist():
+            toks = re.findall(r"[a-z0-9]+", extract(html)[0].lower())
+            for a, b in zip(toks, toks[1:]):
+                if a == b:
+                    continue
+                docs, _ = Evaluator(loc).scored(PhraseQ((a, b), field="title"))
+                if len(docs):
+                    pair = (a, b)
+                    break
+            if pair:
+                break
+        assert pair, "fixture titles should contain some adjacent bigram"
+        span = SpanNearQ(
+            (SpanTermQ(pair[0], field="title"), SpanTermQ(pair[1], field="title")),
+            slop=0,
+            in_order=True,
+        )
+        assert span.field == "title"
+        sdocs, sscores = Evaluator(loc).scored(span)
+        pdocs, _ = Evaluator(loc).scored(PhraseQ(pair, field="title"))
+        assert sdocs.tolist() == pdocs.tolist()
+        # scores must come from TITLE-field stats: recompute them with the
+        # title idf/norms/avgdl and require bit-identity; text-field stats
+        # must NOT reproduce them (the pre-fix behavior)
+        from lucene_solr_ray.index import bm25
+        from lucene_solr_ray.query.spans import extract_terms, span_freqs
+        from lucene_solr_ray.stages.tokenize import field_term_key
+
+        _, freqs = span_freqs(loc, span)
+
+        def expected(field):
+            n, sdl = loc.global_stats(field)
+            avgdl = bm25.avg_dl(sdl, n)
+            acc = np.float32(0.0)
+            for t in extract_terms(span):
+                acc = np.float32(
+                    acc + bm25.idf(loc.stats.df.get(field_term_key(field, t), 0), n)
+                )
+            wv = np.float32(np.float32(acc * np.float32(1.0)) * np.float32(bm25.K1 + np.float32(1.0)))
+            nb = loc.norm_bytes(field, sdocs)
+            return bm25.term_scores(freqs, nb, bm25.norm_cache(avgdl), wv)
+
+        assert sscores.tolist() == expected("title").tolist()
+        assert sscores.tolist() != expected("text").tolist()
+
+
+def test_stats_full_nchars_degenerate_corpus(ray_session, tmp_path):
+    from lucene_solr_ray.pipelines.fulltext import stats_full_nchars
+
+    for rows in ([], [100]):
+        d = tmp_path / f"sf_{len(rows)}"
+        d.mkdir()
+        pq.write_table(
+            pa.table({"n_chars": pa.array(rows, type=pa.int64())}),
+            str(d / "documents.parquet"),
+        )
+        out = stats_full_nchars(str(d))  # previously ZeroDivisionError
+        assert out["cnt"][0].as_py() == len(rows)
+        assert out["stddev_c"][0].as_py() == 0.0
