@@ -1363,7 +1363,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT 3, '(45,*]', CAST(count(*) FILTER (l_quantity > 45) AS BIGINT) FROM lineitem
             ORDER BY iv""",
         "export_sorted_lineitem": """
-            SELECT CAST(row_number() OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber) - 1 AS BIGINT) AS rank,
+            SELECT CAST(row_number() OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity) - 1 AS BIGINT) AS rank,
                    l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity
             FROM lineitem WHERE l_quantity > 45 ORDER BY rank""",
         "group_top1_orders": """

@@ -596,12 +596,20 @@ def embedding_near_dup_docs(sf_dir: str) -> pa.Table:
         take = ids < 20
         if not take.any():
             return t
-        import pyarrow.compute as _pc
-
         src = t.filter(pa.array(take))
-        rng = np.random.default_rng(99)
         vecs = np.asarray(src["embedding"].to_pylist(), dtype=np.float32)
-        vecs = vecs + 0.01 * rng.standard_normal(vecs.shape).astype(np.float32)
+        # noise seeded PER VEC ID, so the planted copies are identical under
+        # any Ray block layout (a per-batch rng would assign noise rows by
+        # within-batch order and change with the block split)
+        noise = np.stack(
+            [
+                np.random.default_rng(99 + int(i))
+                .standard_normal(vecs.shape[1])
+                .astype(np.float32)
+                for i in np.asarray(src["vec_id"], dtype=np.int64)
+            ]
+        )
+        vecs = vecs + 0.01 * noise
         base = t.select(["vec_id", "embedding"])
         dup = pa.table(
             {
@@ -1110,7 +1118,11 @@ def export_sorted_lineitem(sf_dir: str) -> pa.Table:
     ds = ds.map_batches(
         lambda t: t.filter(pc.greater(t["l_quantity"], 45.0)), batch_format="pyarrow"
     )
-    out = ds.sort(["l_shipdate", "l_orderkey", "l_linenumber"]).to_pandas()
+    # l_quantity joins the sort so rows tying on all three logical keys
+    # (possible in the synthetic lineitem — see block_join_children's note)
+    # still order deterministically on every emitted column, engine and
+    # oracle alike (the driver hash-compares row order)
+    out = ds.sort(["l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"]).to_pandas()
     return pa.table(
         {
             "rank": pa.array(range(len(out)), type=pa.int64()),
@@ -1331,6 +1343,20 @@ def multimodal_decode(sf_dir: str) -> pa.Table:
 GEO_RADIUS_KM = 2000.0
 
 
+def _synthetic_latlon_tenths(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic synthetic coordinates in integer TENTHS of a degree
+    (ilat tenths above -90, ilon tenths above -180) derived from a key
+    column — the one formula every spatial entry and its DuckDB oracle
+    share (``(key*7) % 1800`` / ``(key*13) % 3600``)."""
+    return (keys * 7) % 1800, (keys * 13) % 3600
+
+
+def _synthetic_latlon(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Float degrees form of :func:`_synthetic_latlon_tenths`."""
+    ilat, ilon = _synthetic_latlon_tenths(keys)
+    return ilat / 10.0 - 90.0, ilon / 10.0 - 180.0
+
+
 def geofilt_customers(sf_dir: str) -> pa.Table:
     """Spatial radius filter (``{!geofilt pt=0,0 sfield=latlon d=2000}``,
     `solr/core/src/java/org/apache/solr/schema/LatLonType.java`
@@ -1350,8 +1376,7 @@ def geofilt_customers(sf_dir: str) -> pa.Table:
 
     def keep(t: pa.Table) -> pa.Table:
         keys = np.asarray(t["c_custkey"], dtype=np.int64)
-        lat = ((keys * 7) % 1800) / 10.0 - 90.0
-        lon = ((keys * 13) % 3600) / 10.0 - 180.0
+        lat, lon = _synthetic_latlon(keys)
         d = np.asarray(geodist_km(lat, lon, 0.0, 0.0))
         return t.filter(pa.array(d < GEO_RADIUS_KM))
 
@@ -1389,8 +1414,7 @@ def bbox_customers(sf_dir: str) -> pa.Table:
 
     def keep(t: pa.Table) -> pa.Table:
         keys = np.asarray(t["c_custkey"], dtype=np.int64)
-        lat = ((keys * 7) % 1800) / 10.0 - 90.0
-        lon = ((keys * 13) % 3600) / 10.0 - 180.0
+        lat, lon = _synthetic_latlon(keys)
         m = (lat >= lat_min) & (lat <= lat_max) & (lon >= lon_min) & (lon <= lon_max)
         return t.filter(pa.array(m))
 
@@ -1453,8 +1477,7 @@ def polygon_customers(sf_dir: str) -> pa.Table:
 
     def keep(t: pa.Table) -> pa.Table:
         keys = np.asarray(t["c_custkey"], dtype=np.int64)
-        lat = ((keys * 7) % 1800) / 10.0 - 90.0
-        lon = ((keys * 13) % 3600) / 10.0 - 180.0
+        lat, lon = _synthetic_latlon(keys)
         codes = quad_codes(lat, lon, RPT_LEVEL)
         accepted, needs_verify = candidate_mask(
             codes, within_cells, boundary_leaves, RPT_LEVEL
@@ -1494,8 +1517,7 @@ def polygon_star_customers(sf_dir: str) -> pa.Table:
 
     def keep(t: pa.Table) -> pa.Table:
         keys = np.asarray(t["c_custkey"], dtype=np.int64)
-        lat = ((keys * 7) % 1800) / 10.0 - 90.0
-        lon = ((keys * 13) % 3600) / 10.0 - 180.0
+        lat, lon = _synthetic_latlon(keys)
         codes = quad_codes(lat, lon, RPT_LEVEL)
         accepted, needs_verify = candidate_mask(
             codes, within_cells, boundary_leaves, RPT_LEVEL
@@ -1549,8 +1571,7 @@ def heatmap_customers(sf_dir: str) -> pa.Table:
 
     def partial(t: pa.Table) -> pa.Table:
         keys = np.asarray(t["c_custkey"], dtype=np.int64)
-        ilat = (keys * 7) % 1800  # tenths of a degree above -90
-        ilon = (keys * 13) % 3600  # tenths above -180
+        ilat, ilon = _synthetic_latlon_tenths(keys)
         row = (ilat << level) // 1800
         col = (ilon << level) // 3600
         m = (row >= r0) & (row <= r1) & (col >= c0) & (col <= c1)
@@ -1615,8 +1636,7 @@ def heatmap_polygon_customers(sf_dir: str) -> pa.Table:
 
     def partial(t: pa.Table) -> pa.Table:
         keys = np.asarray(t["c_custkey"], dtype=np.int64)
-        lat = ((keys * 7) % 1800) / 10.0 - 90.0
-        lon = ((keys * 13) % 3600) / 10.0 - 180.0
+        lat, lon = _synthetic_latlon(keys)
         codes = quad_codes(lat, lon, RPT_LEVEL)
         accepted, needs_verify = candidate_mask(
             codes, within_cells, boundary_leaves, RPT_LEVEL

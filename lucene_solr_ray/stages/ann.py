@@ -92,6 +92,14 @@ def brute_dup_pairs(ds, *, threshold: float, vec_col: str = "embedding",
     ).iter_batches(batch_format="pyarrow"):
         mats.append(_batch_matrix(b, vec_col))
         idss.append(np.asarray(b[id_col], dtype=np.int64))
+    if not mats:
+        # empty input -> empty pair table (siblings return empty, not crash)
+        return pa.table(
+            {
+                "vec_a": pa.array([], type=pa.int64()),
+                "vec_b": pa.array([], type=pa.int64()),
+            }
+        )
     full = _normalize(np.concatenate(mats))
     ids = np.concatenate(idss)
     order = np.argsort(ids)

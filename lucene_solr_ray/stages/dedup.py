@@ -60,13 +60,24 @@ def _add_content_hash_u64(batch: pa.Table, *, text_col: str) -> pa.Table:
     return batch.append_column("content_hash", pa.array(h, type=pa.int64()))
 
 
-def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id"):
-    """Keep the smallest-id row per identical content (deterministic)."""
+def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                shuffle_buckets: int = 64):
+    """Keep the smallest-id row per identical content (deterministic).
+
+    Bucketed-shuffle shape (the module's pattern, CLAUDE.md): grouping by
+    ``hash(content_hash) % shuffle_buckets`` bounds the group count at
+    ``shuffle_buckets`` vectorized tasks instead of one Python
+    ``map_groups`` call per DISTINCT document; a text always lands in one
+    bucket (same content -> same hash -> same bucket), so min-id per
+    distinct text inside a bucket is globally exact."""
 
     def keep_first(group: pa.Table) -> pa.Table:
-        # one hash group may (theoretically) hold several distinct texts:
-        # keep min-id per DISTINCT text — dictionary_encode + argsort, exact
+        # a bucket holds many hashes, and one hash may (theoretically) hold
+        # several distinct texts: keep min-id per DISTINCT text —
+        # dictionary_encode + lexsort, exact
         group = group.combine_chunks()
+        if "__b" in group.column_names:
+            group = group.drop_columns(["__b"])
         codes = np.asarray(
             pc.dictionary_encode(group[text_col].combine_chunks()).indices, dtype=np.int64
         )
@@ -78,7 +89,8 @@ def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id"):
 
     return (
         ds.map_batches(_add_content_hash_u64, batch_format="pyarrow", fn_kwargs={"text_col": text_col})
-        .groupby("content_hash")
+        .map_batches(_with_bucket("content_hash", shuffle_buckets), batch_format="pyarrow")
+        .groupby("__b")
         .map_groups(keep_first, batch_format="pyarrow")
     )
 
@@ -189,6 +201,72 @@ def _min_label_by(key_col: str, id_col: str):
 from ..hashing import with_bucket as _with_bucket  # bucketed-shuffle prep step
 
 
+def _dup_roles(id_col: str):
+    """Shuffle prep for the pointer-jumping step: each state row emits a
+    TARGET copy (``__role`` 0, keyed by its current label) and a POINTER
+    copy (``__role`` 1, keyed by its own id, carrying that id's label).
+    Pointer copies are per-batch-deduped by id (one per id suffices)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        keep = [c for c in t.column_names if c not in ("changed", "__b", "__role", "__key")]
+        tt = t.select(keep)
+        n = tt.num_rows
+        tgt = tt.append_column(
+            "__role", pa.array(np.zeros(n, dtype=np.int8), type=pa.int8())
+        ).append_column("__key", tt["label"])
+        ids = np.asarray(tt[id_col], dtype=np.int64)
+        labs = np.asarray(tt["label"], dtype=np.int64)
+        first = np.zeros(n, dtype=bool)
+        if n:
+            order = np.lexsort((labs, ids))  # min label per id in this batch
+            f = np.ones(n, dtype=bool)
+            f[1:] = ids[order][1:] != ids[order][:-1]
+            first[order[f]] = True
+        pt = tt.filter(pa.array(first))
+        ptr = pt.append_column(
+            "__role", pa.array(np.ones(pt.num_rows, dtype=np.int8), type=pa.int8())
+        ).append_column("__key", pt[id_col])
+        return pa.concat_tables([tgt, ptr])
+
+    return fn
+
+
+def _label_collapse(id_col: str):
+    """Pointer-jumping (path compression) step: label <- label(label).
+    Group rows mix targets (bucketed by label) and pointers (bucketed by
+    id); targets look their label up among the pointer ids and jump to
+    that id's label.  Emits only the target rows (state shape)."""
+
+    def fn(group: pa.Table) -> pa.Table:
+        role = np.asarray(group["__role"], dtype=np.int8)
+        tgt_t = group.filter(pa.array(role == 0))
+        ptr_t = group.filter(pa.array(role == 1))
+        t_lab = np.asarray(tgt_t["label"], dtype=np.int64)
+        new = t_lab.copy()
+        pk = np.asarray(ptr_t[id_col], dtype=np.int64)
+        pl = np.asarray(ptr_t["label"], dtype=np.int64)
+        if len(pk) and len(t_lab):
+            # one (id -> label) entry per pointer id (min defensively)
+            order = np.lexsort((pl, pk))
+            pk_s, pl_s = pk[order], pl[order]
+            f = np.ones(len(pk_s), dtype=bool)
+            f[1:] = pk_s[1:] != pk_s[:-1]
+            uk, ul = pk_s[f], pl_s[f]
+            idx = np.searchsorted(uk, t_lab)
+            ok = (idx < len(uk)) & (uk[np.minimum(idx, len(uk) - 1)] == t_lab)
+            new[ok] = ul[idx[ok]]
+        cols = {
+            c: tgt_t[c]
+            for c in tgt_t.column_names
+            if c not in ("label", "changed", "__b", "__role", "__key")
+        }
+        cols["label"] = pa.array(new, type=pa.int64())
+        cols["changed"] = pa.array((new != t_lab).astype(np.int64), type=pa.int64())
+        return pa.table(cols)
+
+    return fn
+
+
 def _components_table(t: pa.Table, id_col: str) -> pa.Table:
     """Connected components of one in-memory (doc, band_hash, label) table:
     alternate vectorized bucket-min / doc-min (two lexsorts per round) until
@@ -230,7 +308,7 @@ def _components_table(t: pa.Table, id_col: str) -> pa.Table:
 
 
 def _propagate_components(state, id_col: str, *, rounds: int | None = None,
-                          max_rounds: int = 16, shuffle_buckets: int = 64,
+                          max_rounds: int | None = None, shuffle_buckets: int = 64,
                           small_rows: int = 8_000_000):
     """Min-label connected components over (id_col, band_hash, label) rows ->
     Dataset[(id_col, cluster_id)]; cluster_id = min id reachable through
@@ -241,13 +319,18 @@ def _propagate_components(state, id_col: str, *, rounds: int | None = None,
     * state table <= ``small_rows`` rows (~24 B each): the skinny table
       collapses into ONE worker task that runs vectorized in-memory
       min-label rounds to convergence — no shuffle at all.
-    * larger: each round = TWO bucketed shuffles over (doc, band_hash,
-      label) int rows — never texts, never driver state: labels flow
-      bucket-min -> doc-min inside ``map_groups`` (vectorized per coarse
-      bucket).  ``rounds=None`` iterates to convergence (component diameters
-      double per round, so #rounds ~ log2(longest chain), capped at
-      ``max_rounds``); the driver reads ONE integer per round.
-      ``shuffle_buckets`` bounds group count and scales with the cluster.
+    * larger: each round = THREE bucketed shuffles over skinny int rows —
+      never texts, never driver state: (1) pointer-jumping collapse
+      ``label <- label(label)`` (path compression — without it the min
+      label travels ONE hop per round and a diameter-D chain needs D
+      rounds), then (2) bucket-min and (3) doc-min inside ``map_groups``
+      (vectorized per coarse bucket).  ``rounds=None`` iterates to TRUE
+      convergence (the doc-min step reporting zero changes implies the
+      bucket/doc fixpoint, at which every label equals its component's min
+      id); the driver reads ONE integer per round.  ``max_rounds`` is a
+      hard safety: exceeding it RAISES instead of silently returning an
+      under-merged labeling.  ``shuffle_buckets`` bounds group count and
+      scales with the cluster.
     """
     state = state.materialize()
 
@@ -258,20 +341,32 @@ def _propagate_components(state, id_col: str, *, rounds: int | None = None,
             batch_size=None,
         )
 
-    n_rounds = max_rounds if rounds is None else rounds
-    for _ in range(n_rounds):
+    n = 0
+    while True:
+        n += 1
         state = (
-            state.map_batches(_with_bucket("band_hash", shuffle_buckets), batch_format="pyarrow")
+            state.map_batches(_dup_roles(id_col), batch_format="pyarrow")
+            .map_batches(_with_bucket("__key", shuffle_buckets), batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(_label_collapse(id_col), batch_format="pyarrow")
+            .map_batches(_with_bucket("band_hash", shuffle_buckets), batch_format="pyarrow")
             .groupby("__b")
             .map_groups(_min_label_by("band_hash", id_col), batch_format="pyarrow")
             .map_batches(_with_bucket(id_col, shuffle_buckets), batch_format="pyarrow")
             .groupby("__b")
             .map_groups(_min_label_by(id_col, id_col), batch_format="pyarrow")
         ).materialize()
-        if rounds is None:
-            changed = state.sum("changed")
-            if not changed:
+        if rounds is not None:
+            if n >= rounds:
                 break
+            continue
+        changed = state.sum("changed")
+        if not changed:
+            break
+        if max_rounds is not None and n >= max_rounds:
+            raise RuntimeError(
+                f"label propagation did not converge in {max_rounds} rounds"
+            )
 
     def finalize(group: pa.Table) -> pa.Table:
         ids = np.asarray(group[id_col], dtype=np.int64)
@@ -296,7 +391,7 @@ def _propagate_components(state, id_col: str, *, rounds: int | None = None,
 
 def minhash_clusters(ds, *, text_col: str = "text", id_col: str = "doc_id",
                      num_perm: int = 64, bands: int = 16, k: int = 5,
-                     rounds: int | None = None, max_rounds: int = 16,
+                     rounds: int | None = None, max_rounds: int | None = None,
                      shuffle_buckets: int = 64, small_rows: int = 8_000_000):
     """-> Dataset[(doc_id, cluster_id)]; cluster_id = min doc_id reachable
     through shared LSH buckets (connected components of the candidate graph,
@@ -316,7 +411,7 @@ def minhash_clusters(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
 def pair_graph_clusters(pairs, ids, *, id_col: str = "doc_id",
                         shuffle_buckets: int = 64,
-                        small_rows: int = 8_000_000, max_rounds: int = 16):
+                        small_rows: int = 8_000_000, max_rounds: int | None = None):
     """Distributed connected components of a verified near-dup pair set ->
     Dataset[(id_col, cluster_id)] over the WHOLE corpus (cluster_id = min
     doc_id of the component; singletons label themselves).
@@ -859,11 +954,6 @@ def ssjoin_jaccard(ds, *, threshold: float = 0.5, n: int = 3,
     [{a, b, jaccard}], a < b, driver-resident (small by the similarity
     threshold's contract, like every pair list in this module).
     """
-    grams = ds.select_columns([id_col, text_col]).map_batches(
-        _ngram_hashes_batch, batch_format="pyarrow",
-        fn_kwargs={"text_col": text_col, "id_col": id_col, "n": n},
-    )
-
     def prefix_rows(t: pa.Table) -> pa.Table:
         """(id, gram, m) rows keeping only each doc's prefix grams.  A doc's
         gram rows are complete within one batch (one input row per doc)."""
@@ -925,7 +1015,21 @@ def ssjoin_jaccard(ds, *, threshold: float = 0.5, n: int = 3,
         return pa.table({"a": pa.array(uniq[:, 0], type=pa.int64()),
                          "b": pa.array(uniq[:, 1], type=pa.int64())})
 
-    pref = grams.map_batches(prefix_rows, batch_format="pyarrow").materialize()
+    def grams_then_prefix(t: pa.Table) -> pa.Table:
+        # ONE batch fn from raw docs to prefix rows: per-doc gram-set
+        # completeness holds by construction (each input row is a whole
+        # doc), not by relying on Ray keeping the two stages' block
+        # boundaries fused/unsplit — a split mid-doc would corrupt m and
+        # the prefix length of this EXACT join
+        return prefix_rows(
+            _ngram_hashes_batch(t, text_col=text_col, id_col=id_col, n=n)
+        )
+
+    pref = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(grams_then_prefix, batch_format="pyarrow")
+        .materialize()
+    )
     # two-regime dispatch (CLAUDE.md): small prefix table -> one vectorized
     # task; large -> bucketed gram-group shuffle + pair-key dedup shuffle
     if pref.count() <= 8_000_000:

@@ -55,7 +55,13 @@ class LanguageId:
             lang: sum(t in prof for t in toks) for lang, prof in self.profiles.items()
         }
         best = max(sorted(scores), key=lambda L: scores[L])
-        return best if scores[best] > 0 else "und"
+        if scores[best] == 0:
+            return "und"
+        # tie -> "und" (class contract): an alphabetical winner would be
+        # an arbitrary pick between equally-scored languages
+        if sum(1 for v in scores.values() if v == scores[best]) > 1:
+            return "und"
+        return best
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         preds = [self.classify(t) for t in batch[self.text_col].to_pylist()]

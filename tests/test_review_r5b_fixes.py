@@ -356,3 +356,85 @@ def test_stats_full_nchars_degenerate_corpus(ray_session, tmp_path):
         out = stats_full_nchars(str(d))  # previously ZeroDivisionError
         assert out["cnt"][0].as_py() == len(rows)
         assert out["stddev_c"][0].as_py() == 0.0
+
+
+def test_long_chain_components_converge_large_regime(ray_session):
+    """A diameter-40 chain must collapse to ONE component in the bucketed
+    (large) regime — the old fixed 16-round one-hop loop silently returned
+    a fragmented labeling; rounds are now pointer-jumped AND convergence-
+    checked."""
+    import ray.data as rd
+
+    from lucene_solr_ray.stages.dedup import pair_graph_clusters
+
+    n = 41
+    pairs = [{"a": i, "b": i + 1} for i in range(n - 1)]
+    ids_ds = rd.from_arrow(pa.table({"doc_id": pa.array(range(n), type=pa.int64())}))
+    out = pair_graph_clusters(
+        rd.from_items(pairs), ids_ds, small_rows=0, shuffle_buckets=4
+    )
+    rows = {r["doc_id"]: r["cluster_id"] for r in out.take_all()}
+    assert len(rows) == n
+    assert set(rows.values()) == {0}
+
+
+def test_langid_tie_returns_und():
+    """Equal non-zero scores across languages must classify as 'und', not
+    the alphabetically-first language (an arbitrary pick)."""
+    from lucene_solr_ray.stages.textstats import LanguageId
+
+    lid = LanguageId()
+    # tokens unique to EXACTLY one profile each; a doc with one of each
+    # scores 1:1 between those two languages, 0 elsewhere -> tie
+    def only_in(lang):
+        others = set().union(
+            *(set(p) for L, p in lid.profiles.items() if L != lang)
+        )
+        return sorted(set(lid.profiles[lang]) - others)
+
+    langs = sorted(L for L in lid.profiles if only_in(L))
+    assert len(langs) >= 2, "fixture profiles too overlapping for this test"
+    a, b = langs[0], langs[1]
+    ta, tb = only_in(a)[0], only_in(b)[0]
+    assert lid.classify(f"{ta} {tb}") == "und"
+    assert lid.classify("") == "und"
+    # non-tie sanity: two distinct a-only tokens beat one b token
+    if len(only_in(a)) >= 2:
+        ta2 = only_in(a)[1]
+        assert lid.classify(f"{ta} {ta2} {tb}") == a
+
+
+def test_brute_dup_pairs_empty_input(ray_session):
+    """Zero-row input returns an empty (vec_a, vec_b) table, not a numpy
+    concatenate crash."""
+    import ray.data as rd
+
+    from lucene_solr_ray.stages.ann import brute_dup_pairs
+
+    empty = pa.table({
+        "vec_id": pa.array([], type=pa.int64()),
+        "embedding": pa.array([], type=pa.list_(pa.float32())),
+    })
+    out = brute_dup_pairs(rd.from_arrow(empty), threshold=0.9, id_col="vec_id")
+    assert out.num_rows == 0
+    assert out.column_names == ["vec_a", "vec_b"]
+
+
+def test_exact_dedup_bucketed_min_id(ray_session):
+    """exact_dedup groups by a coarse bucket (bounded task count), so one
+    group mixes many content hashes; min-id per DISTINCT text must still be
+    globally exact, even at shuffle_buckets=1 (everything in one group)."""
+    import ray.data as rd
+
+    from lucene_solr_ray.stages.dedup import exact_dedup
+
+    texts = ["alpha", "beta", "gamma", "alpha", "beta", "alpha"]
+    ids = [10, 11, 12, 3, 7, 5]
+    tbl = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                    "text": pa.array(texts)})
+    for buckets in (1, 64):
+        out = exact_dedup(
+            rd.from_arrow(tbl), shuffle_buckets=buckets
+        ).to_pandas().sort_values("doc_id")
+        assert sorted(out["doc_id"].tolist()) == [3, 7, 12]
+        assert set(out.columns) == {"doc_id", "text", "content_hash"}
