@@ -319,6 +319,186 @@ def _extract_fast(html: str) -> tuple[str, str, dict[str, str]]:
     return "".join(title).strip(), "".join(body), meta
 
 
+# ---- template scanner (tier 0) ----------------------------------------------
+#
+# The event-loop scanner above still pays ~1 us of Python dispatch per tag
+# event (~29 events/page on the fixture corpus).  The overwhelmingly common
+# page shape is `<html><head>...</head><body>...</body></html>` with
+# well-formed tags and no script/style/img — for THAT subset the document
+# can be carved with ONE anchored regex and each section batch-tokenized
+# with ONE C-level `re.split`, leaving a per-event Python loop of 3-4 ops.
+# Anything outside the subset raises _Bail and falls to `_extract_fast`
+# (then `extract_slow`), so the byte-identity contract is unchanged:
+# identical-by-construction-or-fallback (differential gate in
+# tests/test_fast_extract.py, fuzz included).
+
+_ATTR_BLOB = r"((?:\s+[^\s/>=]+(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>]*))?)*)"
+# one pattern for BOTH start and end tags; the strict attr-blob shape (same
+# as _START_RE) keeps quoted '>' inside values from closing the tag early
+# and leaves malformed tags UNSPLIT (they stay in the text slices, where the
+# '<' check bails)
+_TAG_EVENT_RE = _re.compile(
+    r"<(/?)([a-zA-Z][-.a-zA-Z0-9:_]*)" + _ATTR_BLOB + r"\s*(/?)>"
+)
+# whitespace-tolerant prologue for docs that are canonical but not literal
+# (`\n<html> <head>`); the hot path uses plain str finds instead
+_TMPL_OPEN_RE = _re.compile(r"\A\s*<html>\s*<head>")
+# an END event for a void element is skipped by html.parser (synthesized at
+# start), so only non-void ENDLINE ends emit the newline
+_ENDLINE_END = ENDLINE_ELEMENTS - _VOID_ELEMENTS
+# start tags needing non-default handling in the body loop
+_TMPL_BODY_SPECIAL = frozenset(("script", "style", "img"))
+
+
+def _attrs_from_blob(blob: str) -> dict[str, str | None]:
+    """Attr dict from a strict attr blob (last duplicate wins, html.parser
+    ``dict(attrs)`` parity), charrefs unescaped in values."""
+    attrs: dict[str, str | None] = {}
+    for am in _ATTR_RE.finditer(blob):
+        v = am.group(2)
+        if v is None:
+            v = am.group(3)
+        if v is None:
+            v = am.group(4)
+        if v is not None and "&" in v:
+            v = _unescape(v)
+        attrs[am.group(1).lower()] = v
+    return attrs
+
+
+def _extract_tmpl(html: str) -> tuple[str, str, dict[str, str]]:
+    # structure located with C-level finds on the literal canonical shape
+    # (attribute-less `<html><head>...</head><body>...</body></html>`);
+    # attributed/uppercase structural tags bail to the event-loop scanner.
+    # Whitespace is allowed around the structural tags (dropped data —
+    # html.parser parity: data outside <body>/<title> is discarded).
+    if html.startswith("<html><head>"):
+        i = 12
+    else:
+        m = _TMPL_OPEN_RE.match(html)
+        if m is None:
+            raise _Bail
+        i = m.end()
+    h_end = html.find("</head>", i)
+    if h_end < 0:
+        raise _Bail
+    head_inner = html[i:h_end]
+    j = h_end + 7
+    n = len(html)
+    while j < n and html[j] in " \t\r\n":
+        j += 1
+    if not html.startswith("<body>", j):
+        raise _Bail
+    j += 6
+    b_end = html.find("</body>", j)
+    if b_end < 0:
+        raise _Bail
+    body_inner = html[j:b_end]
+    if html[b_end + 7 :].strip() != "</html>":
+        raise _Bail
+    title: list[str] = []
+    body: list[str] = []
+    meta: dict[str, str] = {}
+
+    # -- head: the machine only reacts to title/meta here ---------------------
+    if "</head" in head_inner.lower():
+        # a non-literal head close (`</head >`, `</HEAD>`) the anchored cut
+        # missed — the machine would have left <head> earlier
+        raise _Bail
+    parts = _TAG_EVENT_RE.split(head_inner)
+    txt = parts[0]
+    if txt and "<" in txt:
+        raise _Bail  # unparsed markup between events
+    in_title = 0
+    for k in range(1, len(parts), 5):
+        tl = parts[k + 1].lower()
+        if parts[k]:  # end tag
+            if parts[k + 2]:
+                raise _Bail  # attributes on an end tag: out of subset
+            if tl == "title" and in_title > 0:
+                in_title -= 1
+        else:
+            if tl == "script" or tl == "style":
+                raise _Bail  # cdata content needs the event loop
+            if tl == "title":
+                in_title += 1
+            elif tl == "meta":
+                blob = parts[k + 2]
+                if blob:
+                    attrs = _attrs_from_blob(blob)
+                    name = attrs.get("name")
+                    if name is None:
+                        name = attrs.get("http-equiv")
+                    val = attrs.get("content")
+                    if name is not None and val is not None:
+                        meta[name.lower()] = val
+            if (parts[k + 3] or tl in _VOID_ELEMENTS) and tl == "title" and in_title > 0:
+                in_title -= 1  # synthesized end event
+        txt = parts[k + 4]
+        if txt:
+            if "<" in txt:
+                raise _Bail
+            if in_title > 0:
+                title.append(_unescape(txt) if "&" in txt else txt)
+
+    # -- body: text routing + ENDLINE newlines --------------------------------
+    if "</body" in body_inner.lower():
+        raise _Bail  # non-literal body close before the anchored one
+    parts = _TAG_EVENT_RE.split(body_inner)
+    append = body.append
+    txt = parts[0]
+    if txt:
+        if "<" in txt:
+            raise _Bail
+        append(_unescape(txt) if "&" in txt else txt)
+    k = 1
+    n_parts = len(parts)
+    while k < n_parts:
+        tl = parts[k + 1].lower()
+        if parts[k]:  # end tag
+            if parts[k + 2]:
+                raise _Bail  # attributes on an end tag
+            if tl in _ENDLINE_END:
+                append("\n")
+            elif tl == "script" or tl == "style":
+                raise _Bail  # stray close flips suppression accounting
+        elif tl in _TMPL_BODY_SPECIAL:
+            if tl == "img":
+                blob = parts[k + 2]
+                if blob:
+                    alt = _attrs_from_blob(blob).get("alt")
+                    if alt is not None:
+                        append("[" + alt + "]")
+            else:
+                # html.parser CDATA mode (script/style): everything to the
+                # FIRST matching close tag is raw suppressed data (fake tags
+                # inside are data too, so skipping their split events
+                # matches).  A close the tokenizer could not split
+                # (`</ script>`, `</script x>`, unterminated) would end
+                # cdata at a different point than this skip — bail.
+                if parts[k + 3]:
+                    raise _Bail  # self-closing: html.parser skips cdata mode
+                while True:
+                    if "</" in parts[k + 4]:
+                        raise _Bail  # unsplit close candidate in the cdata
+                    k += 5
+                    if k >= n_parts:
+                        raise _Bail  # unclosed cdata: </body> cut unsound
+                    if parts[k] and parts[k + 1].lower() == tl:
+                        if parts[k + 2]:
+                            raise _Bail  # close tag with attrs: html.parser
+                        break  # treats it as data; event loop handles it
+        elif (parts[k + 3] or tl in _VOID_ELEMENTS) and tl in ENDLINE_ELEMENTS:
+            append("\n")  # synthesized end of a void/self-closed element
+        txt = parts[k + 4]
+        if txt:
+            if "<" in txt:
+                raise _Bail
+            append(_unescape(txt) if "&" in txt else txt)
+        k += 5
+    return "".join(title).strip(), "".join(body), meta
+
+
 def extract(html: str | bytes) -> tuple[str, str, dict[str, str]]:
     """Parse *html*; return ``(title, body, meta_tags)``.
 
@@ -329,6 +509,10 @@ def extract(html: str | bytes) -> tuple[str, str, dict[str, str]]:
     if isinstance(html, (bytes, bytearray, memoryview)):
         html = bytes(html).decode("utf-8")
     if _FAST_ON:
+        try:
+            return _extract_tmpl(html)
+        except _Bail:
+            pass
         try:
             return _extract_fast(html)
         except _Bail:

@@ -17,6 +17,7 @@ from lucene_solr_ray.analysis.html_extract import (
     FramesetError,
     _Bail,
     _extract_fast,
+    _extract_tmpl,
     extract,
     extract_slow,
 )
@@ -99,6 +100,95 @@ class TestFastExtractDifferential:
     def test_frameset_raises_on_fast_path(self):
         with pytest.raises(FramesetError):
             extract('<html><frameset rows="1"></frameset></html>')
+
+    def test_tmpl_adversarial_equal_or_bail(self):
+        # tier-0 template scanner: for every adversarial input, either
+        # _Bail (a deeper tier handles it) or byte-identical to html.parser
+        for h in ADVERSARIAL:
+            try:
+                got = _extract_tmpl(h)
+            except _Bail:
+                continue
+            except FramesetError:
+                with pytest.raises(FramesetError):
+                    extract_slow(h)
+                continue
+            assert got == extract_slow(h), h
+
+    def test_tmpl_fixture_corpus_coverage(self):
+        # the fixture corpus must ride the TIER-0 path (script/style/img
+        # included), not fall through to the event loop
+        from lucene_solr_ray.fixtures import make_page
+
+        for i in range(300):
+            h = make_page(i)["html"].decode()
+            assert _extract_tmpl(h) == extract_slow(h)
+
+    def test_tmpl_fuzz_differential(self):
+        # seeded random soups over the constructs the template subset
+        # claims to handle plus everything just outside it: equal-or-bail
+        import random
+
+        rnd = random.Random(20260819)
+        frags = [
+            "t {i} &amp; x", "a &lt; b", "plain", " s p a c e ", "",
+            "<p>", "</p>", "<P>", "</P>", "<ul>", "</ul>", "<li>", "</li>",
+            "<td>", "</td>", "<div>", "</div>", "<br>", "<br/>", "</br>",
+            "<hr>", "<hr/>", "<p/>", "<span>", "</span>", "<tr>", "</tr>",
+            '<img alt="pic {i}">', "<img>", '<img src="u">',
+            '<img alt="a &gt; b">', "<IMG ALT=up>",
+            "<script>var x = {i}; // <p>fake</p></script>",
+            "<script>if (a<b) x;</script>", "<style>.c{{color:red}}</style>",
+            "<SCRIPT>u</SCRIPT>", "<script>unterminated",
+            "</script>", "</style>", "<script/>",
+            "<!-- comment <p>no</p> -->", "<!decl>", "<?pi?>",
+            "a <3 b", "<p", "</p >", "</p class=x>", "<p class='y'>",
+            '<p a="v>w">', "<title>body title</title>", "<meta name='k'>",
+            "<frameset>", "</frameset>", "<body>", "</head>", "<head>",
+            "x</body>y", "</BODY>", "</body >",
+        ]
+        heads = [
+            "<title> T {i} </title>", "<title>A</title><title>B</title>",
+            '<meta name="k" content="v {i}">', "<meta http-equiv='r' content='5'>",
+            "<meta name='only'>", "<meta content='orphan'>", "",
+            "<title>t<br>u</title>", "<style>h1{{x:1}}</style><title>s</title>",
+            "<link rel='x' href='y'>", "<title>a &amp; b</title>",
+        ]
+        n_checked = 0
+        for i in range(2500):
+            nh = rnd.randint(0, 2)
+            nb = rnd.randint(0, 6)
+            head = "".join(rnd.choice(heads).format(i=i) for _ in range(nh))
+            bod = "".join(rnd.choice(frags).format(i=i) for _ in range(nb))
+            shape = rnd.random()
+            if shape < 0.7:
+                h = f"<html><head>{head}</head>\n<body>{bod}</body></html>"
+            elif shape < 0.8:
+                h = f"  <html> <head>{head}</head><body>{bod}</body> </html> "
+            elif shape < 0.9:
+                h = f"<html><head>{head}</head><body>{bod}</body></html>trail"
+            else:
+                h = f"<html>{bod}</html>"
+            try:
+                want = ("ok", extract_slow(h))
+            except FramesetError:
+                want = ("frameset", None)
+            # full public path: must equal slow everywhere
+            try:
+                got = ("ok", extract(h))
+            except FramesetError:
+                got = ("frameset", None)
+            assert got == want, h
+            # tier-0 directly: equal-or-bail
+            try:
+                got_t = ("ok", _extract_tmpl(h))
+            except _Bail:
+                continue
+            except FramesetError:
+                got_t = ("frameset", None)
+            n_checked += 1
+            assert got_t == want, h
+        assert n_checked > 500  # the tier-0 path must actually engage
 
     def test_stray_suppress_close_matches_slow(self):
         # stray </script> drives html.parser's counter negative and mutes
