@@ -221,7 +221,7 @@ class QueryParser:
     def _parse_classic(self, q: str):
         self._toks = self._lex(q)
         self._i = 0
-        node = self._parse_or()
+        node = self._parse_query()
         if self._i != len(self._toks):
             raise QueryParseError(f"trailing input at token {self._i}: {self._toks[self._i:]}")
         if node is None:
@@ -281,66 +281,71 @@ class QueryParser:
     def _peek(self):
         return self._toks[self._i] if self._i < len(self._toks) else (None, None)
 
-    def _parse_or(self):
-        clauses = [self._parse_and()]
-        while self._peek()[0] == "or":
-            self._i += 1
-            clauses.append(self._parse_and())
-        clauses = [c for c in clauses if c is not None]
-        if not clauses:
-            return None
-        if len(clauses) == 1:
-            return clauses[0]
-        return BoolQ(should=tuple(clauses))
+    _CLAUSE_STARTS = frozenset(
+        ("term", "fielded", "phrase", "fphrase", "range", "lparen", "matchall",
+         "regexq", "fuzzy")
+    )
 
-    def _parse_and(self):
-        must: list = []
-        must_not: list = []
-        should: list = []
-        explicit_and = False
-
-        def take_clause():
-            kind, _ = self._peek()
-            if kind == "plus":
-                self._i += 1
-                c = self._parse_atom()
-                if c is not None:
-                    must.append(c)
-            elif kind in ("minus", "not"):
-                self._i += 1
-                c = self._parse_atom()
-                if c is not None:
-                    must_not.append(c)
-            else:
-                c = self._parse_atom()
-                if c is not None:
-                    should.append(c)
-
-        take_clause()
+    def _parse_query(self):
+        """``Query ::= (Conjunction? Modifiers? Clause)*`` — ONE FLAT boolean,
+        the classic grammar's exact clause-list semantics
+        (`QueryParserBase.java:433-481` ``addClause``): ``AND`` promotes the
+        PRECEDING clause to MUST (unless prohibited) and makes the next
+        clause MUST; under the default OR operator ``OR`` is occur-neutral.
+        There is NO operator precedence / nesting in classic
+        (that's PrecedenceQueryParser) — ``a AND b OR c`` is ``+a +b c``."""
+        clauses: list[list] = []  # [occur, node], document order
         while True:
             kind, _ = self._peek()
+            conj_and = False
             if kind == "and":
+                conj_and = True
                 self._i += 1
-                explicit_and = True
-                take_clause()
-            elif kind in ("plus", "minus", "not", "term", "fielded", "phrase", "fphrase", "range", "lparen", "matchall", "regexq", "fuzzy"):
-                take_clause()
-            else:
+                kind, _ = self._peek()
+            elif kind == "or":
+                # CONJ_OR: occur-neutral under the default OR operator
+                # (QueryParserBase.java:444-452 only fires for AND_OPERATOR)
+                self._i += 1
+                kind, _ = self._peek()
+            mods = 0  # 0 none, 1 required (+), -1 prohibited (-/NOT)
+            if kind == "plus":
+                mods = 1
+                self._i += 1
+                kind, _ = self._peek()
+            elif kind in ("minus", "not"):
+                mods = -1
+                self._i += 1
+                kind, _ = self._peek()
+            if kind not in self._CLAUSE_STARTS:
+                if conj_and or mods:
+                    raise QueryParseError(f"dangling operator before {kind}")
                 break
+            # AND promotes the preceding clause before the new one is added
+            # — even when the new clause analyzes away (addClause runs the
+            # promotion before its q == null return)
+            if clauses and conj_and and clauses[-1][0] != "must_not":
+                clauses[-1][0] = "must"
+            node = self._parse_atom()
+            if node is None:
+                continue  # term filtered away by the analyzer
+            prohibited = mods == -1
+            required = mods == 1 or (conj_and and not prohibited)
+            occur = "must_not" if prohibited else ("must" if required else "should")
+            clauses.append([occur, node])
 
-        if explicit_and:
-            must.extend(should)
-            should = []
+        must = tuple(n for o, n in clauses if o == "must")
+        should = tuple(n for o, n in clauses if o == "should")
+        must_not = tuple(n for o, n in clauses if o == "must_not")
         if not must and not should and must_not:
             # pure negation: prohibit against all docs (Solr-style -foo)
-            return BoolQ(must=(MatchAllQ(),), must_not=tuple(must_not))
+            return BoolQ(must=(MatchAllQ(),), must_not=must_not)
         if len(must) == 1 and not should and not must_not:
-            return must[0]
+            return must[0]  # single-MUST BooleanQuery rewrites to its clause
         if len(should) == 1 and not must and not must_not:
             return should[0]
         if not must and not should and not must_not:
             return None
-        return BoolQ(must=tuple(must), should=tuple(should), must_not=tuple(must_not))
+        return BoolQ(must=must, should=should, must_not=must_not)
 
     def _parse_atom(self):
         kind, val = self._peek()
@@ -349,7 +354,7 @@ class QueryParser:
             return MatchAllQ()
         if kind == "lparen":
             self._i += 1
-            node = self._parse_or()
+            node = self._parse_query()
             if self._peek()[0] != "rparen":
                 raise QueryParseError("unbalanced parenthesis")
             self._i += 1
@@ -416,7 +421,11 @@ class QueryParser:
             node = (
                 TermQ(terms[0], field=target)
                 if len(terms) == 1
-                else PhraseQ(tuple(terms), field=target)
+                # UNQUOTED multi-token analysis -> SHOULD boolean, not a
+                # phrase (autoGeneratePhraseQueries defaults FALSE since 3.1;
+                # `QueryBuilder.java` createFieldQuery !quoted branch,
+                # occur = SHOULD under the default OR operator)
+                else BoolQ(should=tuple(TermQ(t, field=target) for t in terms))
             )
             return self._maybe_boost(node)
         if kind == "term":
@@ -431,7 +440,12 @@ class QueryParser:
             terms = [t for t, _ in self._analyze(val)]
             if not terms:
                 return None  # pure stopword — dropped like an empty clause
-            node = TermQ(terms[0]) if len(terms) == 1 else PhraseQ(tuple(terms))
+            node = (
+                TermQ(terms[0])
+                if len(terms) == 1
+                # see the fielded branch: unquoted multi-token -> SHOULD bool
+                else BoolQ(should=tuple(TermQ(t) for t in terms))
+            )
             return self._maybe_boost(node)
         raise QueryParseError(f"unexpected token {kind}")
 

@@ -60,15 +60,29 @@ def lookup3_signature_batch(batch: pa.Table, *, fields: list[str], out: str = "s
     return batch.append_column(out, hexed)
 
 
+def _quant_of(max_freq: int, quant_rate: float) -> int:
+    """``Math.round(maxFreq * quantRate)`` floored at 2 (1 when maxFreq==1) —
+    `TextProfileSignature.java:110-116`.  Replayed in FLOAT32 (Java float
+    arithmetic + ``Math.round(float) == floor(x + 0.5f)``) so boundary
+    frequencies quantize identically."""
+    q0 = int(np.floor(np.float32(max_freq) * np.float32(quant_rate) + np.float32(0.5)))
+    if q0 >= 2:
+        return q0
+    return 2 if max_freq > 1 else 1
+
+
 def text_profile_signature(text: str, quant_rate: float = 0.01, min_token_len: int = 2) -> str:
-    toks = [t for t in simple_tokenize(text or "") if len(t) >= min_token_len]
+    # token kept only when STRICTLY longer than minTokenLen
+    # (`TextProfileSignature.java:79` `curToken.length() > minTokenLen` —
+    # the reference drops length-2 tokens at the default setting)
+    toks = [t for t in simple_tokenize(text or "") if len(t) > min_token_len]
     if not toks:
         return hashlib.md5(b"").hexdigest()
     freqs: dict[str, int] = {}
     for t in toks:
         freqs[t] = freqs.get(t, 0) + 1
     max_freq = max(freqs.values())
-    quant = max(2, int(max_freq * quant_rate)) if max_freq > 1 else 1
+    quant = _quant_of(max_freq, quant_rate)
     prof = [(t, (f // quant) * quant) for t, f in freqs.items()]
     prof = [(t, f) for t, f in prof if f > 0]
     prof.sort(key=lambda tf: (-tf[1], tf[0]))
@@ -88,7 +102,7 @@ def text_profile_signature_batch(batch: pa.Table, *, text_col: str = "text", out
 
     flat, row_of, tok_len = _token_lists(batch[text_col])
     n = batch.num_rows
-    keep = tok_len >= 2  # MIN_TOKEN_LEN
+    keep = tok_len > 2  # strictly longer than minTokenLen (reference parity)
     empty_sig = hashlib.md5(b"").hexdigest()
     sigs = [empty_sig] * n
     if keep.any():
@@ -98,10 +112,12 @@ def text_profile_signature_batch(batch: pa.Table, *, text_col: str = "text", out
         cnt = df.groupby(["r", "t"], sort=False).size().reset_index(name="f")
         mx = cnt.groupby("r")["f"].transform("max").to_numpy()
         f = cnt["f"].to_numpy()
-        # quant = max(2, int(max_freq * QUANT_RATE)) when max_freq > 1 else 1
-        quant = np.where(
-            mx > 1, np.maximum(2, (mx * 0.01).astype(np.int64)), 1
+        # quant = Math.round(maxFreq * QUANT_RATE) floored at 2 (1 when
+        # maxFreq == 1) — float32 replay of _quant_of, vectorized
+        q0 = np.floor(
+            mx.astype(np.float32) * np.float32(0.01) + np.float32(0.5)
         ).astype(np.int64)
+        quant = np.where(q0 >= 2, q0, np.where(mx > 1, 2, 1)).astype(np.int64)
         cnt["qf"] = (f // quant) * quant
         cnt = cnt[cnt["qf"] > 0]
         if len(cnt):

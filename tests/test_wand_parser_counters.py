@@ -109,6 +109,44 @@ class TestParser:
         q = p.parse("+quick -lazy fox")
         assert q.must == (TermQ("quick"),) and q.must_not == (TermQ("lazy"),)
 
+    def test_flat_classic_conjunction_semantics(self):
+        """Classic has NO operator precedence: one flat clause list where AND
+        promotes the PRECEDING clause to MUST unless prohibited
+        (QueryParserBase.java:433-481 addClause) — `a AND b OR c` is
+        `+a +b c`, NOT `(a AND b) OR c`."""
+        p = QueryParser()
+        assert p.parse("alpha AND beta OR gamma") == BoolQ(
+            must=(TermQ("alpha"), TermQ("beta")), should=(TermQ("gamma"),)
+        )
+        # AND binds the adjacent pair only; earlier bare clauses stay SHOULD
+        assert p.parse("alpha beta AND gamma") == BoolQ(
+            must=(TermQ("beta"), TermQ("gamma")), should=(TermQ("alpha"),)
+        )
+        assert p.parse("alpha OR beta AND gamma") == BoolQ(
+            must=(TermQ("beta"), TermQ("gamma")), should=(TermQ("alpha"),)
+        )
+        # AND NOT: promotion happens, the new clause is prohibited
+        assert p.parse("alpha AND NOT beta") == BoolQ(
+            must=(TermQ("alpha"),), must_not=(TermQ("beta"),)
+        )
+        # a prohibited preceding clause is never promoted by AND
+        assert p.parse("-alpha AND beta") == BoolQ(
+            must=(TermQ("beta"),), must_not=(TermQ("alpha"),)
+        )
+
+    def test_unquoted_multitoken_is_should_boolean(self):
+        """An UNQUOTED value that analyzes to several tokens builds a SHOULD
+        boolean, not a phrase (autoGeneratePhraseQueries defaults false since
+        3.1; QueryBuilder.createFieldQuery !quoted branch).  Quoted input
+        stays a phrase."""
+        p = QueryParser()
+        assert p.parse("foo-bar") == BoolQ(should=(TermQ("foo"), TermQ("bar")))
+        assert p.parse('"foo-bar"') == PhraseQ(("foo", "bar"))
+        assert p.parse("title:foo-bar") == BoolQ(
+            should=(TermQ("foo", field="title"), TermQ("bar", field="title"))
+        )
+        assert p.parse('title:"foo-bar"') == PhraseQ(("foo", "bar"), field="title")
+
     def test_field_scoped_phrase_routing(self):
         from lucene_solr_ray.query.ast import BoostQ
 
