@@ -203,6 +203,34 @@ def minhash_lsh_candidates_docs(sf_dir: str) -> pa.Table:
     )
 
 
+def minhash_md5_clusters_docs(sf_dir: str) -> pa.Table:
+    """MinHash-LSH CLUSTERS under the SQL gate (cluster_id = min doc_id
+    reachable through shared LSH buckets): the md5 candidate family of
+    :func:`minhash_lsh_candidates_docs` feeds the distributed
+    label-propagation components (`stages/dedup.py::pair_graph_clusters`,
+    pointer-jumped, converged), and the DuckDB oracle replays the ENTIRE
+    pipeline — shingle -> md5 minhash -> band buckets -> pair edges ->
+    recursive-CTE transitive closure — so both the probabilistic candidate
+    recall AND the component construction are hash-verified end-to-end."""
+    from ..stages.dedup import minhash_md5_candidates, pair_graph_clusters
+
+    pairs = minhash_md5_candidates(_docs(sf_dir, ["doc_id", "text"]))
+    out = (
+        pair_graph_clusters(
+            [{"a": int(a), "b": int(b)} for a, b in pairs],
+            _docs(sf_dir, ["doc_id"]),
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].astype("int64").tolist(), type=pa.int64()),
+            "cluster_id": pa.array(out["cluster_id"].astype("int64").tolist(), type=pa.int64()),
+        }
+    )
+
+
 def jaccard_clusters_docs(sf_dir: str) -> pa.Table:
     """Connected components of the exact Jaccard>=0.5 pair graph (cluster_id
     = min doc_id of the component), S-gated against a recursive-CTE

@@ -786,3 +786,35 @@ class TestSimhashMd5Family:
                     a, b = sorted((ids[i], ids[j]))
                     want[(a, b)] = d
         assert got == want and len(want) > 0
+
+
+def test_minhash_md5_clusters_match_union_find(ray_session):
+    """The S-gated md5 MinHash clusters entry == union-find ground truth
+    over its own candidate pairs, with cluster_id = component min doc_id
+    and singletons labeling themselves."""
+    from lucene_solr_ray.pipelines.relational import (
+        minhash_lsh_candidates_docs,
+        minhash_md5_clusters_docs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cl = minhash_md5_clusters_docs(sf)
+    lab = dict(zip(cl["doc_id"].to_pylist(), cl["cluster_id"].to_pylist()))
+    pairs = minhash_lsh_candidates_docs(sf)
+    plist = list(zip(pairs["a"].to_pylist(), pairs["b"].to_pylist()))
+    assert len(plist) > 0  # the fixture plants near-dups
+
+    parent = {d: d for d in lab}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in plist:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)  # root stays the min id
+    want = {d: find(d) for d in lab}
+    assert want == lab
