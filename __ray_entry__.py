@@ -205,7 +205,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL); standard-analyzer variants are rows-only (UAX#29 not
         # SQL-expressible) with rank-identity tested vs the Python oracle
         "bm25_topk_simple": ft.bm25_topk_simple,
-        "bm25_and_topk_simple": ft.bm25_and_topk_simple,
+        # (bm25_and_topk_simple demoted r5, r4-green: the scoring family
+        # keeps five in-cap gates — bm25_topk_simple, tfidf_topk_simple,
+        # edismax_topk, dismax3_topk_simple, rerank_topk_simple — and the
+        # DocSet-AND machinery stays gated via hash_join/semi_join/filtered
+        # paths; langid_docs, newly hash-gated (the stopword-profile + CJK
+        # heuristic replayed in SQL), takes the slot)
+        "langid_docs": rl.langid_docs,
         # round-4 promotions (verdict item 2): S-gated r2-green entries back
         # in-cap; the three no_oracle entries (HLL, multimodal, k-means) move
         # below the cap — they keep their rows-only driver rows + pytest gates
@@ -251,6 +257,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # candidate pipeline is replayed VERBATIM inside
         # minhash_md5_clusters_docs' oracle CTE chain)
         "minhash_lsh_candidates_docs": rl.minhash_lsh_candidates_docs,
+        # (bm25_and_topk_simple demoted r5, r4-green: see the in-cap note
+        # at langid_docs)
+        "bm25_and_topk_simple": ft.bm25_and_topk_simple,
         # (edismax_bq_topk demoted r4, r3-green: edismax family in-cap via
         # edismax_topk + edismax_bf_topk)
         "edismax_bq_topk": ft.edismax_bq_topk,
@@ -296,7 +305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_clusters_docs": rl.minhash_clusters_docs,
         "simhash_pairs_docs": rl.simhash_pairs_docs,
         "embedding_near_dup_docs": rl.embedding_near_dup_docs,
-        "langid_docs": rl.langid_docs,
+        # (langid_docs promoted to the hash gate in-cap, r5)
         "fingerprint_docs": rl.fingerprint_docs,
         "ann_ivf_topk": rl.ann_ivf_topk,
         "bm25_topk": ft.bm25_topk,
@@ -407,6 +416,17 @@ def oracle_sql() -> dict[str, str]:
     from lucene_solr_ray.pipelines.fulltext import SEARCH_TERMS
 
     _bb = calc_bbox_deg(20.0, 30.0, 2000.0)  # bbox_customers bounds
+
+    # langid_docs: the stopword-profile + CJK heuristic replayed from the
+    # ONE profile source of truth (textstats._PROFILES) — score = duplicate-
+    # counting token/profile join, zero-hit or tied max -> 'und', CJK script
+    # ratios via character-class strip counts
+    from lucene_solr_ray.stages.textstats import _PROFILES
+
+    _prof_rows = "\n              UNION ALL ".join(
+        f"SELECT '{lang}' AS lang, unnest([{', '.join(chr(39) + w + chr(39) for w in sorted(ws))}]) AS w"
+        for lang, ws in sorted(_PROFILES.items())
+    )
 
     # polygon_customers: the exact half-plane predicate the engine applies to
     # boundary-cell points (the prefix-tree covering is an accelerator, not a
@@ -1671,6 +1691,50 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT s AS doc_id, CAST(min(d) AS BIGINT) AS cluster_id
             FROM reach GROUP BY s ORDER BY s""",
+        # document fingerprint under the SQL gate: md5 of the \x1f-joined
+        # simple-token stream (the same normalized string the production
+        # 64-bit polynomial family hashes); below-cap — replayed by
+        # scripts + pytest rather than the driver's 50-entry pass
+        "fingerprint_docs": """
+            SELECT doc_id,
+                   md5(array_to_string(list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x != ''), chr(31))) AS fingerprint_md5
+            FROM documents ORDER BY doc_id""",
+        # LanguageIdentifierUpdateProcessor analog under the hash gate:
+        # stopword-profile hit counts (duplicate tokens count, like the
+        # engine's sum over tokens), zero-hit or tied max -> 'und', CJK
+        # script routing by character-class counts — every constant and
+        # comparison mirrors LanguageId.classify
+        "langid_docs": f"""
+            WITH prof AS (
+              {_prof_rows}
+            ),
+            feat AS (
+              SELECT doc_id,
+                     length(coalesce(text, '')) AS n,
+                     length(regexp_replace(coalesce(text, ''), '[^぀-ヿ]', '', 'g')) AS kana,
+                     length(regexp_replace(coalesce(text, ''), '[^一-鿿]', '', 'g')) AS han,
+                     list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x != '') AS tk
+              FROM documents
+            ),
+            tok AS (SELECT doc_id, unnest(tk) AS w FROM feat),
+            hits AS (
+              SELECT tok.doc_id, prof.lang, count(*) AS s
+              FROM tok JOIN prof ON tok.w = prof.w GROUP BY 1, 2
+            ),
+            best AS (SELECT doc_id, max(s) AS mx FROM hits GROUP BY doc_id),
+            ties AS (
+              SELECT h.doc_id, count(*) AS c, min(h.lang) AS l
+              FROM hits h JOIN best b ON h.doc_id = b.doc_id AND h.s = b.mx
+              GROUP BY h.doc_id
+            )
+            SELECT f.doc_id,
+                   CASE WHEN f.n = 0 THEN 'und'
+                        WHEN f.kana > 0 AND f.kana + f.han > f.n * 0.05 THEN 'ja'
+                        WHEN f.han > f.n * 0.1 THEN 'zh'
+                        WHEN t.c IS NULL OR t.c > 1 THEN 'und'
+                        ELSE t.l END AS lang_pred
+            FROM feat f LEFT JOIN ties t ON f.doc_id = t.doc_id
+            ORDER BY f.doc_id""",
         # exact cosine threshold self-join (the embedding near-dup family's
         # ground truth): integer pairs only; the fixture keeps every pair's
         # cosine >= 3e-3 away from the threshold (pytest margin gate),

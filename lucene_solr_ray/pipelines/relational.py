@@ -480,20 +480,36 @@ def langid_docs(sf_dir: str) -> pa.Table:
 
 
 def fingerprint_docs(sf_dir: str) -> pa.Table:
-    """Rolling-hash fingerprints (rows-only oracle)."""
-    from ..stages.textstats import fingerprint_batch
+    """Document fingerprints under the SQL gate: md5 hex of the
+    ``\\x1f``-joined simple-token stream (order-sensitive, whitespace/punct
+    insensitive — the same normalized string the production 64-bit
+    polynomial family hashes in ``fingerprint_batch``, which stays the
+    at-scale path with its P gates; md5 is the replayability price, same
+    trade as the signature/minhash md5 families)."""
+    import hashlib
+
+    def fp(t: pa.Table) -> pa.Table:
+        lower = pc.utf8_lower(pc.fill_null(t["text"].combine_chunks(), ""))
+        norm = pc.replace_substring_regex(lower, "[^a-z0-9]+", "\x1f")
+        norm = pc.replace_substring_regex(norm, "^\x1f|\x1f$", "")
+        sigs = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in norm.to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "fingerprint_md5": pa.array(sigs, type=pa.string()),
+            }
+        )
 
     out = (
         _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(fingerprint_batch, batch_format="pyarrow")
-        .select_columns(["doc_id", "fingerprint"])
+        .map_batches(fp, batch_format="pyarrow")
         .to_pandas()
         .sort_values("doc_id")
     )
     return pa.table(
         {
             "doc_id": out["doc_id"].astype("int64").tolist(),
-            "fingerprint": pa.array((out["fingerprint"].astype("uint64") % np.uint64(2**63)).astype("int64").tolist(), type=pa.int64()),
+            "fingerprint_md5": out["fingerprint_md5"].tolist(),
         }
     )
 
