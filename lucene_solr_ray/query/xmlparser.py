@@ -289,6 +289,8 @@ class XMLQueryParser:
         inc = exc = None
         for c in self._children(e):
             kids = self._children(c)
+            if c.tag in ("Include", "Exclude") and not kids:
+                raise QueryParseError(f"<{c.tag}> requires one span child")
             if c.tag == "Include":
                 inc = self._span(kids[0])
             elif c.tag == "Exclude":

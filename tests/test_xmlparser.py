@@ -194,6 +194,7 @@ class TestErrors:
             "<Clause><TermQuery>x</TermQuery></Clause>",
             "not xml at all <",
             "<FilteredQuery><Query><TermQuery>x</TermQuery></Query></FilteredQuery>",
+            "<SpanNot><Include/><Exclude><SpanTerm>x</SpanTerm></Exclude></SpanNot>",
         ],
     )
     def test_raise_parse_error(self, xml):
