@@ -92,17 +92,20 @@ class EDisMaxParser:
                 must_not.append(node)
             else:
                 should.append(node)
-        # pf: whole-query phrase boost per phrase field
+        # pf: whole-query phrase boost per phrase field — attached OUTSIDE
+        # the mm-bearing query (the reference adds phrase boosts to an outer
+        # BooleanQuery around the main dismax, `ExtendedDismaxQParser`
+        # addShingledPhraseQueries: they add score where they match but never
+        # count toward mm; keeping them inside would admit a doc matching the
+        # phrase on a pf field NOT in qf with fewer than mm term matches)
+        phrase_boosts: list = []
         if len(all_terms) > 1:
             for f, boost in self.pf:
-                should.append(BoostQ(PhraseQ(tuple(all_terms), field=f), boost))
+                phrase_boosts.append(BoostQ(PhraseQ(tuple(all_terms), field=f), boost))
         # mm applies to the optional clauses independently of any '+' required
         # clauses (the reference scopes minimum-should-match to SHOULD only;
         # BoolQ's evaluator does the same, so no special-casing on `must`).
-        # pf phrase-boost clauses don't lower the bar: a phrase match implies
-        # every term clause matches, so counting them cannot admit new docs.
-        n_scoring_should = len(should) - (len(self.pf) if len(all_terms) > 1 else 0)
-        msm = self._resolve_mm(n_scoring_should)
+        msm = self._resolve_mm(len(should))
         if not must and not should and must_not:
             out = BoolQ(must=(MatchAllQ(),), must_not=tuple(must_not))
         elif len(should) == 1 and not must and not must_not:
@@ -116,13 +119,16 @@ class EDisMaxParser:
                 must_not=tuple(must_not),
                 minimum_should_match=msm,
             )
-        if self.bf or self.bq:
-            # `+(user query) (bq) (bf)` (DisMaxQParser.getBoostQueries /
-            # getBoostFunctions): the base query keeps its own mm internally;
-            # bq/bf clauses are optional on top, so they add score via
-            # ReqOptSumScorer but never gate matching and never count
-            # toward mm
-            out = BoolQ(must=(out,), should=tuple(self.bq) + tuple(self.bf))
+        if phrase_boosts or self.bf or self.bq:
+            # `+(user query) (pf) (bq) (bf)` (DisMaxQParser.getBoostQueries /
+            # getBoostFunctions + the pf phrase boosts above): the base query
+            # keeps its own mm internally; these clauses are optional on top,
+            # so they add score via ReqOptSumScorer but never gate matching
+            # and never count toward mm
+            out = BoolQ(
+                must=(out,),
+                should=tuple(phrase_boosts) + tuple(self.bq) + tuple(self.bf),
+            )
         for fq in self.boost:
             out = BoostedQ(out, fq)
         return out

@@ -47,6 +47,18 @@ class TestShapes:
         q = p.parse("quick fox")
         assert BoostQ(PhraseQ(("quick", "fox"), field="title"), 5.0) in q.should
 
+    def test_pf_outside_mm_scope(self):
+        """pf phrase boosts attach OUTSIDE the mm-bearing query (reference
+        adds them to an outer BooleanQuery): a doc matching the phrase on a
+        pf-only field must still satisfy mm over the qf term clauses."""
+        p = EDisMaxParser(qf=(("text", 1.0),), pf=(("title", 5.0),), mm="100%")
+        q = p.parse("quick fox")
+        assert isinstance(q, BoolQ) and len(q.must) == 1
+        inner = q.must[0]
+        assert inner.minimum_should_match == 2
+        assert all(not isinstance(c, BoostQ) for c in inner.should)
+        assert q.should == (BoostQ(PhraseQ(("quick", "fox"), field="title"), 5.0),)
+
     def test_matchall_and_pure_negative(self):
         p = EDisMaxParser()
         assert p.parse("*:*") == MatchAllQ()
