@@ -80,6 +80,18 @@ DEFAULT_FACET_FIELDS = ("host", "tld", "lang")
 # terms_global shard size: bounds what one lazy dictionary load costs a query
 # actor (~512k rows * ~30 B ≈ 16 MB decompressed per shard)
 TERMS_SHARD_ROWS = 524_288
+# postings row-group size: small enough that stage 6's range-merge regime
+# prunes reads to its term range (amplification <= 1 + buckets/rgs_per_file)
+# and point reads (mlt, searcher pushdown) touch one small group; large
+# enough that the binary cell columns still compress in big pages.
+POSTINGS_RG_ROWS = 65_536
+# stage-6 regime thresholds: below MERGE_MIN_CELLS one hash-agg task wins
+# (fan-out fixed cost exceeds the work); above it the zero-shuffle range
+# merge applies whenever the sidecar/stats give >= MERGE_MIN_AVG_RGS row
+# groups per file to prune against (module-level so tests can force the
+# merge regime on small fixtures)
+STATS_MERGE_MIN_CELLS = 2_000_000
+STATS_MERGE_MIN_AVG_RGS = 4
 
 
 def _read_sized(paths, columns=None) -> "rd.Dataset":
@@ -224,6 +236,101 @@ def _dedup_losers(input_paths, input_columns):
             losers, batch_format="pyarrow"
         )
     return out.select_columns(["doc_id"]).materialize()
+
+
+class _ShardWriter:
+    """Write one terms_global shard per (<= TERMS_SHARD_ROWS) batch of the
+    globally-sorted (term, df, ttf) stream.  Shard name = first-term digest —
+    unique because shard key ranges are disjoint."""
+
+    def __init__(self, tg_dir: str):
+        self.tg_dir = tg_dir
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import hashlib as _hl
+
+        if t.num_rows == 0:
+            return pa.table({"rows": pa.array([], type=pa.int64())})
+        h = _hl.md5(t["term"][0].as_py().encode("utf-8")).hexdigest()[:16]
+        tmp = os.path.join(self.tg_dir, f".shard-{h}.tmp")
+        pq.write_table(t, tmp)
+        os.replace(tmp, os.path.join(self.tg_dir, f"shard-{h}.parquet"))
+        return pa.table({"rows": pa.array([t.num_rows], type=pa.int64())})
+
+
+def _merge_term_stats(post_files, file_firsts, n_cells, avg_rgs, tg_dir):
+    """Stage-6 range-merge regime: global (term, df, ttf) aggregation over
+    term-SORTED per-partition postings with ZERO shuffle.
+
+    The driver picks B range-bucket boundaries from the per-row-group first
+    terms (stage 5's exact ``_rg_firsts.json`` sidecars; untruncated parquet
+    column stats as fallback), then one task per bucket reads ONLY the row
+    groups of each partition file that intersect its term range (read
+    amplification <= 1 + B/avg_rgs_per_file), slices to the exact range on
+    the sorted term column, hash-aggregates in Arrow C++, and writes its
+    terms_global shards directly — bucket ranges are disjoint, so the global
+    shard set stays range-disjoint and sorted.  Boundaries depend only on
+    the (parallelism-independent) postings artifacts, preserving the
+    build's byte-identity across CPU counts.
+
+    This is the BlockTree terms-dict merge re-expressed Ray-Data-first: the
+    sorted runs already exist on disk, so the wide step is a pruned
+    parallel read, not an exchange (cf. the hash-bucket + global-sort
+    alternative, which ships every term string through TWO shuffles and
+    measures slower at every size — BASELINE.md round-5)."""
+    import bisect
+
+    all_firsts = sorted(x for v in file_firsts.values() for x in v)
+    # parallelism from data size, capped so amplification (1 + B/avg_rgs)
+    # stays ~2x and tiny tails don't spawn empty tasks
+    desired = max(8, n_cells // 400_000)
+    n_buckets = int(min(desired, avg_rgs, 512))
+    bidx = np.linspace(0, len(all_firsts) - 1, n_buckets + 1).astype(np.int64)[1:-1]
+    bounds = sorted({all_firsts[i] for i in bidx})
+    lows = [None] + list(bounds)
+    highs = list(bounds) + [None]
+    files = list(post_files)
+    firsts_of = dict(file_firsts)
+
+    def do_bucket(batch: pa.Table) -> pa.Table:
+        import hashlib as _hl
+
+        rows_out = []
+        for bi in batch["b"].to_pylist():
+            lo, hi = lows[bi], highs[bi]
+            parts = []
+            for fp in files:
+                firsts = firsts_of[fp]
+                i0 = max(0, bisect.bisect_right(firsts, lo) - 1) if lo is not None else 0
+                i1 = bisect.bisect_left(firsts, hi) if hi is not None else len(firsts)
+                if i1 <= i0:
+                    continue
+                t = pq.ParquetFile(fp).read_row_groups(
+                    list(range(i0, i1)), columns=["term", "df", "ttf"]
+                )
+                terms = t["term"].to_numpy(zero_copy_only=False)
+                s = np.searchsorted(terms, lo, side="left") if lo is not None else 0
+                e = np.searchsorted(terms, hi, side="left") if hi is not None else len(terms)
+                if e > s:
+                    parts.append(t.slice(s, e - s))
+            if not parts:
+                rows_out.append(0)
+                continue
+            out = pa.concat_tables(parts).group_by("term").aggregate(
+                [("df", "sum"), ("ttf", "sum")]
+            ).rename_columns(["term", "df", "ttf"]).sort_by("term")
+            for st in range(0, out.num_rows, TERMS_SHARD_ROWS):
+                chunk = out.slice(st, TERMS_SHARD_ROWS)
+                h = _hl.md5(chunk["term"][0].as_py().encode("utf-8")).hexdigest()[:16]
+                tmp = os.path.join(tg_dir, f".shard-{h}.tmp")
+                pq.write_table(chunk, tmp)
+                os.replace(tmp, os.path.join(tg_dir, f"shard-{h}.parquet"))
+            rows_out.append(out.num_rows)
+        return pa.table({"rows": pa.array(rows_out, type=pa.int64())})
+
+    rd.from_items([{"b": i} for i in range(len(lows))]).map_batches(
+        do_bucket, batch_format="pyarrow", batch_size=1
+    ).materialize()
 
 
 def build_index(
@@ -772,8 +879,21 @@ def build_index(
                             fh,
                         )
                     os.replace(stats_tmp, os.path.join(out_dir, "_part_stats.json"))
+                    # exact first term per row group (sidecar): stage 6's
+                    # zero-shuffle range-merge regime prunes row groups with
+                    # these (no dependence on parquet statistics truncation
+                    # semantics); written before the postings rename so a
+                    # "done" partition always carries its sidecar.
+                    firsts = [
+                        out["term"][i].as_py()
+                        for i in range(0, out.num_rows, POSTINGS_RG_ROWS)
+                    ]
+                    rg_tmp = os.path.join(out_dir, ".rg_firsts.tmp")
+                    with open(rg_tmp, "w") as fh:
+                        json.dump(firsts, fh)
+                    os.replace(rg_tmp, os.path.join(out_dir, "_rg_firsts.json"))
                     tmp = os.path.join(out_dir, ".postings.parquet.tmp")
-                    pq.write_table(out, tmp)
+                    pq.write_table(out, tmp, row_group_size=POSTINGS_RG_ROWS)
                     os.replace(tmp, os.path.join(out_dir, "postings.parquet"))
                     pids_done.append(pid)
                     n_cells.append(out.num_rows)
@@ -812,27 +932,56 @@ def build_index(
         def agg_sorted(g: pa.Table) -> pa.Table:
             return agg_bucket(g).sort_by("term")
 
-        cells = _read_sized(postings_dir, columns=["term", "df", "ttf"])
         # regime decision from parquet FOOTER metadata (driver-side, no Ray
-        # job for the count): per-partition vocab rows under ~10M collapse
-        # into one Arrow C++ hash-aggregate task (no shuffle); larger corpora
-        # run the int-bucketed exchange + a global term sort
+        # job for the count).  Three regimes:
+        #   - small (<= 2M cells): one Arrow C++ hash-aggregate task — the
+        #     fixed cost of any fan-out exceeds the work;
+        #   - range merge (default above 2M): partition postings are SORTED
+        #     by term, so B range-bucket tasks each read ONLY the row groups
+        #     intersecting their term range (exact first-term sidecars from
+        #     stage 5, parquet column stats as fallback) — ZERO shuffle, and
+        #     each bucket writes its terms_global shards directly (ranges are
+        #     disjoint, so shard files stay range-disjoint and the index
+        #     orders them by first term).  Measured 2.6x the single task at
+        #     8 CPUs on a 9.6M-cell corpus; the shuffle alternatives (hash
+        #     bucket + global sort) ship the term strings through an
+        #     exchange and lose to BOTH (see BASELINE.md round-5).
+        #   - bucketed exchange (fallback): pre-sidecar postings files with
+        #     one giant row group would make range tasks re-read whole
+        #     files, so resume-over-old-layout keeps the prior paths.
         import glob as _g0
 
+        post_files = sorted(
+            _g0.glob(os.path.join(postings_dir, "**", "*.parquet"), recursive=True)
+        )
         n_cells = 0
-        for f in _g0.glob(os.path.join(postings_dir, "**", "*.parquet"), recursive=True):
-            n_cells += pq.ParquetFile(f).metadata.num_rows
-        if n_cells <= 10_000_000:
-            stats = cells.repartition(1).map_batches(
-                agg_sorted, batch_format="pyarrow", batch_size=None
-            )
-        else:
-            stats = (
-                cells.map_batches(add_term_bucket, batch_format="pyarrow")
-                .groupby("tb")
-                .map_groups(agg_bucket, batch_format="pyarrow")
-                .sort("term")
-            )
+        file_firsts: "dict[str, list[str]] | None" = {}
+        for f in post_files:
+            md = pq.ParquetFile(f).metadata
+            n_cells += md.num_rows
+            if file_firsts is None:
+                continue
+            side = os.path.join(os.path.dirname(f), "_rg_firsts.json")
+            if os.path.exists(side):
+                with open(side) as fh:
+                    firsts = json.load(fh)
+                if len(firsts) == md.num_row_groups:
+                    file_firsts[f] = firsts
+                    continue
+            # fallback: exact column stats (terms are far below parquet's
+            # 4KB statistics cap, so min values are untruncated)
+            firsts = []
+            for i in range(md.num_row_groups):
+                st = md.row_group(i).column(0).statistics
+                if st is None or not st.has_min_max:
+                    firsts = None
+                    break
+                firsts.append(st.min)
+            if firsts is None:
+                file_firsts = None
+            else:
+                file_firsts[f] = firsts
+
         # terms_global is written SORTED and range-sharded: each <=
         # TERMS_SHARD_ROWS slice of the sorted stream becomes one shard file
         # (atomic tmp+rename, name = first-term digest — unique because shard
@@ -840,7 +989,6 @@ def build_index(
         # term, rows) per shard ORDERED BY FIRST TERM.  Readers binary-search
         # the tiny index and lazy-load only the shards a query touches — the
         # .tip/.tim split of BlockTreeTermsReader (see index/termshards.py).
-        import hashlib as _hl
         import shutil as _sh
 
         from .termshards import write_shard_index
@@ -850,18 +998,30 @@ def build_index(
             _sh.rmtree(tg_dir)
         os.makedirs(tg_dir, exist_ok=True)
 
-        def write_shards(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0:
-                return pa.table({"rows": pa.array([], type=pa.int64())})
-            h = _hl.md5(t["term"][0].as_py().encode("utf-8")).hexdigest()[:16]
-            tmp = os.path.join(tg_dir, f".shard-{h}.tmp")
-            pq.write_table(t, tmp)
-            os.replace(tmp, os.path.join(tg_dir, f"shard-{h}.parquet"))
-            return pa.table({"rows": pa.array([t.num_rows], type=pa.int64())})
-
-        stats.map_batches(
-            write_shards, batch_format="pyarrow", batch_size=TERMS_SHARD_ROWS
-        ).materialize()
+        avg_rgs = 0
+        if file_firsts and post_files:
+            avg_rgs = sum(len(v) for v in file_firsts.values()) // len(post_files)
+        if (n_cells > STATS_MERGE_MIN_CELLS and file_firsts
+                and avg_rgs >= STATS_MERGE_MIN_AVG_RGS):
+            _merge_term_stats(post_files, file_firsts, n_cells, avg_rgs, tg_dir)
+        else:
+            if n_cells <= 10_000_000:
+                cells = _read_sized(postings_dir, columns=["term", "df", "ttf"])
+                stats = cells.repartition(1).map_batches(
+                    agg_sorted, batch_format="pyarrow", batch_size=None
+                )
+            else:
+                cells = _read_sized(postings_dir, columns=["term", "df", "ttf"])
+                stats = (
+                    cells.map_batches(add_term_bucket, batch_format="pyarrow")
+                    .groupby("tb")
+                    .map_groups(agg_bucket, batch_format="pyarrow")
+                    .sort("term")
+                )
+            stats.map_batches(
+                _ShardWriter(tg_dir), batch_format="pyarrow",
+                batch_size=TERMS_SHARD_ROWS,
+            ).materialize()
         write_shard_index(tg_dir)
 
         parts = []

@@ -30,6 +30,7 @@ trade documented in SCALE.md.
 from __future__ import annotations
 
 import glob
+import json
 import os
 
 import numpy as np
@@ -186,8 +187,18 @@ def _expunge_partition(index_dir: str, out_dir: str, pid: int, deleted: np.ndarr
             row["term"] = key
             rows.append(row)
     if rows:
+        from .build import POSTINGS_RG_ROWS
+
         cols = {k: [r[k] for r in rows] for k in rows[0]}
-        pq.write_table(pa.table(cols), os.path.join(out_sub("postings"), "postings.parquet"))
+        out_t = pa.table(cols)
+        # same layout + exact row-group first-term sidecar as a fresh build
+        # (stage 5), so stage-6's range-merge regime applies to expunged
+        # partitions too
+        firsts = [out_t["term"][i].as_py() for i in range(0, out_t.num_rows, POSTINGS_RG_ROWS)]
+        with open(os.path.join(out_sub("postings"), "_rg_firsts.json"), "w") as fh:
+            json.dump(firsts, fh)
+        pq.write_table(out_t, os.path.join(out_sub("postings"), "postings.parquet"),
+                       row_group_size=POSTINGS_RG_ROWS)
 
     # stored fields + tokenized checkpoint (term-vectors source): filter rows
     for sub in ("stored", "tokenized"):
@@ -209,8 +220,6 @@ def _expunge_partition(index_dir: str, out_dir: str, pid: int, deleted: np.ndarr
                 int(np.asarray(dm_live[n], dtype=np.int64).sum()) if dm_live.num_rows else 0
             )
     with open(os.path.join(out_sub("postings"), "_part_stats.json"), "w") as f:
-        import json
-
         json.dump(stats, f)
     return stats
 
@@ -231,7 +240,6 @@ def expunge_deletes(index_dir: str, out_dir: str) -> dict:
     occurred in deleted docs remain with zero counts — the reference keeps
     dictionary terms until a full merge rewrites them)."""
     import hashlib as _hl
-    import json
     import shutil
 
     import ray
