@@ -85,6 +85,21 @@ TERMS_SHARD_ROWS = 524_288
 # and point reads (mlt, searcher pushdown) touch one small group; large
 # enough that the binary cell columns still compress in big pages.
 POSTINGS_RG_ROWS = 65_536
+
+
+def _postings_rg_rows(nrows: int) -> int:
+    """Row-group size for one partition's postings file, adaptive so the
+    file carries >= ~32 row groups (clamped to [1024, POSTINGS_RG_ROWS]).
+
+    A fixed 64k-row group left small-vocab partitions (low
+    ``rows_per_partition``: bench uses 2048 -> ~16k vocab cells/partition)
+    with ONE row group, so stage 6's range merge had nothing to prune
+    against and fell back to the single-task regime (BASELINE.md run T:
+    stats 7.8 s serial at 8 CPUs on 9.6M cells).  Depends only on the
+    partition's own row count -> byte-identical across parallelism levels."""
+    if nrows <= 0:
+        return POSTINGS_RG_ROWS
+    return int(min(POSTINGS_RG_ROWS, max(1024, -(-nrows // 32))))
 # stage-6 regime thresholds: below MERGE_MIN_CELLS one hash-agg task wins
 # (fan-out fixed cost exceeds the work); above it the zero-shuffle range
 # merge applies whenever the sidecar/stats give >= MERGE_MIN_AVG_RGS row
@@ -225,16 +240,37 @@ def _dedup_losers(input_paths, input_columns):
             lose = df.loc[df["url"].duplicated(keep="last"), "doc_id"].to_numpy()
         return pa.table({"doc_id": pa.array(np.sort(lose), type=pa.int64())})
 
-    meta = _read_sized(input_paths, columns=["url", "warc_ts", "doc_id"])
-    # small-table dispatch (Parquet row count is metadata-only): a skinny
-    # metadata table under ~120 MB collapses into one task — no shuffle;
-    # larger corpora run the bucketed exchange
-    if meta.count() <= 5_000_000:
-        out = meta.repartition(1).map_batches(losers, batch_format="pyarrow", batch_size=None)
-    else:
-        out = meta.map_batches(add_bucket, batch_format="pyarrow").groupby("ub").map_groups(
-            losers, batch_format="pyarrow"
+    # regime decision from parquet FOOTER row counts (driver-side, no Ray
+    # job): a skinny metadata table under ~120 MB runs the single vectorized
+    # task; larger corpora run the bucketed exchange
+    import glob as _g
+
+    if isinstance(input_paths, str):
+        flist = (
+            _g.glob(os.path.join(input_paths, "**", "*.parquet"), recursive=True)
+            if os.path.isdir(input_paths)
+            else [input_paths]
         )
+    else:
+        flist = list(input_paths)
+    n_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in flist)
+    meta = _read_sized(input_paths, columns=["url", "warc_ts", "doc_id"])
+    if n_rows <= 5_000_000:
+        # one RAW task over the read's block refs: the old
+        # ``repartition(1).map_batches`` shape ran three Ray jobs (count +
+        # repartition exchange + map) around ~0.4 s of actual work — over
+        # 1 s of orchestration serial on the build's critical path at every
+        # parallelism level.  The blocks stay in the object store (zero-copy
+        # into the task); only the loser table crosses back.
+        @ray.remote
+        def _losers_task(*blocks) -> pa.Table:
+            return losers(pa.concat_tables(blocks))
+
+        ref = _losers_task.remote(*meta.to_arrow_refs())
+        return rd.from_arrow_refs([ref]).materialize()
+    out = meta.map_batches(add_bucket, batch_format="pyarrow").groupby("ub").map_groups(
+        losers, batch_format="pyarrow"
+    )
     return out.select_columns(["doc_id"]).materialize()
 
 
@@ -884,16 +920,17 @@ def build_index(
                     # these (no dependence on parquet statistics truncation
                     # semantics); written before the postings rename so a
                     # "done" partition always carries its sidecar.
+                    rg_rows = _postings_rg_rows(out.num_rows)
                     firsts = [
                         out["term"][i].as_py()
-                        for i in range(0, out.num_rows, POSTINGS_RG_ROWS)
+                        for i in range(0, out.num_rows, rg_rows)
                     ]
                     rg_tmp = os.path.join(out_dir, ".rg_firsts.tmp")
                     with open(rg_tmp, "w") as fh:
                         json.dump(firsts, fh)
                     os.replace(rg_tmp, os.path.join(out_dir, "_rg_firsts.json"))
                     tmp = os.path.join(out_dir, ".postings.parquet.tmp")
-                    pq.write_table(out, tmp, row_group_size=POSTINGS_RG_ROWS)
+                    pq.write_table(out, tmp, row_group_size=rg_rows)
                     os.replace(tmp, os.path.join(out_dir, "postings.parquet"))
                     pids_done.append(pid)
                     n_cells.append(out.num_rows)

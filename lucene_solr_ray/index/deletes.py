@@ -187,18 +187,19 @@ def _expunge_partition(index_dir: str, out_dir: str, pid: int, deleted: np.ndarr
             row["term"] = key
             rows.append(row)
     if rows:
-        from .build import POSTINGS_RG_ROWS
+        from .build import _postings_rg_rows
 
         cols = {k: [r[k] for r in rows] for k in rows[0]}
         out_t = pa.table(cols)
         # same layout + exact row-group first-term sidecar as a fresh build
         # (stage 5), so stage-6's range-merge regime applies to expunged
         # partitions too
-        firsts = [out_t["term"][i].as_py() for i in range(0, out_t.num_rows, POSTINGS_RG_ROWS)]
+        rg_rows = _postings_rg_rows(out_t.num_rows)
+        firsts = [out_t["term"][i].as_py() for i in range(0, out_t.num_rows, rg_rows)]
         with open(os.path.join(out_sub("postings"), "_rg_firsts.json"), "w") as fh:
             json.dump(firsts, fh)
         pq.write_table(out_t, os.path.join(out_sub("postings"), "postings.parquet"),
-                       row_group_size=POSTINGS_RG_ROWS)
+                       row_group_size=rg_rows)
 
     # stored fields + tokenized checkpoint (term-vectors source): filter rows
     for sub in ("stored", "tokenized"):
