@@ -132,6 +132,85 @@ def _read_sized(paths, columns=None) -> "rd.Dataset":
     return rd.read_parquet(paths, columns=columns, override_num_blocks=int(nb))
 
 
+def _read_fused(paths, columns=None, transform=None) -> "rd.Dataset":
+    """Parquet read INSIDE the map-task chain: ``from_items`` over (file,
+    row-group range) chunks, decoded — and, when ``transform`` is given,
+    transformed — by ONE ``map_batches(batch_size=1)`` task per chunk.
+    ``ReadParquet`` is its own operator, so every input byte otherwise
+    crosses the object store between the read tasks and the first map —
+    that hop measured ~11% of the tokenized stage at 8 CPUs (BASELINE.md
+    run-U A/B: fused 5.57 s vs 6.27 for the same 400k-page pipe).
+
+    ``transform`` must do the WHOLE per-chunk pipeline (including its own
+    internal re-batching): appending separate ``map_batches(...,
+    batch_size=B)`` calls after this reader de-parallelizes the job —
+    operator fusion bundles input blocks until B ROWS of the fused op's
+    input are accumulated, and the input rows here are 1-row chunk
+    descriptors, so every chunk collapses into one task (measured: the
+    whole 1.2M-page tokenized stage in ONE 111 s task).
+
+    Chunks target ~128 MB uncompressed so a task never holds a whole giant
+    file; the driver keeps only O(chunks) path/range metadata (~100 MB at
+    100 TB — bounded, never row data)."""
+    import glob as _g
+
+    if isinstance(paths, str):
+        flist = (
+            sorted(_g.glob(os.path.join(paths, "**", "*.parquet"), recursive=True))
+            if os.path.isdir(paths)
+            else [paths]
+        )
+    else:
+        flist = sorted(paths)
+    items = []
+    for f in flist:
+        md = pq.ParquetFile(f).metadata
+        nrg = md.num_row_groups
+        if nrg == 0:
+            continue
+        total = sum(md.row_group(i).total_byte_size for i in range(nrg))
+        per = max(1, int(nrg * (128 << 20) / max(1, total)))
+        for lo in range(0, nrg, per):
+            items.append({"path": f, "lo": lo, "hi": min(nrg, lo + per)})
+    if not items:
+        ds = _read_sized(paths, columns=columns)
+        return ds.map_batches(transform, batch_format="pyarrow") if transform else ds
+    cols = list(columns) if columns else None
+
+    def read_chunk(b: pa.Table) -> pa.Table:
+        parts = []
+        for i in range(b.num_rows):
+            pf = pq.ParquetFile(b["path"][i].as_py())
+            t = pf.read_row_groups(
+                list(range(b["lo"][i].as_py(), b["hi"][i].as_py())),
+                columns=cols,
+            )
+            parts.append(transform(t) if transform else t)
+        return pa.concat_tables(parts)
+
+    return rd.from_items(items).map_batches(
+        read_chunk, batch_format="pyarrow", batch_size=1
+    )
+
+
+def _input_schema_names(paths) -> "set[str]":
+    """Column names of the input, from ONE parquet footer (driver-side) —
+    replaces ``ds.schema()`` probes that would execute a fused-read task."""
+    import glob as _g
+
+    if isinstance(paths, str):
+        flist = (
+            sorted(_g.glob(os.path.join(paths, "**", "*.parquet"), recursive=True))
+            if os.path.isdir(paths)
+            else [paths]
+        )
+    else:
+        flist = list(paths)
+    for f in flist:
+        return set(pq.ParquetFile(f).schema_arrow.names)
+    return set()
+
+
 def _stage_done(index_dir: str, stage: str) -> bool:
     return os.path.exists(os.path.join(index_dir, f"_stage_{stage}.json"))
 
@@ -419,70 +498,24 @@ def build_index(
     # ---- stage 1+2: dedup -> extract -> tokenize -> checkpoint -------------
     if not (resume and _stage_done(index_dir, "tokenized")):
         t0 = time.time()
+        in_names = _input_schema_names(input_paths)
         if input_columns:
-            ds = _read_sized(input_paths, columns=list(input_columns))
-        else:
-            ds = _read_sized(input_paths)
-        if dedup_url and "url" in ds.schema().names:
+            in_names &= set(input_columns)
+
+        # loser regime decision BEFORE the main read (footers + skinny scan)
+        loser_ref = None
+        anti_join_losers = None
+        if dedup_url and "url" in in_names:
             losers_ds = _dedup_losers(input_paths, input_columns)
             n_losers = losers_ds.count()
             if n_losers and n_losers <= dedup_broadcast_threshold:
-                # broadcast the loser ids ONCE as an Arrow array; each batch
+                # broadcast the loser ids ONCE as an Arrow array; each chunk
                 # filters with the vectorized C++ is_in kernel
-                loser_ids = losers_ds.to_arrow_refs()
-                arr = pa.concat_tables(ray.get(loser_ids)).column("doc_id")
+                arr = pa.concat_tables(ray.get(losers_ds.to_arrow_refs())).column("doc_id")
                 loser_ref = ray.put(pc.cast(arr.combine_chunks(), pa.int64()))
-
-                def drop_losers(t: pa.Table) -> pa.Table:
-                    vs = ray.get(loser_ref)
-                    return t.filter(pc.invert(pc.is_in(t["doc_id"], value_set=vs)))
-
-                ds = ds.map_batches(drop_losers, batch_format="pyarrow")
             elif n_losers:
-                # loser set too large to broadcast: spill it bucket-partitioned
-                # and anti-join inside the already-partition-local tasks
-                from ..stages.joins import partitioned_anti_join
+                anti_join_losers = losers_ds
 
-                ds = partitioned_anti_join(
-                    ds, losers_ds, "doc_id",
-                    os.path.join(index_dir, "dedup_losers"),
-                )
-        if extract_html:
-            ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=tokenize_batch_size)
-        if max_doc_chars:
-            # giant-document guard (SCALE.md "Extract + tokenize"): cap every
-            # analyzed field at max_doc_chars code points BEFORE tokenize so
-            # one adversarially-huge page cannot blow a task's heap; the
-            # `truncate_field` ingest processor is the user-facing analog
-            _cap_fields = ("text", *extra_text_fields)
-
-            def cap_docs(t: pa.Table) -> pa.Table:
-                cols = {c: t[c] for c in t.column_names}
-                for f in _cap_fields:
-                    if f in cols:
-                        cols[f] = pc.utf8_slice_codeunits(
-                            t[f].combine_chunks(), 0, max_doc_chars
-                        )
-                return pa.table(cols)
-
-            ds = ds.map_batches(cap_docs, batch_format="pyarrow")
-        ds = ds.map_batches(
-            lambda t: t.append_column(
-                "partition_id",
-                pc.cast(pc.floor(pc.divide(pc.cast(t["doc_id"], pa.float64()), rows_per_partition)), pa.int64()),
-            ),
-            batch_format="pyarrow",
-        )
-        ds = ds.map_batches(
-            tokenize_batch,
-            batch_format="pyarrow",
-            batch_size=tokenize_batch_size,
-            fn_kwargs={
-                "with_positions": with_positions,
-                "analyzer": analyzer,
-                "extra_text_fields": extra_text_fields,
-            },
-        )
         keep = ["doc_id", "partition_id", "dl", "norm", "terms", "tfs"] + keep_fields
         for _f in extra_text_fields:
             keep += [f"dl_{_f}", f"norm_{_f}"]
@@ -490,10 +523,81 @@ def build_index(
             keep.append("positions")
         if analyzer == "whitespace_payload":
             keep.append("payloads")
-        if "url" in ds.schema().names:
+        if "url" in in_names:
             keep.append("url")
         keep += [f for f in stored_fields if f not in keep]
-        ds = ds.select_columns([c for c in keep if c in ds.schema().names])
+        keep = tuple(keep)
+
+        # the WHOLE per-chunk pipeline as one function, re-batching itself at
+        # ``tokenize_batch_size`` internally: it runs INSIDE the fused read
+        # task (see _read_fused — separate ``map_batches(..., batch_size=B)``
+        # calls after the chunk reader would collapse the stage to one task),
+        # so input bytes never cross the object store and the task shape is
+        # exactly the bare-multiprocessing ceiling worker's.
+        _cap_fields = ("text", *extra_text_fields)
+        _tok_kwargs = {
+            "with_positions": with_positions,
+            "analyzer": analyzer,
+            "extra_text_fields": extra_text_fields,
+        }
+        _bs = tokenize_batch_size
+
+        def _transform_slice(s: pa.Table) -> pa.Table:
+            if extract_html:
+                s = extract_batch(s)
+            if max_doc_chars:
+                # giant-document guard (SCALE.md "Extract + tokenize"): cap
+                # every analyzed field at max_doc_chars code points BEFORE
+                # tokenize so one adversarially-huge page cannot blow a
+                # task's heap; `truncate_field` is the user-facing analog
+                cols = {c: s[c] for c in s.column_names}
+                for f in _cap_fields:
+                    if f in cols:
+                        cols[f] = pc.utf8_slice_codeunits(
+                            s[f].combine_chunks(), 0, max_doc_chars
+                        )
+                s = pa.table(cols)
+            s = s.append_column(
+                "partition_id",
+                pc.cast(
+                    pc.floor(
+                        pc.divide(pc.cast(s["doc_id"], pa.float64()), rows_per_partition)
+                    ),
+                    pa.int64(),
+                ),
+            )
+            s = tokenize_batch(s, **_tok_kwargs)
+            return s.select([c for c in keep if c in s.column_names])
+
+        def _transform_chunk(t: pa.Table) -> pa.Table:
+            if loser_ref is not None:
+                vs = ray.get(loser_ref)
+                t = t.filter(pc.invert(pc.is_in(t["doc_id"], value_set=vs)))
+            if t.num_rows == 0:
+                return _transform_slice(t)  # keep the output schema
+            return pa.concat_tables(
+                _transform_slice(t.slice(off, _bs))
+                for off in range(0, t.num_rows, _bs)
+            )
+
+        cols_arg = list(input_columns) if input_columns else None
+        if anti_join_losers is not None:
+            # loser set too large to broadcast: spill it bucket-partitioned
+            # and anti-join the raw rows, then transform (blocks here are
+            # real row blocks, so a plain map_batches keeps its parallelism)
+            from ..stages.joins import partitioned_anti_join
+
+            ds = partitioned_anti_join(
+                _read_fused(input_paths, columns=cols_arg),
+                anti_join_losers, "doc_id",
+                os.path.join(index_dir, "dedup_losers"),
+            )
+            loser_ref = None  # already filtered
+            ds = ds.map_batches(_transform_chunk, batch_format="pyarrow")
+        else:
+            ds = _read_fused(
+                input_paths, columns=cols_arg, transform=_transform_chunk
+            )
         # checkpoint codec: the tokenized stream is the build's biggest write
         # and the stage is write-bandwidth-bound (BASELINE.md round-3 stage
         # split) — trading bytes for ALU helps wherever the storage side is
