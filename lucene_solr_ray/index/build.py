@@ -152,16 +152,7 @@ def _read_fused(paths, columns=None, transform=None) -> "rd.Dataset":
     Chunks target ~128 MB uncompressed so a task never holds a whole giant
     file; the driver keeps only O(chunks) path/range metadata (~100 MB at
     100 TB — bounded, never row data)."""
-    import glob as _g
-
-    if isinstance(paths, str):
-        flist = (
-            sorted(_g.glob(os.path.join(paths, "**", "*.parquet"), recursive=True))
-            if os.path.isdir(paths)
-            else [paths]
-        )
-    else:
-        flist = sorted(paths)
+    flist = _expand_parquet_paths(paths)
     items = []
     for f in flist:
         md = pq.ParquetFile(f).metadata
@@ -193,20 +184,28 @@ def _read_fused(paths, columns=None, transform=None) -> "rd.Dataset":
     )
 
 
+def _expand_parquet_paths(paths) -> "list[str]":
+    """Resolve a path / dir / mixed list into a sorted parquet-file list
+    (directory entries are expanded recursively, matching what
+    ``rd.read_parquet`` accepts)."""
+    import glob as _g
+
+    entries = [paths] if isinstance(paths, str) else list(paths)
+    flist: list[str] = []
+    for e in entries:
+        if os.path.isdir(e):
+            flist.extend(
+                _g.glob(os.path.join(e, "**", "*.parquet"), recursive=True)
+            )
+        else:
+            flist.append(e)
+    return sorted(flist)
+
+
 def _input_schema_names(paths) -> "set[str]":
     """Column names of the input, from ONE parquet footer (driver-side) —
     replaces ``ds.schema()`` probes that would execute a fused-read task."""
-    import glob as _g
-
-    if isinstance(paths, str):
-        flist = (
-            sorted(_g.glob(os.path.join(paths, "**", "*.parquet"), recursive=True))
-            if os.path.isdir(paths)
-            else [paths]
-        )
-    else:
-        flist = list(paths)
-    for f in flist:
+    for f in _expand_parquet_paths(paths):
         return set(pq.ParquetFile(f).schema_arrow.names)
     return set()
 
@@ -322,17 +321,9 @@ def _dedup_losers(input_paths, input_columns):
     # regime decision from parquet FOOTER row counts (driver-side, no Ray
     # job): a skinny metadata table under ~120 MB runs the single vectorized
     # task; larger corpora run the bucketed exchange
-    import glob as _g
-
-    if isinstance(input_paths, str):
-        flist = (
-            _g.glob(os.path.join(input_paths, "**", "*.parquet"), recursive=True)
-            if os.path.isdir(input_paths)
-            else [input_paths]
-        )
-    else:
-        flist = list(input_paths)
-    n_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in flist)
+    n_rows = sum(
+        pq.ParquetFile(f).metadata.num_rows for f in _expand_parquet_paths(input_paths)
+    )
     meta = _read_sized(input_paths, columns=["url", "warc_ts", "doc_id"])
     if n_rows <= 5_000_000:
         # one RAW task over the read's block refs: the old
