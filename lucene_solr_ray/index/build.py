@@ -132,7 +132,7 @@ def _read_sized(paths, columns=None) -> "rd.Dataset":
     return rd.read_parquet(paths, columns=columns, override_num_blocks=int(nb))
 
 
-def _read_fused(paths, columns=None, transform=None) -> "rd.Dataset":
+def _read_fused(paths, columns=None, transform=None, target_bytes=None) -> "rd.Dataset":
     """Parquet read INSIDE the map-task chain: ``from_items`` over (file,
     row-group range) chunks, decoded — and, when ``transform`` is given,
     transformed — by ONE ``map_batches(batch_size=1)`` task per chunk.
@@ -153,30 +153,97 @@ def _read_fused(paths, columns=None, transform=None) -> "rd.Dataset":
     file; the driver keeps only O(chunks) path/range metadata (~100 MB at
     100 TB — bounded, never row data)."""
     flist = _expand_parquet_paths(paths)
-    items = []
+    metas = []
+    grand_total = 0
     for f in flist:
         md = pq.ParquetFile(f).metadata
         nrg = md.num_row_groups
         if nrg == 0:
             continue
         total = sum(md.row_group(i).total_byte_size for i in range(nrg))
-        per = max(1, int(nrg * (128 << 20) / max(1, total)))
-        for lo in range(0, nrg, per):
-            items.append({"path": f, "lo": lo, "hi": min(nrg, lo + per)})
+        metas.append((f, nrg, total))
+        grand_total += total
+    # chunk target: ~128 MB, shrunk so the scan still yields a few tasks
+    # per core (hive checkpoints are hundreds of ~1-3 MB files — one task
+    # per FILE drowns the scan in dispatch; one task per 128 MB may yield
+    # fewer tasks than cores on small corpora)
+    if target_bytes is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        target = max(32 << 20, min(128 << 20, grand_total // max(1, cpus * 3)))
+    else:
+        target = int(target_bytes)
+    items = []
+    group: "dict[str, list]" = {"paths": [], "los": [], "his": []}
+    group_bytes = 0
+
+    def _flush():
+        nonlocal group, group_bytes
+        if group["paths"]:
+            items.append(group)
+        group = {"paths": [], "los": [], "his": []}
+        group_bytes = 0
+
+    for f, nrg, total in metas:
+        if total > target:
+            # big file: its own range-split items
+            _flush()
+            per = max(1, int(nrg * target / max(1, total)))
+            for lo in range(0, nrg, per):
+                items.append(
+                    {"paths": [f], "los": [lo], "his": [min(nrg, lo + per)]}
+                )
+            continue
+        if group_bytes + total > target:
+            _flush()
+        group["paths"].append(f)
+        group["los"].append(0)
+        group["his"].append(nrg)
+        group_bytes += total
+    _flush()
     if not items:
         ds = _read_sized(paths, columns=columns)
         return ds.map_batches(transform, batch_format="pyarrow") if transform else ds
     cols = list(columns) if columns else None
 
+    def _hive_cols(path: str) -> "list[tuple[str, str]]":
+        # hive-partitioned inputs (e.g. the tokenized checkpoint) carry
+        # partition columns in DIRECTORY names, not in the files — rebuild
+        # them like rd.read_parquet does (int64 when integral, else string)
+        out = []
+        for seg in path.split(os.sep)[:-1]:
+            if "=" in seg:
+                k, _, v = seg.partition("=")
+                out.append((k, v))
+        return out
+
     def read_chunk(b: pa.Table) -> pa.Table:
         parts = []
         for i in range(b.num_rows):
-            pf = pq.ParquetFile(b["path"][i].as_py())
-            t = pf.read_row_groups(
-                list(range(b["lo"][i].as_py(), b["hi"][i].as_py())),
-                columns=cols,
-            )
-            parts.append(transform(t) if transform else t)
+            paths_i = b["paths"][i].as_py()
+            los_i = b["los"][i].as_py()
+            his_i = b["his"][i].as_py()
+            for path, lo, hi in zip(paths_i, los_i, his_i):
+                hive = _hive_cols(path)
+                hive_names = {k for k, _ in hive}
+                file_cols = (
+                    [c for c in cols if c not in hive_names]
+                    if cols is not None
+                    else None
+                )
+                pf = pq.ParquetFile(path)
+                t = pf.read_row_groups(list(range(lo, hi)), columns=file_cols)
+                for k, v in hive:
+                    if cols is not None and k not in cols:
+                        continue
+                    if k in t.column_names:
+                        continue
+                    val = (
+                        pa.scalar(int(v), type=pa.int64())
+                        if v.lstrip("-").isdigit()
+                        else pa.scalar(v, type=pa.string())
+                    )
+                    t = t.append_column(k, pa.repeat(val, t.num_rows))
+                parts.append(transform(t) if transform else t)
         return pa.concat_tables(parts)
 
     return rd.from_items(items).map_batches(
@@ -634,11 +701,10 @@ def build_index(
                         ]
                     return pa.table(cols)
 
-                counts = (
-                    _read_sized(tokenized_dir, columns=list(all_fields))
-                    .map_batches(block_unique_counts, batch_format="pyarrow")
-                    .take_all()
-                )
+                counts = _read_fused(
+                    tokenized_dir, columns=list(all_fields),
+                    transform=block_unique_counts,
+                ).take_all()
                 # sum of per-block uniques = upper bound on distinct count
                 ubs = {f: sum(int(r[f]) for r in counts) for f in all_fields}
                 sharded_fields = [f for f in all_fields if ubs[f] > dict_shard_threshold]
@@ -692,9 +758,14 @@ def build_index(
                         )
 
                     distinct = (
-                        _read_sized(tokenized_dir, columns=list(small_fields))
-                        .map_batches(block_unique_rows, batch_format="pyarrow")
-                        .map_batches(add_vbucket, batch_format="pyarrow")
+                        _read_fused(
+                            tokenized_dir, columns=list(small_fields),
+                            # bucket assignment INSIDE the fused transform —
+                            # a separate map_batches after the descriptor
+                            # source would re-trigger the bundling trap
+                            # (_read_fused docstring)
+                            transform=lambda t: add_vbucket(block_unique_rows(t)),
+                        )
                         .groupby("__b")
                         .map_groups(bucket_distinct, batch_format="pyarrow")
                         .to_pandas()
@@ -767,9 +838,9 @@ def build_index(
             _sample = _g0.glob(os.path.join(tokenized_dir, "**", "*.parquet"), recursive=True)
             if _sample and "url" in pq.read_schema(_sample[0]).names:
                 cols.append("url")
-            ds = _read_sized(tokenized_dir, columns=[c for c in cols])
-            ds = ds.map_batches(to_ords, batch_format="pyarrow")
-            ds.write_parquet(docmap_dir, partition_cols=["partition_id"], mode="overwrite")
+            _read_fused(
+                tokenized_dir, columns=[c for c in cols], transform=to_ords
+            ).write_parquet(docmap_dir, partition_cols=["partition_id"], mode="overwrite")
             _mark_stage(index_dir, "docmap", secs=time.time() - t0)
 
     # ---- stage 4b: stored-fields doc store (lazy .fdt analog) ----------
@@ -778,7 +849,7 @@ def build_index(
     def _run_stored():
         if stored_fields and not (resume and _stage_done(index_dir, "stored")):
             t0 = time.time()
-            _read_sized(
+            _read_fused(
                 tokenized_dir,
                 columns=["doc_id", "partition_id", *stored_fields],
             ).write_parquet(

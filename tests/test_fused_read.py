@@ -81,9 +81,16 @@ def test_one_block_per_chunk_parallelism_canary(corpus):
     (the batch_size trap), blocks collapse to ~1 and this fails."""
     from lucene_solr_ray.index.build import _read_fused
 
-    mat = _read_fused(corpus["files"]).materialize()
-    # 6 small files -> 6 chunk descriptors (each file far under 128 MB)
-    assert mat.num_blocks() == len(corpus["files"])
+    # target_bytes=1 forces the big-file path: one descriptor per ROW GROUP
+    expected = sum(
+        pq.ParquetFile(f).metadata.num_row_groups for f in corpus["files"]
+    )
+    mat = _read_fused(corpus["files"], target_bytes=1).materialize()
+    assert mat.num_blocks() == expected
+    # default adaptive target packs the tiny files into FEW descriptors
+    # (small-file coalescing — one task per file drowned the dict scans)
+    mat2 = _read_fused(corpus["files"]).materialize()
+    assert mat2.num_blocks() < len(corpus["files"])
 
 
 def test_expand_paths_variants(corpus):
