@@ -43,6 +43,37 @@ def _pack_for(vals: np.ndarray) -> bytes:
     return bytes([width]) + np.packbits(bits.ravel(), bitorder="little").tobytes()
 
 
+def _pack_for_blocks(vals_mat: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """FOR-pack MANY full blocks at once, byte-identical to per-block
+    :func:`_pack_for`.
+
+    ``vals_mat``: (nblocks, BLOCK) uint64.  Returns (widths[nb] int64,
+    flat output bytes uint8 — each block laid out [width][payload] —
+    and byte offsets[nb+1] into it).  Blocks are grouped by bit width so
+    the bit expansion + packbits runs once per DISTINCT width (~a dozen
+    calls) instead of once per block (~thousands per partition — 35% of
+    the postings task, BASELINE.md round-5 profile)."""
+    nb = vals_mat.shape[0]
+    m = vals_mat.max(axis=1)
+    widths = np.ones(nb, dtype=np.int64)
+    nz = m > 0
+    # floor(log2(m)) + 1 == bit_length(m); exact in float64 for m < 2^53
+    widths[nz] = np.floor(np.log2(m[nz].astype(np.float64))).astype(np.int64) + 1
+    sizes = 1 + (BLOCK * widths + 7) // 8  # BLOCK*w bits is byte-aligned
+    offs = np.concatenate(([0], np.cumsum(sizes)))
+    out = np.zeros(int(offs[-1]), dtype=np.uint8)
+    out[offs[:-1]] = widths.astype(np.uint8)
+    for w in np.unique(widths).tolist():
+        sel = np.flatnonzero(widths == w)
+        sub = vals_mat[sel]
+        shifts = np.arange(w, dtype=np.uint64)
+        bits = ((sub[:, :, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+        packed = np.packbits(bits.reshape(len(sel), -1), axis=1, bitorder="little")
+        idx = offs[sel][:, None] + 1 + np.arange(packed.shape[1], dtype=np.int64)
+        out[idx] = packed
+    return widths, out, offs
+
+
 def _unpack_for(buf: memoryview, off: int) -> tuple[np.ndarray, int]:
     width = buf[off]
     nbytes = (BLOCK * width + 7) // 8
@@ -66,25 +97,29 @@ def _vbyte_encode(vals: np.ndarray) -> bytes:
     v = np.asarray(vals, dtype=np.uint64)
     if len(v) == 0:
         return b""
-    nbytes = np.ones(len(v), dtype=np.int64)
-    for k in range(1, 10):
-        nbytes += v >= (np.uint64(1) << np.uint64(7 * k))
+    nbytes = _vbyte_lengths(v)
     ends = np.cumsum(nbytes)
     total = int(ends[-1])
     out = np.zeros(total, dtype=np.uint8)
     starts = ends - nbytes
-    rem = v.copy()
-    idx = starts.copy()
-    live = np.ones(len(v), dtype=bool)
-    while live.any():
-        byte = (rem[live] & np.uint64(0x7F)).astype(np.uint8)
-        more = rem[live] >= np.uint64(0x80)
-        out[idx[live]] = byte | (more.astype(np.uint8) << 7)
-        rem[live] = rem[live] >> np.uint64(7)
-        idx[live] += 1
-        nxt = live.copy()
-        nxt[live] = more
-        live = nxt
+    # pass 1 on the FULL array without boolean-mask copies (the common
+    # 1-byte case exits here); later passes carry only still-live values
+    # by integer index — same byte layout as the original mask loop
+    more = v >= np.uint64(0x80)
+    out[starts] = (
+        (v & np.uint64(0x7F)) | (more.astype(np.uint64) << np.uint64(7))
+    ).astype(np.uint8)
+    live = np.flatnonzero(more)
+    rem = v[live] >> np.uint64(7)
+    idx = starts[live] + 1
+    while len(rem):
+        m2 = rem >= np.uint64(0x80)
+        out[idx] = (
+            (rem & np.uint64(0x7F)) | (m2.astype(np.uint64) << np.uint64(7))
+        ).astype(np.uint8)
+        keep = np.flatnonzero(m2)
+        rem = rem[keep] >> np.uint64(7)
+        idx = idx[keep] + 1
     return out.tobytes()
 
 
@@ -207,9 +242,14 @@ def encode_cell(
 
 
 def _vbyte_lengths(v: np.ndarray) -> np.ndarray:
-    # must match _vbyte_encode's group count exactly (full uint64 range)
+    # must match _vbyte_encode's group count exactly (full uint64 range);
+    # early-exit once the array MAX fits k groups (typical delta/tf arrays
+    # stop after 1-2 comparisons instead of 9)
     nb = np.ones(len(v), dtype=np.int64)
+    vmax = int(v.max()) if len(v) else 0
     for k in range(1, 10):
+        if vmax < (1 << (7 * k)):
+            break
         nb += v >= (np.uint64(1) << np.uint64(7 * k))
     return nb
 
@@ -286,12 +326,47 @@ def encode_cells_columns(
     db0 = np.where(starts > 0, doc_b_end[np.maximum(starts - 1, 0)], 0)
     tb1 = tf_b_end[ends - 1]
     tb0 = np.where(starts > 0, tf_b_end[np.maximum(starts - 1, 0)], 0)
-    docs_col = [docs_mv[a:b] for a, b in zip(db0.tolist(), db1.tolist())]
-    freqs_col = [tfs_mv[a:b] for a, b in zip(tb0.tolist(), tb1.tolist())]
     if pos_vals is not None:
         pb1 = np.where(cell_p_end > 0, pos_b_end[np.maximum(cell_p_end - 1, 0)], 0)
-        pb0 = np.where(cell_p_start > 0, pos_b_end[np.maximum(cell_p_start - 1, 0)], 0)
-        pos_col = [pos_mv[a:b] for a, b in zip(pb0.tolist(), pb1.tolist())]
+
+    def _binary_col(buf_bytes: bytes, cell_end_bytes: np.ndarray,
+                    head_blobs: "dict[int, bytes] | None" = None) -> "pa.Array":
+        """Zero-copy binary column: per-cell slices of *buf_bytes* are
+        CONTIGUOUS (cell i ends where i+1 starts), so the column is just
+        (offsets, buffer) — no per-cell Python slicing (the old
+        list-of-bytes build was ~20% of this function).  ``head_blobs``
+        splice replacement payloads for head cells as buffer segments."""
+        if not head_blobs:
+            offs = np.zeros(ncells + 1, dtype=np.int64)
+            offs[1:] = cell_end_bytes
+            return pa.Array.from_buffers(
+                pa.binary(), ncells,
+                [None, pa.py_buffer(offs.astype(np.int32).tobytes()),
+                 pa.py_buffer(buf_bytes)],
+            )
+        new_lens = np.empty(ncells, dtype=np.int64)
+        new_lens[0] = cell_end_bytes[0]
+        new_lens[1:] = cell_end_bytes[1:] - cell_end_bytes[:-1]
+        segs = []
+        prev = 0
+        for ci in sorted(head_blobs):
+            a = int(cell_end_bytes[ci - 1]) if ci > 0 else 0
+            b = int(cell_end_bytes[ci])
+            if a > prev:
+                segs.append(buf_bytes[prev:a])
+            blob = head_blobs[ci]
+            segs.append(blob)
+            new_lens[ci] = len(blob)
+            prev = b
+        if prev < len(buf_bytes):
+            segs.append(buf_bytes[prev:])
+        offs = np.zeros(ncells + 1, dtype=np.int64)
+        np.cumsum(new_lens, out=offs[1:])
+        return pa.Array.from_buffers(
+            pa.binary(), ncells,
+            [None, pa.py_buffer(offs.astype(np.int32).tobytes()),
+             pa.py_buffer(b"".join(segs))],
+        )
 
     # skip/block-max list columns: tail cells have exactly one block
     one = np.arange(ncells + 1, dtype=np.int32)
@@ -306,28 +381,84 @@ def encode_cells_columns(
         "bm_min_dl": pa.ListArray.from_arrays(one, pa.array(min_dls, type=pa.float32())),
     }
 
-    # head cells (>= BLOCK docs): rare — re-encode with the FOR-block codec
-    # and patch the affected rows
+    # head cells (>= BLOCK docs): rare — re-encode docs/freqs with the
+    # FOR-block codec and patch the affected rows.  All full blocks of ALL
+    # head cells are packed in ONE width-grouped pass (_pack_for_blocks);
+    # vbyte tails and position blobs are byte-identical to the global vbyte
+    # buffers, so they are SLICED from them, never re-encoded (positions
+    # need no patch at all: encode_cell's per-doc prepend-0 deltas are
+    # exactly the pdeltas already in pos_mv).  Differential gate:
+    # test_postings.py::test_head_cells_batch_equals_encode_cell.
     head = np.flatnonzero(lengths >= BLOCK)
     patch: dict[int, dict] = {}
-    for ci in head.tolist():
-        s, e = int(starts[ci]), int(ends[ci])
-        poss = None
-        if pos_vals is not None:
-            # flat position slice + per-doc counts (vectorized delta path)
-            poss = (
-                pos_vals[int(cell_p_start[ci]) : int(cell_p_end[ci])],
-                np.asarray(tfs[s:e], dtype=np.int64),
-            )
-        patch[ci] = encode_cell(
-            docs[s:e].astype(np.int64), np.asarray(tfs[s:e], dtype=np.int64), dls[s:e], poss
+    if len(head):
+        hs = starts[head]
+        he = ends[head]
+        hlen = lengths[head]
+        nfull = (hlen // BLOCK).astype(np.int64)
+        total_blocks = int(nfull.sum())
+        blk_cell = np.repeat(np.arange(len(head)), nfull)
+        within = np.arange(total_blocks, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(nfull)[:-1])), nfull
         )
+        blk_s = hs[blk_cell] + within * BLOCK  # full-block starts, flat
+        gather = blk_s[:, None] + np.arange(BLOCK, dtype=np.int64)
+        d_w, d_out, d_offs = _pack_for_blocks(deltas[gather])
+        t_w, t_out, t_offs = _pack_for_blocks(tfs_u[gather])
+        cell_first_blk = np.concatenate(([0], np.cumsum(nfull)[:-1]))
+        tfs_i = np.asarray(tfs, dtype=np.int64)
+        d_sizes = 1 + 16 * d_w
+        t_sizes = 1 + 16 * t_w
+
+        # per-block metadata, vectorized across ALL head cells (incl. each
+        # cell's partial tail block): within a cell, block k of nfull full
+        # blocks is full iff k < nfull
+        nblk = nfull + (hlen % BLOCK > 0)
+        tot_all = int(nblk.sum())
+        bnd = np.concatenate(([0], np.cumsum(nblk)))
+        cell_of = np.repeat(np.arange(len(head)), nblk)
+        w_in = np.arange(tot_all, dtype=np.int64) - np.repeat(bnd[:-1], nblk)
+        bs_all = hs[cell_of] + w_in * BLOCK
+        be_all = np.minimum(bs_all + BLOCK, he[cell_of])
+        first_all = docs[bs_all].astype(np.int64)
+        last_all = docs[be_all - 1].astype(np.int64)
+        is_full = w_in < nfull[cell_of]
+        maxtf_all = np.empty(tot_all, dtype=np.int64)
+        mindl_all = np.empty(tot_all, dtype=np.float32)
+        maxtf_all[is_full] = tfs_i[gather].max(axis=1)
+        mindl_all[is_full] = dls[gather].min(axis=1)
+        for k in np.flatnonzero(~is_full).tolist():  # <= one per head cell
+            maxtf_all[k] = tfs_i[bs_all[k] : be_all[k]].max()
+            mindl_all[k] = dls[bs_all[k] : be_all[k]].min()
+        # per-block byte offsets within the cell: cumulative full-block
+        # sizes before this block (the tail block maps to index nfull)
+        cs_d = np.concatenate(([0], np.cumsum(d_sizes)))
+        cs_t = np.concatenate(([0], np.cumsum(t_sizes)))
+        idxf = cell_first_blk[cell_of] + np.minimum(w_in, nfull[cell_of])
+        doff_all = cs_d[idxf] - cs_d[cell_first_blk[cell_of]]
+        toff_all = cs_t[idxf] - cs_t[cell_first_blk[cell_of]]
+
+        for j, ci in enumerate(head.tolist()):
+            s, e = int(hs[j]), int(he[j])
+            nf = int(nfull[j])
+            b0 = int(cell_first_blk[j])
+            # docs/freqs blobs: packed full blocks + SLICED vbyte tail (the
+            # tail values' bytes inside the global buffer ARE the tail blob)
+            tail_lo = s + nf * BLOCK
+            d_tail = docs_mv[int(doc_b_end[tail_lo - 1]) : int(db1[ci])] if tail_lo < e else b""
+            t_tail = tfs_mv[int(tf_b_end[tail_lo - 1]) : int(tb1[ci])] if tail_lo < e else b""
+            a, b = int(bnd[j]), int(bnd[j + 1])
+            patch[ci] = {
+                "docs": d_out[int(d_offs[b0]) : int(d_offs[b0 + nf])].tobytes() + d_tail,
+                "freqs": t_out[int(t_offs[b0]) : int(t_offs[b0 + nf])].tobytes() + t_tail,
+                "skip_first_doc": first_all[a:b],
+                "skip_last_doc": last_all[a:b],
+                "bm_max_tf": maxtf_all[a:b],
+                "bm_min_dl": mindl_all[a:b],
+                "skip_docs_off": doff_all[a:b],
+                "skip_freqs_off": toff_all[a:b],
+            }
     if patch:
-        for ci, row in patch.items():
-            docs_col[ci] = row["docs"]
-            freqs_col[ci] = row["freqs"]
-            if pos_vals is not None:
-                pos_col[ci] = row["positions"]
         # rebuild the list columns with per-cell block counts — vectorized:
         # every tail cell contributes one scalar; only the (rare) head cells
         # are written by a short loop over the patch dict
@@ -351,10 +482,16 @@ def encode_cells_columns(
         cols["bm_max_tf"] = _patched("bm_max_tf", pa.int64(), max_tfs)
         cols["bm_min_dl"] = _patched("bm_min_dl", pa.float32(), min_dls)
 
-    cols["docs"] = pa.array(docs_col, type=pa.binary())
-    cols["freqs"] = pa.array(freqs_col, type=pa.binary())
+    cols["docs"] = _binary_col(
+        docs_mv, db1, {ci: r["docs"] for ci, r in patch.items()} if patch else None
+    )
+    cols["freqs"] = _binary_col(
+        tfs_mv, tb1, {ci: r["freqs"] for ci, r in patch.items()} if patch else None
+    )
     if pos_vals is not None:
-        cols["positions"] = pa.array(pos_col, type=pa.binary())
+        # positions never need a head patch: the head path's per-doc
+        # prepend-0 vbyte deltas are exactly the slices already in pos_mv
+        cols["positions"] = _binary_col(pos_mv, pb1)
     return cols
 
 

@@ -72,3 +72,66 @@ def test_positions_round_trip():
     _, f = decode_docs_freqs(cell["docs"], cell["freqs"], n)
     out = decode_positions(cell["positions"], f)
     assert all((a == b).all() for a, b in zip(out, pos))
+
+
+def test_head_cells_batch_equals_encode_cell():
+    """The batched head-cell path inside encode_cells_columns must be
+    byte-identical to per-cell encode_cell on every column — docs/freqs
+    blobs (FOR blocks + vbyte tail), skip arrays, block-max metadata and
+    position blobs — across widths, exact-multiple-of-BLOCK lengths, and
+    delta-width outliers."""
+    import numpy as np
+
+    from lucene_solr_ray.index.postings import BLOCK, encode_cell, encode_cells_columns
+    from lucene_solr_ray.smallfloat import NORM_TABLE
+
+    rng = np.random.default_rng(7)
+    cells = []
+    for spec in (
+        (BLOCK, 1),            # exactly one full block, tiny deltas
+        (BLOCK, 1 << 20),      # one full block, wide deltas
+        (BLOCK + 1, 3),        # full block + 1-doc tail
+        (5 * BLOCK + 17, 50),  # many blocks + tail
+        (2 * BLOCK, 1),        # exact multiple, no tail
+        (7, 2),                # tail-only cell interleaved
+        (3 * BLOCK + 77, 9),
+    ):
+        n, dmax = spec
+        deltas = rng.integers(1, dmax + 1, size=n, dtype=np.int64)
+        docs = np.cumsum(deltas)
+        tfs = rng.integers(1, 900, size=n, dtype=np.int64)
+        norms = rng.integers(100, 140, size=n, dtype=np.uint8)
+        poss = [np.sort(rng.integers(0, 5000, size=int(t))).astype(np.int64) for t in tfs]
+        cells.append((docs, tfs, norms, poss))
+
+    # flatten into the encode_cells_columns calling convention
+    starts, all_docs, all_tfs, all_dls, all_pos = [], [], [], [], []
+    off = 0
+    for docs, tfs, norms, poss in cells:
+        starts.append(off)
+        off += len(docs)
+        all_docs.append(docs)
+        all_tfs.append(tfs)
+        all_dls.append(NORM_TABLE[norms])
+        all_pos.extend(poss)
+    starts = np.asarray(starts, dtype=np.int64)
+    docs_f = np.concatenate(all_docs)
+    tfs_f = np.concatenate(all_tfs)
+    dls_f = np.concatenate(all_dls)
+    pos_f = np.concatenate(all_pos)
+
+    cols = encode_cells_columns(starts, docs_f, tfs_f, dls_f, pos_f)
+
+    for ci, (docs, tfs, norms, poss) in enumerate(cells):
+        ref = encode_cell(docs, tfs, NORM_TABLE[norms], poss)
+        got_docs = cols["docs"][ci].as_py()
+        got_freqs = cols["freqs"][ci].as_py()
+        got_pos = cols["positions"][ci].as_py()
+        assert got_docs == ref["docs"], f"cell {ci} docs blob"
+        assert got_freqs == ref["freqs"], f"cell {ci} freqs blob"
+        assert got_pos == ref["positions"], f"cell {ci} positions blob"
+        for key in ("skip_first_doc", "skip_last_doc", "skip_docs_off",
+                    "skip_freqs_off", "bm_max_tf"):
+            assert cols[key][ci].as_py() == list(ref[key]), f"cell {ci} {key}"
+        got_dl = cols["bm_min_dl"][ci].as_py()
+        assert got_dl == [np.float32(x) for x in ref["bm_min_dl"]], f"cell {ci} bm_min_dl"
