@@ -135,3 +135,27 @@ def test_head_cells_batch_equals_encode_cell():
             assert cols[key][ci].as_py() == list(ref[key]), f"cell {ci} {key}"
         got_dl = cols["bm_min_dl"][ci].as_py()
         assert got_dl == [np.float32(x) for x in ref["bm_min_dl"]], f"cell {ci} bm_min_dl"
+
+
+def test_vbyte_full_uint64_range():
+    """The rewritten mask-free _vbyte_encode must hold over the FULL uint64
+    range (0, 7-bit boundaries, 2^63, uint64 max) and agree with
+    _vbyte_lengths' early-exit byte counts."""
+    import numpy as np
+
+    from lucene_solr_ray.index.postings import (
+        _vbyte_decode,
+        _vbyte_encode,
+        _vbyte_lengths,
+    )
+
+    vals = np.array(
+        [0, 1, 127, 128, 16383, 16384, (1 << 35) - 1, 1 << 35,
+         (1 << 63) - 1, 1 << 63, (1 << 64) - 1],
+        dtype=np.uint64,
+    )
+    buf = _vbyte_encode(vals)
+    assert len(buf) == int(_vbyte_lengths(vals).sum())
+    out, off = _vbyte_decode(memoryview(buf), 0, len(vals))
+    assert off == len(buf)
+    assert (out == vals).all()
